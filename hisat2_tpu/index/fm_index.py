@@ -1,0 +1,197 @@
+"""FM index: host build + device-resident bit-packed arrays.
+
+Equivalent role to the reference's GFM in linear mode (_linearFM, gfm.h:149) —
+BWT + Occ checkpoints + ftab + SA sample + packed reference. The reference
+stores the BWT in 64-byte cache-line "sides" with interleaved checkpoints
+(gfm.h:2958 countBt2Side) because its unit of parallelism is one pthread; on
+TPU the unit is a *batch of reads*, so we instead store:
+
+  * bwt_packed:  2-bit-packed BWT in uint32 words (16 bases/word) — HBM
+  * occ:         (nblocks+1, 4) int32 checkpoint counts every 128 symbols;
+                 intra-block rank is popcount over 8 uint32 words (VPU work)
+  * ccount:      (5,) int32 — C[] array, C[c] = 1 + #{chars < c} ('$' is row 0)
+  * sa:          (m,) int32 full suffix array (offrate-0 equivalent; sampled
+                 scheme for Gbp genomes is a follow-up)
+  * ftab:        (4^k + 1,) int32 — interval of every k-mer is
+                 ftab[p] = [top, bot), same role as gfm.h _ftab (k=10 default,
+                 MANUAL.markdown:2023-2030); lookup is one gather
+  * text_packed: 2-bit-packed joined text for verification windows
+                 (BitPairReference equivalent, reference.h:99-112)
+
+Graph extensions (GBWT F/M bitvectors, mapGLF) build on this in
+index/gfm.py (SURVEY.md §7 phase 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+from ..io.reference import JoinedReference, load_reference
+from ..utils import alphabet
+from .suffix_array import build_suffix_array, bwt_from_sa
+
+OCC_BLOCK = 128                      # symbols per Occ checkpoint block
+WORDS_PER_BLOCK = OCC_BLOCK // alphabet.BASES_PER_WORD  # 8 uint32 words
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class FMIndex:
+    ref: JoinedReference
+    n: int                 # joined text length (BWT rows m = n + 1)
+    zoff: int              # BWT row holding '$'
+    ftab_k: int
+    bwt_packed: np.ndarray    # (W,) uint32, padded to whole blocks
+    text_packed: np.ndarray   # (Wt,) uint32
+    occ: np.ndarray           # (nblocks + 1, 4) int32
+    ccount: np.ndarray        # (5,) int32, ccount[4] = m
+    sa: np.ndarray            # (m,) int32
+    ftab: np.ndarray          # (4^k, 2) int32 [top, bot) per k-mer
+
+    @property
+    def m(self) -> int:
+        return self.n + 1
+
+    # ---------------- device bundle ----------------
+
+    @cached_property
+    def device(self) -> dict:
+        """Device-ready arrays (put on default device lazily by jnp ops).
+
+        Fragment tables ride along so verify kernels can reject candidates
+        crossing fragment boundaries (joinedToTextOff semantics, gfm.h:5527).
+        """
+        import jax.numpy as jnp
+        r = self.ref
+        return dict(
+            bwt_packed=jnp.asarray(self.bwt_packed),
+            text_packed=jnp.asarray(self.text_packed),
+            occ=jnp.asarray(self.occ),
+            ccount=jnp.asarray(self.ccount),
+            sa=jnp.asarray(self.sa),
+            ftab=jnp.asarray(self.ftab),
+            frag_joined=jnp.asarray(r.frag_joined.astype(np.int32)),
+            frag_end=jnp.asarray((r.frag_joined + r.frag_len).astype(np.int32)),
+            zoff=jnp.int32(self.zoff),
+            n=jnp.int32(self.n),
+            ftab_k=int(self.ftab_k),
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, prefix: str) -> None:
+        """Write <prefix>.npz + <prefix>.meta.json (our native index format,
+        filling the role of the 8 .ht2 files, SURVEY.md §2.2)."""
+        np.savez_compressed(
+            prefix + ".npz",
+            bwt_packed=self.bwt_packed, text_packed=self.text_packed,
+            occ=self.occ, ccount=self.ccount, sa=self.sa, ftab=self.ftab,
+            joined=self.ref.joined,
+            frag_joined=self.ref.frag_joined, frag_toff=self.ref.frag_toff,
+            frag_tidx=self.ref.frag_tidx, frag_len=self.ref.frag_len,
+            tlens=self.ref.tlens,
+        )
+        meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
+                    ftab_k=self.ftab_k, names=self.ref.names)
+        with open(prefix + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
+
+    @staticmethod
+    def load(prefix: str) -> "FMIndex":
+        with open(prefix + ".meta.json") as fh:
+            meta = json.load(fh)
+        if meta["version"] != FORMAT_VERSION:
+            raise ValueError(f"index format version {meta['version']} != {FORMAT_VERSION}")
+        z = np.load(prefix + ".npz")
+        ref = JoinedReference(
+            names=list(meta["names"]), tlens=z["tlens"], joined=z["joined"],
+            frag_joined=z["frag_joined"], frag_toff=z["frag_toff"],
+            frag_tidx=z["frag_tidx"], frag_len=z["frag_len"])
+        return FMIndex(ref=ref, n=meta["n"], zoff=meta["zoff"],
+                       ftab_k=meta["ftab_k"],
+                       bwt_packed=z["bwt_packed"], text_packed=z["text_packed"],
+                       occ=z["occ"], ccount=z["ccount"], sa=z["sa"],
+                       ftab=z["ftab"])
+
+
+def _pack_to_blocks(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack, padded out to whole OCC_BLOCK blocks."""
+    packed = alphabet.pack_2bit(codes)
+    nwords = packed.size
+    pad = (-nwords) % WORDS_PER_BLOCK
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint32)])
+    return packed
+
+
+def _build_occ(bwt: np.ndarray) -> np.ndarray:
+    """occ[b, c] = #occurrences of c in bwt[0 : 128*b) ('$' cell counts as 0;
+    queries correct for it via zoff)."""
+    m = bwt.size
+    nblocks = -(-m // OCC_BLOCK)
+    onehot = np.zeros((nblocks * OCC_BLOCK, 4), dtype=np.int32)
+    onehot[np.arange(m), bwt] = 1
+    per_block = onehot.reshape(nblocks, OCC_BLOCK, 4).sum(axis=1)
+    occ = np.zeros((nblocks + 1, 4), dtype=np.int32)
+    np.cumsum(per_block, axis=0, out=occ[1:])
+    return occ
+
+
+def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
+    """k-mer interval table: ftab[p] = [top, bot) of pattern p, shape (4^k, 2).
+
+    Key construction: each row's k-prefix as a big-endian base-4 integer, with
+    suffixes shorter than k padded with 0s and tie-broken *before* full
+    suffixes (the sentinel sorts first) via key*2 + is_full. That keeps keys
+    nondecreasing in SA order while excluding short suffixes from every
+    interval — the edge case the reference handles with its eftab
+    (gfm.h _eftab)."""
+    n = text.size
+    m = sa.size
+    sa64 = sa.astype(np.int64)
+    keys = np.zeros(m, dtype=np.int64)
+    # digits: text[sa+j] for j < remaining length else 0 (pad)
+    for j in range(k):
+        pos = sa64 + j
+        digit = np.where(pos < n, text[np.minimum(pos, n - 1)], 0)
+        keys = keys * 4 + digit
+    is_full = (sa64 + k <= n).astype(np.int64)
+    keys = keys * 2 + is_full
+    pvals = np.arange(4 ** k, dtype=np.int64)
+    top = np.searchsorted(keys, 2 * pvals + 1, side="left")
+    bot = np.searchsorted(keys, 2 * pvals + 1, side="right")
+    return np.stack([top, bot], axis=1).astype(np.int32)
+
+
+def build_fm_index(ref: JoinedReference, ftab_k: int = 10) -> FMIndex:
+    text = ref.joined
+    n = int(text.size)
+    # keep ftab small relative to the genome (tiny tests use tiny k)
+    while ftab_k > 1 and 4 ** ftab_k > max(64, 4 * n):
+        ftab_k -= 1
+    sa = build_suffix_array(text)
+    bwt, zoff = bwt_from_sa(text, sa)
+    counts = np.bincount(text, minlength=4).astype(np.int64)
+    ccount = np.zeros(5, dtype=np.int32)
+    ccount[0] = 1
+    np.cumsum(counts, out=counts)
+    ccount[1:] = 1 + counts
+    return FMIndex(
+        ref=ref, n=n, zoff=zoff, ftab_k=ftab_k,
+        bwt_packed=_pack_to_blocks(bwt),
+        text_packed=_pack_to_blocks(text),
+        occ=_build_occ(bwt),
+        ccount=ccount,
+        sa=sa.astype(np.int32),
+        ftab=_build_ftab(text.astype(np.int64), sa, ftab_k),
+    )
+
+
+def build_from_fasta(paths, ftab_k: int = 10) -> FMIndex:
+    return build_fm_index(load_reference(paths), ftab_k=ftab_k)

@@ -1,0 +1,188 @@
+"""Read (FASTQ/FASTA/tab6/raw) input.
+
+Equivalent role to the reference's pat.{h,cpp} PatternSource hierarchy
+(SURVEY.md §2.4): FASTQ (default), FASTA (-f), raw (-r), cmdline (-c),
+tab5/tab6 (--12). Where the reference hands one read at a time to each pthread
+behind a lock, the TPU design consumes reads in large host batches that are
+encoded/padded into dense (B, L) arrays for the device wavefront
+(see batchify()).
+
+Gzip/bzip2 inputs are decompressed transparently (the reference does this in
+its Perl wrapper).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from ..utils import alphabet
+
+
+@dataclass
+class Read:
+    name: str
+    seq: np.ndarray          # uint8 codes 0..4
+    qual: np.ndarray | None  # phred scores (int), or None (FASTA)
+    rdid: int = 0
+
+    def __len__(self) -> int:
+        return int(self.seq.size)
+
+    @property
+    def seq_str(self) -> str:
+        return alphabet.decode(self.seq)
+
+    @property
+    def qual_str(self) -> str:
+        if self.qual is None:
+            return "I" * len(self)  # reference prints 'I's for FASTA reads
+        return "".join(chr(q + 33) for q in self.qual)
+
+
+def _open_text(path: str | os.PathLike) -> io.TextIOBase:
+    path = os.fspath(path)
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    if path.endswith(".bz2"):
+        return io.TextIOWrapper(bz2.open(path, "rb"))
+    return open(path, "rt")
+
+
+def _parse_qual(qstr: str, phred64: bool = False) -> np.ndarray:
+    off = 64 if phred64 else 33
+    q = np.frombuffer(qstr.encode("ascii"), dtype=np.uint8).astype(np.int32) - off
+    return np.clip(q, 0, 62)
+
+
+def read_fastq(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[Read]:
+    with _open_text(path) as fh:
+        rdid = start_rdid
+        while True:
+            hdr = fh.readline()
+            if not hdr:
+                return
+            hdr = hdr.strip()
+            if not hdr:
+                continue
+            seq = fh.readline().strip()
+            fh.readline()  # '+'
+            qual = fh.readline().strip()
+            yield Read(hdr[1:].split()[0], alphabet.encode(seq),
+                       _parse_qual(qual, phred64), rdid)
+            rdid += 1
+
+
+def read_fasta(path, start_rdid: int = 0) -> Iterator[Read]:
+    with _open_text(path) as fh:
+        name, chunks, rdid = None, [], start_rdid
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield Read(name, alphabet.encode("".join(chunks)), None, rdid)
+                    rdid += 1
+                name, chunks = line[1:].split()[0], []
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield Read(name, alphabet.encode("".join(chunks)), None, rdid)
+
+
+def read_tab6(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[tuple[Read, Read]]:
+    """tab6: name1 seq1 qual1 name2 seq2 qual2 per line (reference --12)."""
+    with _open_text(path) as fh:
+        rdid = start_rdid
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 6:
+                continue
+            r1 = Read(f[0], alphabet.encode(f[1]), _parse_qual(f[2], phred64), rdid)
+            r2 = Read(f[3], alphabet.encode(f[4]), _parse_qual(f[5], phred64), rdid)
+            yield r1, r2
+            rdid += 1
+
+
+def read_reads(path, fmt: str | None = None, phred64: bool = False,
+               start_rdid: int = 0) -> Iterator[Read]:
+    """Auto-dispatch on extension unless fmt given ('fastq'|'fasta')."""
+    if fmt is None:
+        p = os.fspath(path)
+        for ext in (".gz", ".bz2"):
+            if p.endswith(ext):
+                p = p[: -len(ext)]
+        fmt = "fasta" if p.endswith((".fa", ".fasta", ".mfa", ".fna", ".ffn")) else "fastq"
+    if fmt == "fasta":
+        return read_fasta(path, start_rdid)
+    return read_fastq(path, phred64, start_rdid)
+
+
+@dataclass
+class ReadBatch:
+    """Dense, device-ready batch of reads (the TPU unit of work).
+
+    seqs:  (B, L) uint8 codes 0..4, padded with N(4)
+    quals: (B, L) int8 phred, padded with 0
+    lens:  (B,)   int32
+    names/rdids kept host-side for SAM emission.
+    """
+    seqs: np.ndarray
+    quals: np.ndarray
+    lens: np.ndarray
+    names: list[str] = field(default_factory=list)
+    rdids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    reads: list[Read] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return int(self.lens.size)
+
+
+def batchify(reads: Sequence[Read], max_len: int | None = None,
+             pad_to: int | None = None, default_qual: int = 40) -> ReadBatch:
+    """Encode a list of reads into dense padded arrays.
+
+    max_len truncates (reference caps reads too); pad_to forces the padded
+    length (for static device shapes), else the max read length rounded up to
+    a multiple of 8.
+    """
+    B = len(reads)
+    L = max((len(r) for r in reads), default=1)
+    if max_len is not None:
+        L = min(L, max_len)
+    if pad_to is not None:
+        L = pad_to
+    else:
+        L = max(8, -(-L // 8) * 8)
+    seqs = np.full((B, L), alphabet.N, dtype=np.uint8)
+    quals = np.zeros((B, L), dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    names, rdids = [], np.zeros(B, dtype=np.int64)
+    for i, r in enumerate(reads):
+        n = min(len(r), L)
+        seqs[i, :n] = r.seq[:n]
+        quals[i, :n] = (r.qual[:n] if r.qual is not None
+                        else np.full(n, default_qual, np.int8))
+        lens[i] = n
+        names.append(r.name)
+        rdids[i] = r.rdid
+    return ReadBatch(seqs, quals, lens, names, rdids, list(reads))
+
+
+def batch_iter(reads: Iterable[Read], batch_size: int,
+               pad_to: int | None = None) -> Iterator[ReadBatch]:
+    buf: list[Read] = []
+    for r in reads:
+        buf.append(r)
+        if len(buf) == batch_size:
+            yield batchify(buf, pad_to=pad_to)
+            buf = []
+    if buf:
+        yield batchify(buf, pad_to=pad_to)

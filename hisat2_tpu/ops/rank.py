@@ -1,0 +1,96 @@
+"""Occ/rank and LF-mapping primitives over the 2-bit-packed BWT.
+
+Equivalent role to the reference's countBt2Side/mapLF (gfm.h:2958,3681):
+rank(c, i) = Occ checkpoint at i's 128-symbol block + popcount of symbol
+matches in the block prefix. The reference uses POPCNT/LUTs per thread
+(gfm.h:62-73, ccnt_lut.cpp); here every operation is batched over a read
+wavefront: gathers fetch each lane's checkpoint row + 8 BWT words, and the
+match-count is a handful of elementwise bit ops + lax.population_count on the
+VPU.
+
+All row indices are int32 (m < 2^31 — matches the reference's "small" .ht2
+index; 64-bit rows are a follow-up for Gbp-scale graph indexes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..index.fm_index import OCC_BLOCK, WORDS_PER_BLOCK
+
+_LOG2_BLOCK = OCC_BLOCK.bit_length() - 1      # 7
+_M55 = jnp.uint32(0x55555555)
+_WORD_SYMS = 16                                # 2-bit symbols per uint32
+
+
+def count_eq_packed(words: jax.Array, c: jax.Array, nsym: jax.Array) -> jax.Array:
+    """#symbols == c among the first nsym 2-bit symbols of each uint32 word.
+
+    words uint32 [...]; c int in 0..3 broadcastable; nsym in [0, 16].
+    """
+    pattern = c.astype(jnp.uint32) * _M55
+    x = words ^ pattern
+    y = (x | (x >> jnp.uint32(1))) & _M55     # pair-low bit set iff mismatch
+    match = (~y) & _M55                        # pair-low bit set iff match
+    nbits = (2 * nsym).astype(jnp.uint32)
+    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.minimum(nbits, jnp.uint32(31))) - 1)
+    return lax.population_count(match & mask).astype(jnp.int32)
+
+
+def rank(idx: dict, c: jax.Array, i: jax.Array) -> jax.Array:
+    """rank(c, i): #occurrences of symbol c in bwt[0:i).
+
+    c, i: int32 arrays of identical shape. Corrects for the '$' row (stored
+    as symbol 0 at zoff), mirroring the reference's _zOffs handling
+    (gfm.h:2431).
+    """
+    c = c.astype(jnp.int32)
+    i = i.astype(jnp.int32)
+    blk = i >> _LOG2_BLOCK
+    base = idx["occ"][blk, c]
+    within = i & (OCC_BLOCK - 1)
+    w = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    word_idx = blk[..., None] * WORDS_PER_BLOCK + w
+    words = idx["bwt_packed"][word_idx]
+    nsym = jnp.clip(within[..., None] - _WORD_SYMS * w, 0, _WORD_SYMS)
+    cnt = count_eq_packed(words, c[..., None], nsym).sum(axis=-1)
+    dollar_fix = ((c == 0) & (i > idx["zoff"])).astype(jnp.int32)
+    return base + cnt - dollar_fix
+
+
+def lf(idx: dict, i: jax.Array, c: jax.Array) -> jax.Array:
+    """LF-mapping: row of T'[SA[i]-1] when bwt[i]==c; the backward-search step
+    (reference mapLF, gfm.h:3681)."""
+    return idx["ccount"][c] + rank(idx, c, i)
+
+
+def lf_step_interval(idx: dict, top: jax.Array, bot: jax.Array,
+                     c: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Extend an SA interval [top, bot) left by symbol c (c in 0..3)."""
+    base = idx["ccount"][c]
+    return base + rank(idx, c, top), base + rank(idx, c, bot)
+
+
+def packed_char(packed: jax.Array, pos: jax.Array) -> jax.Array:
+    """Symbol at position pos of a 2-bit packed array (BWT or text)."""
+    word = packed[pos >> 4]
+    shift = (2 * (pos & 15)).astype(jnp.uint32)
+    return ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
+
+
+def bwt_char(idx: dict, r: jax.Array) -> jax.Array:
+    """BWT symbol at row r (callers must special-case r == zoff)."""
+    return packed_char(idx["bwt_packed"], r)
+
+
+def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
+    """Joined-text window [start, start+length) as int32 codes; positions
+    outside [0, n) come back as 4 (N). start: (...,) int32; result (..., length).
+    BitPairReference::getStretch equivalent (reference.h:108)."""
+    pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
+    inb = (pos >= 0) & (pos < idx["n"])
+    ch = packed_char(idx["text_packed"], jnp.clip(pos, 0, idx["n"] - 1))
+    return jnp.where(inb, ch, 4)

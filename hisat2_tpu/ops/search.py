@@ -1,0 +1,137 @@
+"""Batched FM backward search: exact intervals + maximal partial hits.
+
+Equivalent role to the reference's HI_Aligner::partialSearch
+(hi_aligner.h:6361-6420): walk each read right-to-left through the index via
+LF steps, emitting maximal exact-match segments (BWTHit, hi_aligner.h:107)
+that partition the read; each segment carries the SA interval of its final
+(longest) match. The ftab seeds the first k characters in one lookup
+(gfm.h _ftab, MANUAL.markdown:2023-2030).
+
+TPU design: one fixed-trip fori_loop over read positions, all reads advancing
+in lockstep as a masked wavefront; dead lanes (consumed reads) ride along.
+Hits land in fixed-size per-read buffers via drop-mode scatters. No
+data-dependent shapes anywhere, so the whole thing jits once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rank as _rank
+
+MAX_HITS = 16  # per-read segment buffer (100bp reads rarely exceed ~6)
+
+
+def exact_interval(idx: dict, seqs: jax.Array, lens: jax.Array
+                   ) -> tuple[jax.Array, jax.Array]:
+    """SA interval of each full read (exact match), batched.
+
+    seqs: (B, L) int codes 0..4 (N kills the interval); lens: (B,).
+    Returns (top, bot) int32 (B,); empty match iff bot <= top.
+    """
+    B, L = seqs.shape
+    m = idx["ccount"][4]
+    seqs = seqs.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    def body(j, tb):
+        top, bot = tb
+        pos = lens - 1 - j
+        active = (j < lens) & (bot > top)
+        c = seqs[jnp.arange(B), jnp.clip(pos, 0, L - 1)]
+        cc = jnp.minimum(c, 3)
+        ntop, nbot = _rank.lf_step_interval(idx, top, bot, cc)
+        dead = c >= 4
+        ntop = jnp.where(dead, 1, ntop)
+        nbot = jnp.where(dead, 0, nbot)
+        return (jnp.where(active, ntop, top), jnp.where(active, nbot, bot))
+
+    top0 = jnp.zeros(B, jnp.int32)
+    bot0 = jnp.full(B, m, jnp.int32)
+    return lax.fori_loop(0, L, body, (top0, bot0))
+
+
+def _partial_search_one(idx: dict, seq: jax.Array, length: jax.Array,
+                        max_hits: int):
+    """Maximal-segment search for one read (vmapped over the batch).
+
+    Returns per-hit arrays of shape (max_hits,):
+      h_top/h_bot — SA interval of the segment's full match
+      h_off       — leftmost read offset of the segment
+      h_len       — segment length
+    and n_hits (scalar). Segments partition [0, length) right-to-left,
+    skipping N positions, mirroring ReadBWTHit (hi_aligner.h:215): on an
+    extension failure the failing base starts the next segment.
+    """
+    L = seq.shape[0]
+    m = idx["ccount"][4]
+    seq = seq.astype(jnp.int32)
+
+    h_top = jnp.zeros(max_hits, jnp.int32)
+    h_bot = jnp.zeros(max_hits, jnp.int32)
+    h_off = jnp.zeros(max_hits, jnp.int32)
+    h_len = jnp.zeros(max_hits, jnp.int32)
+
+    def record(bufs, nh, top, bot, pos, end, do):
+        """Store segment [pos+1, end] with interval [top,bot) if do."""
+        ht, hb, ho, hl = bufs
+        slot = jnp.where(do, nh, max_hits)
+        ht = ht.at[slot].set(top, mode="drop")
+        hb = hb.at[slot].set(bot, mode="drop")
+        ho = ho.at[slot].set(pos + 1, mode="drop")
+        hl = hl.at[slot].set(end - pos, mode="drop")
+        return (ht, hb, ho, hl), nh + do.astype(jnp.int32)
+
+    def body(j, st):
+        top, bot, end, nh, bufs = st
+        pos = length - 1 - j
+        active = j < length
+        c = seq[jnp.clip(pos, 0, L - 1)]
+        isn = c >= 4
+        cc = jnp.minimum(c, 3)
+        ntop, nbot = _rank.lf_step_interval(idx, top, bot, cc)
+        fail = isn | (nbot <= ntop)
+        have = end > pos  # current segment is non-empty
+        rec = active & fail & have
+        bufs, nh = record(bufs, nh, top, bot, pos, end, rec)
+        # restart: non-N failing base is consumed against the full interval
+        rtop = jnp.where(isn, jnp.int32(0), idx["ccount"][cc])
+        rbot = jnp.where(isn, m, idx["ccount"][cc + 1])
+        top2 = jnp.where(fail, rtop, ntop)
+        bot2 = jnp.where(fail, rbot, nbot)
+        end2 = jnp.where(fail, jnp.where(isn, pos - 1, pos), end)
+        # pathological: base absent from genome entirely
+        gone = bot2 <= top2
+        top2 = jnp.where(gone, 0, top2)
+        bot2 = jnp.where(gone, m, bot2)
+        end2 = jnp.where(gone, pos - 1, end2)
+        top = jnp.where(active, top2, top)
+        bot = jnp.where(active, bot2, bot)
+        end = jnp.where(active, end2, end)
+        return top, bot, end, nh, bufs
+
+    st0 = (jnp.int32(0), m.astype(jnp.int32), length.astype(jnp.int32) - 1,
+           jnp.int32(0), (h_top, h_bot, h_off, h_len))
+    top, bot, end, nh, bufs = lax.fori_loop(0, L, body, st0)
+    # final segment covers [0, end]
+    bufs, nh = record(bufs, nh, top, bot, jnp.int32(-1), end,
+                      (end >= 0) & (bot > top))
+    h_top, h_bot, h_off, h_len = bufs
+    return h_top, h_bot, h_off, h_len, nh
+
+
+@partial(jax.jit, static_argnames=("max_hits",))
+def partial_search(idx: dict, seqs: jax.Array, lens: jax.Array,
+                   max_hits: int = MAX_HITS):
+    """Batched maximal-segment search. seqs (B, L), lens (B,).
+
+    Returns dict of (B, max_hits) arrays top/bot/off/len + (B,) n_hits.
+    """
+    f = jax.vmap(lambda s, l: _partial_search_one(idx, s, l, max_hits),
+                 in_axes=(0, 0))
+    h_top, h_bot, h_off, h_len, nh = f(seqs, lens.astype(jnp.int32))
+    return dict(top=h_top, bot=h_bot, off=h_off, len=h_len, n=nh)

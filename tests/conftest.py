@@ -8,6 +8,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# jax may already be imported (site customization registers a TPU plugin and
+# pins JAX_PLATFORMS before conftest runs), so env vars alone are too late:
+# force the platform through the live config before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,358 @@
+"""End-to-end DNA alignment pipeline (unspliced).
+
+Equivalent role to the reference's HI_Aligner::go for DNA
+(hi_aligner.h:4048: nextBWT -> partialSearch -> align -> hybridSearch ->
+getGenomeCoords -> extend/DP -> report), re-architected as a fixed sequence
+of batched device stages over a read wavefront:
+
+  1. both orientations of every read          (2B, L)
+  2. maximal-segment backward search          ops/search.partial_search
+  3. SA-range expansion -> candidate loci     ops/locate.expand_range
+  4. dedup + ungapped verify/score            ops/extend.verify_ungapped
+  5. top-K select per orientation             lax.top_k
+  6. gapped DP rescue for imperfect rows      ops/sw.dp_score_batch
+  7. host: best/secbest merge, CIGAR/MD, MAPQ, SAM fields
+
+Stages 1-6 are jit-compiled once per (B, L) shape; the host only sees a few
+small per-read arrays (top candidate positions/scores) plus the text windows
+of the winners.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..index.fm_index import FMIndex
+from ..io.reads import ReadBatch
+from ..io import sam as samio
+from ..ops import search as _search, locate as _locate, extend as _extend, sw as _sw
+from ..ops.extend import NEG_INF
+from ..utils import alphabet
+from . import mapq as _mapq
+from .scoring import Scoring, DEFAULT_SCORING
+
+
+@dataclass
+class AlignerOpts:
+    khits: int = 5                 # -k: max alignments reported per read
+    max_seeds: int = 16            # segments used per orientation
+    locs_per_seg: int = 8          # SA rows expanded per segment
+    top_cands: int = 16            # candidates kept after ungapped ranking
+    dp_pad: int = 16               # ref-window padding each side for DP
+    no_dp: bool = False            # disable gapped rescue
+    minins: int = 0                # -I
+    maxins: int = 1000             # -X
+    fr: str = "fr"                 # --fr/--rf/--ff
+    no_mixed: bool = False
+    no_discordant: bool = False
+
+
+@dataclass
+class Alignment:
+    """One resolved alignment on the joined text (host-side)."""
+    joined_pos: int
+    fw: bool
+    score: int
+    cigar: list[tuple[str, int]] = field(default_factory=list)
+    nmm: int = 0
+    gap_opens: int = 0
+    gap_exts: int = 0
+    md: str = ""
+    nm: int = 0
+    n_refns: int = 0
+    tidx: int = -1
+    toff: int = -1
+
+    @property
+    def ref_span(self) -> int:
+        return sum(n for op, n in self.cigar if op in ("M", "D", "N", "=", "X"))
+
+
+@dataclass
+class ReadResult:
+    """Alignment outcome for one read: primary + secondaries + MAPQ info."""
+    alns: list[Alignment] = field(default_factory=list)   # best first
+    best: int = NEG_INF
+    secbest: int | None = None
+    filtered: str | None = None    # YF:Z code (e.g. 'NS')
+
+    @property
+    def aligned(self) -> bool:
+        return bool(self.alns)
+
+
+# ---------------------------------------------------------------------------
+# Device stages
+# ---------------------------------------------------------------------------
+
+def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
+    """(B, L) -> (2B, L): rows [0:B) forward, [B:2B) reverse-complement."""
+    B, L = seqs.shape
+    pos = jnp.arange(L, dtype=jnp.int32)
+    rev = lens[:, None] - 1 - pos[None, :]
+    ok = rev >= 0
+    gat = jnp.clip(rev, 0, L - 1)
+    rc = jnp.where(ok, jnp.take_along_axis(seqs.astype(jnp.int32), gat, 1), 4)
+    comp = jnp.array([3, 2, 1, 0, 4], jnp.int32)
+    rc = comp[jnp.clip(rc, 0, 4)]
+    rq = jnp.where(ok, jnp.take_along_axis(quals.astype(jnp.int32), gat, 1), 0)
+    return (jnp.concatenate([seqs.astype(jnp.int32), rc]),
+            jnp.concatenate([quals.astype(jnp.int32), rq]),
+            jnp.concatenate([lens, lens]))
+
+
+@partial(jax.jit, static_argnames=("max_seeds", "locs_per_seg", "top_cands"))
+def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
+                      max_seeds: int, locs_per_seg: int, top_cands: int):
+    """Stages 1-5: orientations, search, expand, dedup, verify, top-K.
+
+    Returns per orientation-row (R = 2B): top candidate positions (R, T),
+    scores (R, T), nmm (R, T), plus exhausted flags (R,) — True when every
+    segment's SA interval fit within locs_per_seg (candidate set complete).
+    """
+    seqs2, quals2, lens2 = _with_revcomp(seqs, quals, lens)
+    R, L = seqs2.shape
+
+    hits = _search.partial_search(idx, seqs2, lens2, max_hits=max_seeds)
+    # candidate start = SA[row] - segment read-offset
+    locs, lvalid = _locate.expand_range(idx, hits["top"], hits["bot"],
+                                        locs_per_seg)        # (R, S, locs)
+    seg_ok = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+              < hits["n"][:, None])                          # (R, S)
+    # ignore trivially short segments (1-2bp matches everywhere)
+    seg_ok &= hits["len"] >= 3
+    cand = locs - hits["off"][:, :, None]
+    valid = lvalid & seg_ok[:, :, None]
+    cand = cand.reshape(R, -1)
+    valid = valid.reshape(R, -1)
+    width = hits["bot"] - hits["top"]
+    exhausted = jnp.all(jnp.where(seg_ok, width <= locs_per_seg, True), axis=1)
+
+    # dedup identical positions (sort asc; invalid -> +inf sentinel)
+    big = jnp.int32(1 << 30)
+    key = jnp.where(valid, cand, big)
+    order = jnp.argsort(key, axis=1)
+    skey = jnp.take_along_axis(key, order, 1)
+    dup = jnp.concatenate(
+        [jnp.zeros((R, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1)
+    vcand = skey
+    vvalid = (skey < big) & ~dup
+
+    res = _extend.verify_ungapped(idx, sctab, seqs2, quals2, lens2,
+                                  vcand, vvalid)
+    T = top_cands
+    sc_top, ti = lax.top_k(res["score"], T)
+    pos_top = jnp.take_along_axis(vcand, ti, 1)
+    nmm_top = jnp.take_along_axis(res["nmm"], ti, 1)
+    return dict(pos=pos_top, score=sc_top, nmm=nmm_top, exhausted=exhausted,
+                seqs2=seqs2, quals2=quals2, lens2=lens2)
+
+
+@partial(jax.jit, static_argnames=("dp_pad",))
+def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
+              pos_top, dp_rows, dp_pad: int):
+    """Stage 6: gapped DP scores for the top candidates of selected rows.
+
+    pos_top (R, T); dp_rows (R,) bool. Returns (R, T) DP scores (NEG_INF on
+    non-selected rows) and the window starts used.
+    """
+    R, L = seqs2.shape
+    T = pos_top.shape[1]
+    W = L + 2 * dp_pad
+    wstart = pos_top - dp_pad                                   # (R, T)
+    ref = _rank_text_window(idx, wstart.reshape(-1), W)         # (R*T, W)
+    rd = jnp.repeat(seqs2, T, axis=0)
+    q = jnp.repeat(quals2, T, axis=0)
+    rl = jnp.repeat(lens2, T)
+    score, end_j = _sw.dp_score_batch(sctab, rd, q, rl, ref)
+    score = score.reshape(R, T)
+    score = jnp.where(dp_rows[:, None], score, NEG_INF)
+    return score, wstart
+
+
+def _rank_text_window(idx, start, length):
+    from ..ops import rank as _rank
+    return _rank.text_window(idx, start, length)
+
+
+# ---------------------------------------------------------------------------
+# Host-side finalization
+# ---------------------------------------------------------------------------
+
+class Aligner:
+    """Batched aligner over a built FM index (DNA / --no-spliced-alignment)."""
+
+    def __init__(self, fm: FMIndex, scoring: Scoring = DEFAULT_SCORING,
+                 opts: AlignerOpts | None = None):
+        self.fm = fm
+        self.scoring = scoring
+        self.opts = opts or AlignerOpts()
+        self.idx = fm.device
+        self.sctab = scoring.device_tables()
+
+    # ---- device orchestration ----
+
+    def _device_align(self, batch: ReadBatch):
+        o = self.opts
+        seqs = jnp.asarray(batch.seqs)
+        quals = jnp.asarray(batch.quals)
+        lens = jnp.asarray(batch.lens)
+        st = _stage_candidates(self.idx, self.sctab, seqs, quals, lens,
+                               o.max_seeds, o.locs_per_seg, o.top_cands)
+        pos = st["pos"]
+        un_sc = st["score"]
+        dp_sc = None
+        if not o.no_dp:
+            # rows whose best ungapped score is worse than one max-penalty
+            # mismatch may hide a better gapped alignment (gap >= open+ext
+            # always costs more than one mismatch, so 0/1-mm rows are final)
+            need = un_sc.max(axis=1) < -self.scoring.mm_pen_max
+            if bool(need.any()):
+                dp_sc, _ = _stage_dp(self.idx, self.sctab, st["seqs2"],
+                                     st["quals2"], st["lens2"], pos, need,
+                                     o.dp_pad)
+        return st, dp_sc
+
+    # ---- host finalization ----
+
+    def align_batch(self, batch: ReadBatch) -> list[ReadResult]:
+        B = len(batch)
+        o = self.opts
+        st, dp_sc = self._device_align(batch)
+        pos = np.asarray(st["pos"])            # (2B, T)
+        un_sc = np.asarray(st["score"])
+        nmm = np.asarray(st["nmm"])
+        dp = np.asarray(dp_sc) if dp_sc is not None else None
+
+        results = []
+        for i in range(B):
+            rdlen = int(batch.lens[i])
+            min_sc = self.scoring.min_score(rdlen)
+            nN = int((batch.seqs[i, :rdlen] >= 4).sum())
+            if rdlen == 0 or nN > self.scoring.max_ns(rdlen):
+                results.append(ReadResult(filtered="NS" if rdlen else "LN"))
+                continue
+            cands = self._gather_candidates(i, B, pos, un_sc, dp, batch)
+            results.append(self._select(i, batch, cands, min_sc, rdlen))
+        return results
+
+    def _gather_candidates(self, i, B, pos, un_sc, dp, batch):
+        """Merge fw/rc top candidates into [(score, pos, fw, source), ...]."""
+        out = []
+        for fw, row in ((True, i), (False, i + B)):
+            for t in range(pos.shape[1]):
+                s_un = int(un_sc[row, t])
+                s_dp = int(dp[row, t]) if dp is not None else NEG_INF
+                s = max(s_un, s_dp)
+                if s <= NEG_INF // 2:
+                    continue
+                out.append((s, int(pos[row, t]), fw, s_dp > s_un, row, t))
+        # dedup (pos, fw) keeping best score; gapped alignments found by DP
+        # can share a window with an ungapped candidate
+        best = {}
+        for s, p, fw, gapped, row, t in out:
+            k = (p, fw)
+            if k not in best or s > best[k][0]:
+                best[k] = (s, p, fw, gapped, row, t)
+        return sorted(best.values(), key=lambda x: -x[0])
+
+    def _select(self, i, batch, cands, min_sc, rdlen) -> ReadResult:
+        res = ReadResult()
+        valid = [c for c in cands if c[0] >= min_sc]
+        if not valid:
+            return res
+        res.best = valid[0][0]
+        if len(valid) > 1:
+            res.secbest = valid[1][0]
+        for s, p, fw, gapped, row, t in valid[: self.opts.khits]:
+            aln = self._finalize(i, batch, s, p, fw, gapped, rdlen)
+            if aln is not None:
+                res.alns.append(aln)
+        if not res.alns:
+            return ReadResult()
+        return res
+
+    def _finalize(self, i, batch, score, pos, fw, gapped, rdlen) -> Alignment | None:
+        """Build CIGAR/MD for one winning candidate (host, NumPy)."""
+        ref = self.fm.ref
+        rd = batch.seqs[i, :rdlen].astype(np.uint8)
+        q = batch.quals[i, :rdlen].astype(np.int32)
+        if not fw:
+            rd = alphabet.revcomp(rd)
+            q = q[::-1].copy()
+        if not gapped:
+            window = ref.get_stretch(pos, rdlen)
+            cigar = [("M", rdlen)]
+            md, nm = samio.make_md(rd, window, cigar)
+            mmmask = (rd != window) | (rd >= 4) | (window >= 4)
+            aln = Alignment(joined_pos=pos, fw=fw, score=score, cigar=cigar,
+                            nmm=int(mmmask.sum()), md=md, nm=nm)
+        else:
+            pad = self.opts.dp_pad
+            wstart = pos - pad
+            W = rdlen + 2 * pad
+            window = ref.get_stretch(wstart, W)
+            s, ref_start, cigar, mds = _sw.dp_traceback(self.scoring, rd, q, window)
+            jpos = wstart + ref_start
+            span = sum(n for op, n in cigar if op in ("M", "D"))
+            md, nm = samio.make_md(rd, window[ref_start:ref_start + span], cigar)
+            nmm = len(mds)
+            gap_opens = sum(1 for op, n in cigar if op in ("I", "D"))
+            gap_exts = sum(n - 1 for op, n in cigar if op in ("I", "D"))
+            aln = Alignment(joined_pos=jpos, fw=fw, score=s, cigar=cigar,
+                            nmm=nmm, gap_opens=gap_opens, gap_exts=gap_exts,
+                            md=md, nm=nm)
+        loc = ref.joined_to_text(aln.joined_pos, aln.ref_span)
+        if loc is None:
+            return None
+        aln.tidx, aln.toff = loc
+        return aln
+
+
+# ---------------------------------------------------------------------------
+# SAM emission (single-end)
+# ---------------------------------------------------------------------------
+
+def results_to_sam(batch: ReadBatch, results: list[ReadResult],
+                   aligner: Aligner, writer: samio.SamWriter) -> dict:
+    """Emit SAM lines for a single-end batch; returns summary counts."""
+    sc = aligner.scoring
+    ref = aligner.fm.ref
+    stats = dict(reads=0, unal=0, uniq=0, multi=0)
+    for i, res in enumerate(results):
+        stats["reads"] += 1
+        name = batch.names[i]
+        rdlen = int(batch.lens[i])
+        seq = batch.seqs[i, :rdlen]
+        qual = "".join(chr(int(x) + 33) for x in batch.quals[i, :rdlen])
+        if not res.aligned:
+            stats["unal"] += 1
+            writer.emit(int(batch.rdids[i]), [samio.format_unaligned(
+                name, seq, qual, yf=res.filtered)])
+            continue
+        if len(res.alns) > 1 or (res.secbest is not None
+                                 and res.secbest >= sc.min_score(rdlen)):
+            stats["multi"] += 1
+        else:
+            stats["uniq"] += 1
+        mq = _mapq.mapq_v2(res.best, res.secbest, sc.perfect_score(rdlen),
+                           sc.min_score(rdlen), local=sc.local)
+        lines = []
+        nh = len(res.alns)
+        for k, aln in enumerate(res.alns):
+            rec = samio.SamAlignment(
+                rname=ref.names[aln.tidx], pos=aln.toff, fw=aln.fw,
+                mapq=mq if k == 0 else 255, cigar=aln.cigar, score=aln.score,
+                nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
+                md=aln.md, nm=aln.nm,
+                zs=res.secbest if res.secbest is not None else None,
+                nh=nh, secondary=k > 0)
+            lines.append(samio.format_aligned(name, seq, qual, rec))
+        writer.emit(int(batch.rdids[i]), lines)
+    return stats

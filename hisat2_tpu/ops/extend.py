@@ -1,0 +1,78 @@
+"""Batched ungapped candidate verification/scoring.
+
+Equivalent role to the reference's GenomeHit::extend (hi_aligner.h:431,
+SURVEY.md "HOT LOOP 2"): given candidate (read, joined-offset) pairs from
+SA-range expansion, score the read laid directly on the text — match 0 /
+qual-scaled mismatch / N penalty — and check the candidate doesn't cross a
+fragment boundary (joinedToTextOff validity, gfm.h:5527).
+
+TPU design: candidates are a dense (B, K) grid; each lane gathers its text
+window from the 2-bit-packed joined text and the whole score is a masked
+sum over the read axis — pure VPU work, no control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import rank as _rank
+
+NEG_INF = -(1 << 30)  # plain int: usable both in jnp ops and host code
+
+
+@partial(jax.jit, static_argnames=())
+def verify_ungapped(idx: dict, sctab: dict,
+                    seqs: jax.Array, quals: jax.Array, lens: jax.Array,
+                    cand_pos: jax.Array, cand_valid: jax.Array):
+    """Score each candidate placement without gaps.
+
+    seqs (B, L) int codes 0..4; quals (B, L) phred; lens (B,) int32;
+    cand_pos (B, K) joined-text start offsets; cand_valid (B, K) bool.
+
+    Returns dict:
+      score (B, K) int32 — ungapped alignment score (NEG_INF if invalid)
+      nmm   (B, K) int32 — mismatch count
+      nns   (B, K) int32 — read-N + ref-N position count
+      valid (B, K) bool  — in-range & single-fragment & was requested
+    """
+    B, L = seqs.shape
+    K = cand_pos.shape[1]
+    seqs = seqs.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    # fragment-boundary check: start & end in the same fragment
+    frag = jnp.searchsorted(idx["frag_joined"], cand_pos, side="right") - 1
+    frag = jnp.clip(frag, 0, idx["frag_joined"].shape[0] - 1)
+    fstart = idx["frag_joined"][frag]
+    fend = idx["frag_end"][frag]
+    inb = (cand_pos >= fstart) & (cand_pos + lens[:, None] <= fend)
+    valid = cand_valid & inb & (cand_pos >= 0)
+
+    # gather text windows: (B, K, L)
+    ref = _rank.text_window(idx, cand_pos.reshape(-1), L).reshape(B, K, L)
+
+    rd = seqs[:, None, :]                      # (B, 1, L)
+    q = jnp.clip(quals.astype(jnp.int32), 0, 63)[:, None, :]
+    in_read = (jnp.arange(L, dtype=jnp.int32)[None, None, :]
+               < lens[:, None, None])
+    rd_n = rd >= 4
+    rf_n = ref >= 4
+    isn = (rd_n | rf_n) & in_read
+    mm = (rd != ref) & ~rd_n & ~rf_n & in_read
+    mtch = (rd == ref) & ~rd_n & in_read
+
+    mm_pen = sctab["mm_pens"][q.clip(0, 63)]   # (B, 1, L)
+    pen = (jnp.where(mm, mm_pen, 0).sum(axis=2)
+           + isn.sum(axis=2) * sctab["n_pen"])
+    bonus = mtch.sum(axis=2) * sctab["match_bonus"]
+    score = bonus - pen
+
+    return dict(
+        score=jnp.where(valid, score, NEG_INF),
+        nmm=mm.sum(axis=2).astype(jnp.int32),
+        nns=isn.sum(axis=2).astype(jnp.int32),
+        valid=valid,
+    )

@@ -1,0 +1,183 @@
+"""Batched affine-gap alignment DP.
+
+Equivalent role to the reference's SSE striped Smith-Waterman
+(aligner_sw.{h,cpp} + aligner_swsse_*.cpp, SURVEY.md "HOT LOOP 3"), re-done
+for TPU: instead of Farrar's striped 128-bit lanes per thread, the batch
+axis (candidates) is the vector axis and the DP is a lax.scan over read
+positions. The within-row horizontal gap dependency (read-gap/deletion)
+is closed in O(W) with a running-max trick:
+
+    E[i][j] = max_{k<j} ( G[i][k] - open - (j-1-k)*ext )
+            = cummax_k ( G[i][k] + ext*k ) - open - ext*(j-1)
+
+so each row is pure elementwise VPU work + one cummax — no sequential
+inner loop, and the whole (C, L, W) problem is one fused XLA computation.
+
+Mode: global in the read (end-to-end, reference default), free end gaps in
+the reference window (candidate position is approximate). Score-only on
+device; exact traceback for the handful of winning candidates runs host-side
+(dp_traceback) with identical scoring — the reference similarly splits DP
+fill from backtrace (aligner_bt.h).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+NEG = -(1 << 28)
+
+
+def _subst(sctab, rd_c, q, rf_c):
+    """Substitution score of read char vs ref char (int32)."""
+    rd_n = rd_c >= 4
+    rf_n = rf_c >= 4
+    isn = rd_n | rf_n
+    mm = (rd_c != rf_c) & ~isn
+    pen = jnp.where(mm, sctab["mm_pens"][jnp.clip(q, 0, 63)], 0)
+    pen = jnp.where(isn, sctab["n_pen"], pen)
+    bonus = jnp.where(~mm & ~isn, sctab["match_bonus"], 0)
+    return bonus - pen
+
+
+@jax.jit
+def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
+                   rdlens: jax.Array, ref: jax.Array):
+    """Affine-gap DP score, batched over candidates.
+
+    rd (C, L) codes 0..4, quals (C, L), rdlens (C,), ref (C, W) codes 0..4
+    (N-padded outside the real window).
+    Returns (score (C,) int32, end_j (C,) int32) — end_j is the 1-based ref
+    window column where the best alignment ends.
+    """
+    C, L = rd.shape
+    W = ref.shape[1]
+    rd = rd.astype(jnp.int32)
+    ref = ref.astype(jnp.int32)
+    q = jnp.clip(quals.astype(jnp.int32), 0, 63)
+    rdlens = rdlens.astype(jnp.int32)
+
+    rd_open, rd_ext = sctab["rd_open"], sctab["rd_ext"]
+    rf_open, rf_ext = sctab["rf_open"], sctab["rf_ext"]
+
+    jcols = jnp.arange(W + 1, dtype=jnp.int32)          # 0..W
+    H0 = jnp.zeros((C, W + 1), jnp.int32)               # free leading ref gap
+    F0 = jnp.full((C, W + 1), NEG, jnp.int32)
+
+    # per-row scores: s[i][j] = subst(rd[i], ref[j]) computed lazily in scan
+    def row(carry, i):
+        H, F = carry                                    # (C, W+1)
+        rc = rd[:, i][:, None]                          # (C, 1)
+        qc = q[:, i][:, None]
+        s = _subst(sctab, rc, qc, ref)                  # (C, W)
+        diag = H[:, :-1] + s                            # j=1..W
+        Fn_tail = jnp.maximum(H[:, 1:] - rf_open, F[:, 1:] - rf_ext)
+        # column 0: pure gap-in-ref of length i+1
+        col0 = -(rf_open + i * rf_ext)
+        col0 = jnp.full((C, 1), col0, jnp.int32)
+        G = jnp.concatenate([col0, jnp.maximum(diag, Fn_tail)], axis=1)
+        M = lax.cummax(G + rd_ext * jcols[None, :], axis=1)  # (C, W+1)
+        E_tail = M[:, :-1] - rd_open - rd_ext * (jcols[1:][None, :] - 1)
+        Hn = jnp.concatenate([col0, jnp.maximum(G[:, 1:], E_tail)], axis=1)
+        Fn = jnp.concatenate([col0, Fn_tail], axis=1)
+        # rows past the read length keep the previous state
+        act = (i < rdlens)[:, None]
+        Hn = jnp.where(act, Hn, H)
+        Fn = jnp.where(act, Fn, F)
+        return (Hn, Fn), None
+
+    (H, _), _ = lax.scan(row, (H0, F0), jnp.arange(L, dtype=jnp.int32))
+    score = H.max(axis=1)
+    end_j = H.argmax(axis=1).astype(jnp.int32)
+    return score, end_j
+
+
+# ---------------------------------------------------------------------------
+# Host traceback (winners only)
+# ---------------------------------------------------------------------------
+
+def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
+    """Full DP + traceback for one (read, ref window) pair — NumPy.
+
+    Same scoring/mode as dp_score_batch. Returns
+    (score, ref_start, cigar, mds) where cigar is [(op, len), ...] with ops
+    'M'/'I'/'D', ref_start is the 0-based window column where the alignment
+    begins, and mds is the list of (read_off, ref_off_in_window) mismatch
+    positions (including N positions).
+    """
+    L, W = rd.size, ref.size
+    mm_pens = scoring.mm_pens()
+    rd_open, rd_ext = scoring.read_gap_open(), scoring.read_gap_extend()
+    rf_open, rf_ext = scoring.ref_gap_open(), scoring.ref_gap_extend()
+
+    rd_i = rd.astype(np.int32)
+    rf_i = ref.astype(np.int32)
+    q = np.clip(qual.astype(np.int32), 0, 63)
+    isn = (rd_i[:, None] >= 4) | (rf_i[None, :] >= 4)
+    mm = (rd_i[:, None] != rf_i[None, :]) & ~isn
+    sub = np.where(mm, -mm_pens[q][:, None], 0)
+    sub = np.where(isn, -scoring.n_pen, sub)
+    sub = sub + np.where(~mm & ~isn, scoring.match_bonus, 0)
+
+    H = np.full((L + 1, W + 1), NEG, np.int64)
+    E = np.full((L + 1, W + 1), NEG, np.int64)   # read gap (D): along j
+    F = np.full((L + 1, W + 1), NEG, np.int64)   # ref gap (I): along i
+    H[0, :] = 0
+    for i in range(1, L + 1):
+        H[i, 0] = -(rf_open + (i - 1) * rf_ext)
+        F[i, 0] = H[i, 0]
+        E[i, 1:] = NEG
+        for j in range(1, W + 1):
+            E[i, j] = max(H[i, j - 1] - rd_open, E[i, j - 1] - rd_ext)
+            F[i, j] = max(H[i - 1, j] - rf_open, F[i - 1, j] - rf_ext)
+            H[i, j] = max(H[i - 1, j - 1] + sub[i - 1, j - 1], E[i, j], F[i, j])
+
+    j = int(np.argmax(H[L]))
+    score = int(H[L, j])
+    i = L
+    ops: list[str] = []
+    mds: list[tuple[int, int]] = []
+    state = "H"
+    while i > 0 and j >= 0:
+        if state == "H":
+            if j > 0 and H[i, j] == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+                ops.append("M")
+                if mm[i - 1, j - 1] or isn[i - 1, j - 1]:
+                    mds.append((i - 1, j - 1))
+                i -= 1
+                j -= 1
+            elif H[i, j] == E[i, j]:
+                state = "E"
+            elif H[i, j] == F[i, j]:
+                state = "F"
+            else:  # j == 0 boundary: leading ref-gap column
+                state = "F"
+        elif state == "E":
+            ops.append("D")
+            if E[i, j] == H[i, j - 1] - rd_open:
+                state = "H"
+            j -= 1
+        else:  # F
+            ops.append("I")
+            if j == 0:
+                i -= 1
+                if i == 0:
+                    break
+                continue
+            if F[i, j] == H[i - 1, j] - rf_open:
+                state = "H"
+            i -= 1
+    ref_start = j
+    ops.reverse()
+    cigar: list[tuple[str, int]] = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + 1)
+        else:
+            cigar.append((op, 1))
+    mds.reverse()
+    return score, ref_start, cigar, mds

@@ -1,0 +1,219 @@
+"""Paired-end alignment: concordance policy, pair selection, SAM emission.
+
+Equivalent role to the reference's pe.{h,cpp} (PairedEndPolicy: FR/RF/FF
+orientations, insert min/max, pe.h:43-95) + the concordant -> discordant ->
+mixed fallback logic of AlnSinkWrap::finishRead (aln_sink.h:1939).
+
+Design: both mates run the shared batched device stages; pairing happens
+host-side over each mate's small top-K candidate list (NumPy broadcast over
+the K1 x K2 combo grid — the reference instead does per-thread mate rescue
+DP, which lands here in a later phase).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.reads import ReadBatch
+from ..io import sam as samio
+from . import mapq as _mapq
+from .pipeline import Aligner, Alignment, ReadResult, NEG_INF
+
+
+@dataclass
+class PairResult:
+    """Outcome for one read pair."""
+    kind: str = "unal"            # 'concordant' | 'discordant' | 'mixed' | 'unal'
+    aln1: Alignment | None = None
+    aln2: Alignment | None = None
+    best: int = NEG_INF           # summed pair score
+    secbest: int | None = None
+    res1: ReadResult | None = None  # per-mate fallbacks (mixed mode)
+    res2: ReadResult | None = None
+
+
+def _concordant(o1_fw, o1_pos, len1, o2_fw, o2_pos, len2,
+                minins: int, maxins: int, mode: str) -> tuple[bool, int]:
+    """Check one candidate combo for concordance; returns (ok, tlen).
+
+    mode 'fr' (default): upstream mate forward, downstream mate reverse
+    (pe.h PE_POL_FR). 'rf' and 'ff' mirror the reference's other policies.
+    """
+    if o1_pos <= o2_pos:
+        up_fw, dn_fw = o1_fw, o2_fw
+        frag = max(o2_pos + len2, o1_pos + len1) - o1_pos
+    else:
+        up_fw, dn_fw = o2_fw, o1_fw
+        frag = max(o1_pos + len1, o2_pos + len2) - o2_pos
+    if mode == "fr":
+        ok = up_fw and not dn_fw
+    elif mode == "rf":
+        ok = (not up_fw) and dn_fw
+    else:  # ff
+        ok = o1_fw == o2_fw
+    return ok and minins <= frag <= maxins, frag
+
+
+def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
+                ) -> list[PairResult]:
+    o = aligner.opts
+    B = len(b1)
+    st1, dp1 = aligner._device_align(b1)
+    st2, dp2 = aligner._device_align(b2)
+    arr = lambda st, dp: (np.asarray(st["pos"]), np.asarray(st["score"]),
+                          np.asarray(dp) if dp is not None else None)
+    pos1, sc1, d1 = arr(st1, dp1)
+    pos2, sc2, d2 = arr(st2, dp2)
+
+    out: list[PairResult] = []
+    for i in range(B):
+        l1, l2 = int(b1.lens[i]), int(b2.lens[i])
+        min1 = aligner.scoring.min_score(l1)
+        min2 = aligner.scoring.min_score(l2)
+        c1 = aligner._gather_candidates(i, B, pos1, sc1, d1, b1)
+        c2 = aligner._gather_candidates(i, B, pos2, sc2, d2, b2)
+        c1 = [c for c in c1 if c[0] >= min1][:o.top_cands]
+        c2 = [c for c in c2 if c[0] >= min2][:o.top_cands]
+
+        pr = PairResult()
+        # ---- concordant search over the combo grid ----
+        combos = []
+        for s1, p1, f1, g1, *_ in c1:
+            for s2, p2, f2, g2, *_ in c2:
+                ok, frag = _concordant(f1, p1, l1, f2, p2, l2,
+                                       o.minins, o.maxins, o.fr)
+                if ok:
+                    combos.append((s1 + s2, (s1, p1, f1, g1), (s2, p2, f2, g2)))
+        if combos:
+            combos.sort(key=lambda x: -x[0])
+            total, m1, m2 = combos[0]
+            a1 = aligner._finalize(i, b1, m1[0], m1[1], m1[2], m1[3], l1)
+            a2 = aligner._finalize(i, b2, m2[0], m2[1], m2[2], m2[3], l2)
+            if a1 is not None and a2 is not None and a1.tidx == a2.tidx:
+                pr.kind = "concordant"
+                pr.aln1, pr.aln2 = a1, a2
+                pr.best = total
+                # second-best distinct concordant pair
+                for t, mm1, mm2 in combos[1:]:
+                    if (mm1[1], mm2[1]) != (m1[1], m2[1]):
+                        pr.secbest = t
+                        break
+                out.append(pr)
+                continue
+        # ---- discordant: both mates unique ----
+        if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
+                and (len(c1) == 1 or c1[0][0] > c1[1][0])
+                and (len(c2) == 1 or c2[0][0] > c2[1][0])):
+            m1, m2 = c1[0], c2[0]
+            a1 = aligner._finalize(i, b1, m1[0], m1[1], m1[2], m1[3], l1)
+            a2 = aligner._finalize(i, b2, m2[0], m2[1], m2[2], m2[3], l2)
+            if a1 is not None and a2 is not None:
+                pr.kind = "discordant"
+                pr.aln1, pr.aln2 = a1, a2
+                pr.best = m1[0] + m2[0]
+                out.append(pr)
+                continue
+        # ---- mixed: report mates individually ----
+        if not o.no_mixed:
+            pr.kind = "mixed"
+            pr.res1 = aligner._select(i, b1, c1, min1, l1)
+            pr.res2 = aligner._select(i, b2, c2, min2, l2)
+            if not pr.res1.aligned and not pr.res2.aligned:
+                pr.kind = "unal"
+        out.append(pr)
+    return out
+
+
+def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
+                 aligner: Aligner, writer: samio.SamWriter) -> dict:
+    sc = aligner.scoring
+    ref = aligner.fm.ref
+    stats = dict(pairs=0, conc_uniq=0, conc_multi=0, disc=0,
+                 mixed_al=0, unal=0)
+
+    def qstr(b, i, ln):
+        return "".join(chr(int(x) + 33) for x in b.quals[i, :ln])
+
+    for i, pr in enumerate(results):
+        stats["pairs"] += 1
+        l1, l2 = int(b1.lens[i]), int(b2.lens[i])
+        name = b1.names[i]
+        seq1, seq2 = b1.seqs[i, :l1], b2.seqs[i, :l2]
+        q1, q2 = qstr(b1, i, l1), qstr(b2, i, l2)
+        rdid = int(b1.rdids[i])
+
+        if pr.kind in ("concordant", "discordant"):
+            conc = pr.kind == "concordant"
+            if conc:
+                if pr.secbest is not None and pr.secbest == pr.best:
+                    stats["conc_multi"] += 1
+                else:
+                    stats["conc_uniq"] += 1
+            else:
+                stats["disc"] += 1
+            a1, a2 = pr.aln1, pr.aln2
+            perfect = sc.perfect_score(l1) + sc.perfect_score(l2)
+            minsc = sc.min_score(l1) + sc.min_score(l2)
+            mq = _mapq.mapq_v2(pr.best, pr.secbest, perfect, minsc,
+                               local=sc.local)
+            # TLEN from leftmost start to rightmost end
+            left = min(a1.toff, a2.toff)
+            right = max(a1.toff + a1.ref_span, a2.toff + a2.ref_span)
+            tl = right - left
+            t1 = tl if a1.toff <= a2.toff else -tl
+            yt = "CP" if conc else "DP"
+            lines = []
+            for mate1, a, other, t, seq, q in (
+                    (True, a1, a2, t1, seq1, q1),
+                    (False, a2, a1, -t1, seq2, q2)):
+                rec = samio.SamAlignment(
+                    rname=ref.names[a.tidx], pos=a.toff, fw=a.fw, mapq=mq,
+                    cigar=a.cigar, score=a.score, nmm=a.nmm,
+                    gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
+                    nm=a.nm, yt=yt, nh=1, paired=True, mate1=mate1,
+                    proper_pair=conc, mate_mapped=True,
+                    mate_rname=ref.names[other.tidx], mate_pos=other.toff,
+                    mate_fw=other.fw, tlen=t)
+                lines.append(samio.format_aligned(name, seq, q, rec))
+            writer.emit(rdid, lines)
+            continue
+
+        # mixed / unal
+        r1 = pr.res1 or ReadResult()
+        r2 = pr.res2 or ReadResult()
+        if r1.aligned or r2.aligned:
+            stats["mixed_al"] += 1
+        else:
+            stats["unal"] += 1
+        lines = []
+        for mate1, res, other, seq, q, ln in (
+                (True, r1, r2, seq1, q1, l1), (False, r2, r1, seq2, q2, l2)):
+            oa = other.alns[0] if other.aligned else None
+            if res.aligned:
+                a = res.alns[0]
+                mq = _mapq.mapq_v2(res.best, res.secbest,
+                                   sc.perfect_score(ln), sc.min_score(ln),
+                                   local=sc.local)
+                rec = samio.SamAlignment(
+                    rname=ref.names[a.tidx], pos=a.toff, fw=a.fw, mapq=mq,
+                    cigar=a.cigar, score=a.score, nmm=a.nmm,
+                    gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
+                    nm=a.nm, zs=res.secbest, yt="UP", nh=len(res.alns),
+                    paired=True, mate1=mate1,
+                    mate_mapped=oa is not None,
+                    mate_rname=ref.names[oa.tidx] if oa else None,
+                    mate_pos=oa.toff if oa else 0,
+                    mate_fw=oa.fw if oa else True, tlen=0)
+                lines.append(samio.format_aligned(name, seq, q, rec))
+            else:
+                lines.append(samio.format_unaligned(
+                    name, seq, q, paired=True, mate1=mate1,
+                    mate_mapped=oa is not None,
+                    mate_rname=ref.names[oa.tidx] if oa else "*",
+                    mate_pos=oa.toff if oa else 0,
+                    mate_fw=oa.fw if oa else True,
+                    yt="UP", yf=res.filtered))
+        writer.emit(rdid, lines)
+    return stats

@@ -170,8 +170,7 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
     rd = jnp.repeat(seqs2, T, axis=0)
     q = jnp.repeat(quals2, T, axis=0)
     rl = jnp.repeat(lens2, T)
-    score, end_j = _sw.dp_score_batch(sctab, rd, q, rl, ref)
-    score = score.reshape(R, T)
+    score = _sw.dp_score_batch(sctab, rd, q, rl, ref).reshape(R, T)
     score = jnp.where(dp_rows[:, None], score, NEG_INF)
     return score, wstart
 
@@ -288,11 +287,18 @@ class Aligner:
             q = q[::-1].copy()
         if not gapped:
             window = ref.get_stretch(pos, rdlen)
-            cigar = [("M", rdlen)]
-            md, nm = samio.make_md(rd, window, cigar)
-            mmmask = (rd != window) | (rd >= 4) | (window >= 4)
-            aln = Alignment(joined_pos=pos, fw=fw, score=score, cigar=cigar,
-                            nmm=int(mmmask.sum()), md=md, nm=nm)
+            c5, c3, sub_score = _best_clip(self.scoring, rd, q, window)
+            mid = rdlen - c5 - c3
+            if mid <= 0:
+                return None
+            cigar = ([("S", c5)] if c5 else []) + [("M", mid)] \
+                + ([("S", c3)] if c3 else [])
+            md, nm = samio.make_md(rd[c5:rdlen - c3], window[c5:rdlen - c3],
+                                   [("M", mid)])
+            a_rd, a_rf = rd[c5:rdlen - c3], window[c5:rdlen - c3]
+            mmmask = (a_rd != a_rf) | (a_rd >= 4) | (a_rf >= 4)
+            aln = Alignment(joined_pos=pos + c5, fw=fw, score=score,
+                            cigar=cigar, nmm=int(mmmask.sum()), md=md, nm=nm)
         else:
             pad = self.opts.dp_pad
             wstart = pos - pad
@@ -313,6 +319,34 @@ class Aligner:
             return None
         aln.tidx, aln.toff = loc
         return aln
+
+
+def _best_clip(scoring, rd: np.ndarray, q: np.ndarray, window: np.ndarray
+               ) -> tuple[int, int, int]:
+    """Optimal 5'/3' soft-clip lengths for an ungapped placement (host
+    mirror of the max-subarray scorer in ops/extend.py). Returns
+    (clip5, clip3, score)."""
+    L = rd.size
+    mm_pens = scoring.mm_pens()
+    scp = scoring.sc_pens()[np.clip(q, 0, 63)].astype(np.int64)
+    isn = (rd >= 4) | (window >= 4)
+    mm = (rd != window) & ~isn
+    s = np.where(mm, -mm_pens[np.clip(q, 0, 63)], 0)
+    s = np.where(isn, -scoring.n_pen, s)
+    s = s + np.where(~mm & ~isn, scoring.match_bonus, 0)
+    g = s + scp
+    P = np.concatenate([[0], np.cumsum(g)])
+    pref_min = np.minimum.accumulate(P)
+    ends = P[1:] - pref_min[:-1]
+    # ties broken toward fewer clipped bases (reference keeps full length
+    # when a clip doesn't strictly beat the mismatch it removes)
+    k = L - 1 - int(np.argmax(ends[::-1]))
+    best = int(ends[k])
+    if best <= 0:   # fully-clipped degenerate
+        return 0, 0, int(s.sum())
+    start = int(np.argmin(P[:k + 1]))
+    score = best - int(scp.sum())
+    return start, L - (k + 1), score
 
 
 # ---------------------------------------------------------------------------

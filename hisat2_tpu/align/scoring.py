@@ -64,6 +64,7 @@ class Scoring:
     """Alignment scoring parameters (end-to-end defaults; `local=True` flips
     to local-mode constants, scoring.h:29-52)."""
     local: bool = False
+    no_softclip: bool = False       # --no-softclip
     match_bonus: int = 0            # 2 in local mode
     mm_pen_max: int = 6
     mm_pen_min: int = 2
@@ -99,6 +100,11 @@ class Scoring:
         return _qual_pens(self.mm_pen_min, self.mm_pen_max)
 
     def sc_pens(self) -> np.ndarray:
+        """Per-quality soft-clip penalty (--sp 1,2 default); a prohibitive
+        constant under --no-softclip so the max-subarray scorer degenerates
+        to full-length alignment."""
+        if self.no_softclip:
+            return np.full(64, 1 << 20, dtype=np.int32)
         return _qual_pens(self.sc_pen_min, self.sc_pen_max)
 
     def read_gap_open(self) -> int:

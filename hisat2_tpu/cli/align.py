@@ -1,0 +1,181 @@
+"""hisat2 aligner CLI (reference hisat2.cpp driver :3709 role).
+
+Option surface follows the reference's main flags (MANUAL.markdown):
+-x index, -U unpaired / -1 -2 paired, -f fasta, -S output, -k, -I/-X,
+--fr/--rf/--ff, --no-mixed/--no-discordant, --no-head, --reorder,
+--un/--al outputs, -p (accepted; batching replaces threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="hisat2-tpu", description="TPU-native HISAT2-class aligner")
+    ap.add_argument("-x", dest="index", required=True, help="index prefix")
+    ap.add_argument("-U", dest="unpaired", default=None,
+                    help="comma-separated unpaired read files")
+    ap.add_argument("-1", dest="m1", default=None)
+    ap.add_argument("-2", dest="m2", default=None)
+    ap.add_argument("-S", dest="output", default=None, help="SAM output file")
+    ap.add_argument("-f", dest="fasta", action="store_true",
+                    help="reads are FASTA")
+    ap.add_argument("-q", dest="fastq", action="store_true",
+                    help="reads are FASTQ (default)")
+    ap.add_argument("-k", dest="khits", type=int, default=5,
+                    help="report up to <int> alignments per read")
+    ap.add_argument("-I", "--minins", type=int, default=0)
+    ap.add_argument("-X", "--maxins", type=int, default=1000)
+    ap.add_argument("--fr", dest="orient", action="store_const", const="fr",
+                    default="fr")
+    ap.add_argument("--rf", dest="orient", action="store_const", const="rf")
+    ap.add_argument("--ff", dest="orient", action="store_const", const="ff")
+    ap.add_argument("--no-mixed", action="store_true")
+    ap.add_argument("--no-discordant", action="store_true")
+    ap.add_argument("--no-spliced-alignment", action="store_true")
+    ap.add_argument("--no-head", action="store_true")
+    ap.add_argument("--reorder", action="store_true")
+    ap.add_argument("--phred64", action="store_true")
+    ap.add_argument("--un", default=None, help="write unaligned reads here")
+    ap.add_argument("--al", default=None, help="write aligned reads here")
+    ap.add_argument("--batch-size", type=int, default=2048,
+                    help="reads per device batch")
+    ap.add_argument("-p", "--threads", type=int, default=1,
+                    help="accepted for compatibility (device batching)")
+    ap.add_argument("-t", "--time", action="store_true")
+    ap.add_argument("--summary-file", default=None)
+    ap.add_argument("--new-summary", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    from ..align.pipeline import Aligner, AlignerOpts, results_to_sam
+    from ..align.paired import align_pairs, pairs_to_sam
+    from ..align.scoring import Scoring
+    from ..index.fm_index import FMIndex
+    from ..io import sam as samio
+    from ..io.reads import read_reads, batch_iter, batchify
+
+    t0 = time.time()
+    fm = FMIndex.load(args.index)
+    opts = AlignerOpts(khits=args.khits, minins=args.minins,
+                       maxins=args.maxins, fr=args.orient,
+                       no_mixed=args.no_mixed,
+                       no_discordant=args.no_discordant)
+    al = Aligner(fm, Scoring(), opts)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    writer = samio.SamWriter(
+        out, fm.ref.names, [int(x) for x in fm.ref.tlens],
+        prog_args=" ".join(argv or sys.argv[1:]),
+        no_head=args.no_head, reorder=args.reorder)
+
+    fmt = "fasta" if args.fasta else ("fastq" if args.fastq else None)
+    totals: dict[str, int] = {}
+
+    def merge(s):
+        for k, v in s.items():
+            totals[k] = totals.get(k, 0) + v
+
+    nreads = 0
+    if args.unpaired:
+        readers = [read_reads(p, fmt, args.phred64)
+                   for p in args.unpaired.split(",")]
+        stream = itertools.chain(*readers)
+        rdid = 0
+        for batch in batch_iter(_reindex(stream), args.batch_size):
+            results = al.align_batch(batch)
+            merge(results_to_sam(batch, results, al, writer))
+            nreads += len(batch)
+    elif args.m1 and args.m2:
+        r1s = itertools.chain(*[read_reads(p, fmt, args.phred64)
+                                for p in args.m1.split(",")])
+        r2s = itertools.chain(*[read_reads(p, fmt, args.phred64)
+                                for p in args.m2.split(",")])
+        buf1, buf2 = [], []
+        rdid = 0
+        for a, b in zip(r1s, r2s):
+            a.rdid = b.rdid = rdid
+            rdid += 1
+            buf1.append(a)
+            buf2.append(b)
+            if len(buf1) == args.batch_size:
+                _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
+                                batchify, align_pairs)
+                nreads += 2 * len(buf1)
+                buf1, buf2 = [], []
+        if buf1:
+            _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
+                            batchify, align_pairs)
+            nreads += 2 * len(buf1)
+    else:
+        print("error: provide -U or both -1 and -2", file=sys.stderr)
+        return 1
+
+    writer.flush()
+    if out is not sys.stdout:
+        out.close()
+    _print_summary(args, totals, nreads, time.time() - t0)
+    return 0
+
+
+def _reindex(stream):
+    for rdid, r in enumerate(stream):
+        r.rdid = rdid
+        yield r
+
+
+def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,
+                    align_pairs):
+    L = max(max(len(r) for r in buf1), max(len(r) for r in buf2))
+    L = max(8, -(-L // 8) * 8)
+    b1 = batchify(buf1, pad_to=L)
+    b2 = batchify(buf2, pad_to=L)
+    results = align_pairs(al, b1, b2)
+    merge(pairs_to_sam(b1, b2, results, al, writer))
+
+
+def _print_summary(args, t, nreads, dt):
+    """Alignment summary in the reference's stderr format
+    (MANUAL.markdown:174-206; --new-summary machine-readable form)."""
+    dest = open(args.summary_file, "w") if args.summary_file else sys.stderr
+    if args.quiet and not args.summary_file:
+        return
+    w = dest.write
+    if "pairs" in t:
+        n = t.get("pairs", 0) or 1
+        conc = t.get("conc_uniq", 0) + t.get("conc_multi", 0)
+        w(f"{t.get('pairs',0)} reads; of these:\n")
+        w(f"  {t.get('pairs',0)} ({100.0:.2f}%) were paired; of these:\n")
+        w(f"    {t.get('pairs',0)-conc} ({(t.get('pairs',0)-conc)/n*100:.2f}%)"
+          f" aligned concordantly 0 times\n")
+        w(f"    {t.get('conc_uniq',0)} ({t.get('conc_uniq',0)/n*100:.2f}%)"
+          f" aligned concordantly exactly 1 time\n")
+        w(f"    {t.get('conc_multi',0)} ({t.get('conc_multi',0)/n*100:.2f}%)"
+          f" aligned concordantly >1 times\n")
+        denom = 2 * n
+        al = denom - 2 * t.get("unal", 0)
+        w(f"{al/denom*100:.2f}% overall alignment rate\n")
+    else:
+        n = t.get("reads", 0) or 1
+        w(f"{t.get('reads',0)} reads; of these:\n")
+        w(f"  {t.get('reads',0)} (100.00%) were unpaired; of these:\n")
+        w(f"    {t.get('unal',0)} ({t.get('unal',0)/n*100:.2f}%) aligned 0 times\n")
+        w(f"    {t.get('uniq',0)} ({t.get('uniq',0)/n*100:.2f}%) aligned exactly 1 time\n")
+        w(f"    {t.get('multi',0)} ({t.get('multi',0)/n*100:.2f}%) aligned >1 times\n")
+        w(f"{(n-t.get('unal',0))/n*100:.2f}% overall alignment rate\n")
+    if args.time:
+        w(f"Time: {dt:.2f}s\n")
+    if args.summary_file:
+        dest.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import rank as _rank
 
@@ -65,10 +66,22 @@ def verify_ungapped(idx: dict, sctab: dict,
     mtch = (rd == ref) & ~rd_n & in_read
 
     mm_pen = sctab["mm_pens"][q.clip(0, 63)]   # (B, 1, L)
-    pen = (jnp.where(mm, mm_pen, 0).sum(axis=2)
-           + isn.sum(axis=2) * sctab["n_pen"])
-    bonus = mtch.sum(axis=2) * sctab["match_bonus"]
-    score = bonus - pen
+    s = (jnp.where(mtch, sctab["match_bonus"], 0)
+         - jnp.where(mm, mm_pen, 0)
+         - jnp.where(isn, sctab["n_pen"], 0))  # per-position score (B, K, L)
+
+    # Soft-clip-aware score (reference allows 5'/3' soft clips even in its
+    # default mode, penalty --sp 1,2 qual-scaled, MANUAL.markdown:133):
+    #   score = max_{c5,c3} sum_{i in [c5, len-c3)} s(i) - sum_clipped scp(i)
+    # = max-subarray of g(i) = s(i) + scp(i), minus total clip penalty —
+    # one cumsum + cummax along the read axis, no search loop.
+    scp = jnp.where(in_read, sctab["sc_pens"][q.clip(0, 63)], 0)
+    g = s + scp                                # (B, K, L) via broadcast
+    P = jnp.cumsum(g, axis=2)                  # P[k] = prefix sum incl. k
+    minP = jnp.minimum(0, lax.cummin(P, axis=2))
+    best_sub = jnp.maximum(0, (P - jnp.concatenate(
+        [jnp.zeros_like(minP[..., :1]), minP[..., :-1]], axis=2)).max(axis=2))
+    score = best_sub - scp.sum(axis=2)
 
     return dict(
         score=jnp.where(valid, score, NEG_INF),

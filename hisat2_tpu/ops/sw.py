@@ -47,12 +47,14 @@ def _subst(sctab, rd_c, q, rf_c):
 @jax.jit
 def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
                    rdlens: jax.Array, ref: jax.Array):
-    """Affine-gap DP score, batched over candidates.
+    """Affine-gap DP score with soft clips, batched over candidates.
 
     rd (C, L) codes 0..4, quals (C, L), rdlens (C,), ref (C, W) codes 0..4
-    (N-padded outside the real window).
-    Returns (score (C,) int32, end_j (C,) int32) — end_j is the 1-based ref
-    window column where the best alignment ends.
+    (N-padded outside the real window). 5'/3' soft clips carry the
+    per-base sc_pens penalty (reference --sp): a 5' clip of i bases enters
+    the DP as a floor of -SCP(i) on row i; a 3' clip ending at row i costs
+    the remaining SCP(len)-SCP(i).
+    Returns score (C,) int32.
     """
     C, L = rd.shape
     W = ref.shape[1]
@@ -64,36 +66,43 @@ def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
     rd_open, rd_ext = sctab["rd_open"], sctab["rd_ext"]
     rf_open, rf_ext = sctab["rf_open"], sctab["rf_ext"]
 
-    jcols = jnp.arange(W + 1, dtype=jnp.int32)          # 0..W
-    H0 = jnp.zeros((C, W + 1), jnp.int32)               # free leading ref gap
-    F0 = jnp.full((C, W + 1), NEG, jnp.int32)
+    in_read = (jnp.arange(L, dtype=jnp.int32)[None, :] < rdlens[:, None])
+    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)     # (C, L)
+    scp_cum = jnp.cumsum(scp, axis=1)                     # SCP(i+1)
+    scp_tot = scp_cum[:, -1]                              # SCP(len)
 
-    # per-row scores: s[i][j] = subst(rd[i], ref[j]) computed lazily in scan
+    jcols = jnp.arange(W + 1, dtype=jnp.int32)           # 0..W
+    H0 = jnp.zeros((C, W + 1), jnp.int32)                # free leading ref gap
+    F0 = jnp.full((C, W + 1), NEG, jnp.int32)
+    best0 = -scp_tot                                      # fully clipped read
+
     def row(carry, i):
-        H, F = carry                                    # (C, W+1)
-        rc = rd[:, i][:, None]                          # (C, 1)
+        H, F, best = carry                               # (C, W+1), (C,)
+        rc = rd[:, i][:, None]                           # (C, 1)
         qc = q[:, i][:, None]
-        s = _subst(sctab, rc, qc, ref)                  # (C, W)
-        diag = H[:, :-1] + s                            # j=1..W
+        s = _subst(sctab, rc, qc, ref)                   # (C, W)
+        diag = H[:, :-1] + s                             # j=1..W
         Fn_tail = jnp.maximum(H[:, 1:] - rf_open, F[:, 1:] - rf_ext)
-        # column 0: pure gap-in-ref of length i+1
         col0 = -(rf_open + i * rf_ext)
         col0 = jnp.full((C, 1), col0, jnp.int32)
         G = jnp.concatenate([col0, jnp.maximum(diag, Fn_tail)], axis=1)
-        M = lax.cummax(G + rd_ext * jcols[None, :], axis=1)  # (C, W+1)
+        M = lax.cummax(G + rd_ext * jcols[None, :], axis=1)
         E_tail = M[:, :-1] - rd_open - rd_ext * (jcols[1:][None, :] - 1)
         Hn = jnp.concatenate([col0, jnp.maximum(G[:, 1:], E_tail)], axis=1)
+        # 5' soft clip: restart after clipping read[0:i+1]
+        Hn = jnp.maximum(Hn, -scp_cum[:, i][:, None])
         Fn = jnp.concatenate([col0, Fn_tail], axis=1)
-        # rows past the read length keep the previous state
         act = (i < rdlens)[:, None]
         Hn = jnp.where(act, Hn, H)
         Fn = jnp.where(act, Fn, F)
-        return (Hn, Fn), None
+        # 3' soft clip: end alignment at read position i+1
+        tail = scp_tot - scp_cum[:, i]
+        bn = jnp.maximum(best, Hn.max(axis=1) - tail)
+        return (Hn, Fn, bn), None
 
-    (H, _), _ = lax.scan(row, (H0, F0), jnp.arange(L, dtype=jnp.int32))
-    score = H.max(axis=1)
-    end_j = H.argmax(axis=1).astype(jnp.int32)
-    return score, end_j
+    (H, _, best), _ = lax.scan(row, (H0, F0, best0),
+                               jnp.arange(L, dtype=jnp.int32))
+    return jnp.maximum(best, H.max(axis=1))
 
 
 # ---------------------------------------------------------------------------
@@ -103,14 +112,15 @@ def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
 def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
     """Full DP + traceback for one (read, ref window) pair — NumPy.
 
-    Same scoring/mode as dp_score_batch. Returns
+    Same scoring/mode as dp_score_batch (soft clips included). Returns
     (score, ref_start, cigar, mds) where cigar is [(op, len), ...] with ops
-    'M'/'I'/'D', ref_start is the 0-based window column where the alignment
-    begins, and mds is the list of (read_off, ref_off_in_window) mismatch
-    positions (including N positions).
+    'S'/'M'/'I'/'D', ref_start is the 0-based window column where the
+    aligned region begins, and mds is the list of (read_off,
+    ref_off_in_window) mismatch positions (including N positions).
     """
     L, W = rd.size, ref.size
     mm_pens = scoring.mm_pens()
+    sc_pens = scoring.sc_pens()
     rd_open, rd_ext = scoring.read_gap_open(), scoring.read_gap_extend()
     rf_open, rf_ext = scoring.ref_gap_open(), scoring.ref_gap_extend()
 
@@ -122,27 +132,34 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
     sub = np.where(mm, -mm_pens[q][:, None], 0)
     sub = np.where(isn, -scoring.n_pen, sub)
     sub = sub + np.where(~mm & ~isn, scoring.match_bonus, 0)
+    scp = sc_pens[q].astype(np.int64)
+    SCP = np.concatenate([[0], np.cumsum(scp)])        # SCP[i] = clip cost of rd[0:i)
 
     H = np.full((L + 1, W + 1), NEG, np.int64)
     E = np.full((L + 1, W + 1), NEG, np.int64)   # read gap (D): along j
     F = np.full((L + 1, W + 1), NEG, np.int64)   # ref gap (I): along i
     H[0, :] = 0
     for i in range(1, L + 1):
-        H[i, 0] = -(rf_open + (i - 1) * rf_ext)
+        H[i, 0] = max(-(rf_open + (i - 1) * rf_ext), -SCP[i])
         F[i, 0] = H[i, 0]
-        E[i, 1:] = NEG
         for j in range(1, W + 1):
             E[i, j] = max(H[i, j - 1] - rd_open, E[i, j - 1] - rd_ext)
             F[i, j] = max(H[i - 1, j] - rf_open, F[i - 1, j] - rf_ext)
-            H[i, j] = max(H[i - 1, j - 1] + sub[i - 1, j - 1], E[i, j], F[i, j])
+            H[i, j] = max(H[i - 1, j - 1] + sub[i - 1, j - 1], E[i, j],
+                          F[i, j], -SCP[i])
 
-    j = int(np.argmax(H[L]))
-    score = int(H[L, j])
-    i = L
+    # end: maximize H[i][j] - trailing clip; ties toward larger i (fewer
+    # clipped bases), then smaller j (leftmost end)
+    endmat = H - (SCP[L] - SCP)[:, None]
+    flat = int(np.argmax(endmat[::-1]))
+    i, j = np.unravel_index(flat, endmat.shape)
+    i = L - i
+    score = int(endmat[i, j])
+    clip3 = L - i
     ops: list[str] = []
     mds: list[tuple[int, int]] = []
     state = "H"
-    while i > 0 and j >= 0:
+    while i > 0:
         if state == "H":
             if j > 0 and H[i, j] == H[i - 1, j - 1] + sub[i - 1, j - 1]:
                 ops.append("M")
@@ -154,6 +171,8 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
                 state = "E"
             elif H[i, j] == F[i, j]:
                 state = "F"
+            elif H[i, j] == -SCP[i]:       # 5' clip start point (checked
+                break                      # last: prefer real ops on ties)
             else:  # j == 0 boundary: leading ref-gap column
                 state = "F"
         elif state == "E":
@@ -165,19 +184,23 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
             ops.append("I")
             if j == 0:
                 i -= 1
-                if i == 0:
-                    break
+                state = "H"
                 continue
             if F[i, j] == H[i - 1, j] - rf_open:
                 state = "H"
             i -= 1
+    clip5 = i
     ref_start = j
     ops.reverse()
     cigar: list[tuple[str, int]] = []
+    if clip5:
+        cigar.append(("S", clip5))
     for op in ops:
         if cigar and cigar[-1][0] == op:
             cigar[-1] = (op, cigar[-1][1] + 1)
         else:
             cigar.append((op, 1))
+    if clip3:
+        cigar.append(("S", clip3))
     mds.reverse()
     return score, ref_start, cigar, mds

@@ -66,16 +66,16 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                           np.asarray(dp) if dp is not None else None)
     pos1, sc1, d1 = arr(st1, dp1)
     pos2, sc2, d2 = arr(st2, dp2)
+    m1 = aligner._merge_candidates(B, pos1, sc1, d1)
+    m2 = aligner._merge_candidates(B, pos2, sc2, d2)
 
     out: list[PairResult] = []
     for i in range(B):
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         min1 = aligner.scoring.min_score(l1)
         min2 = aligner.scoring.min_score(l2)
-        c1 = aligner._gather_candidates(i, B, pos1, sc1, d1, b1)
-        c2 = aligner._gather_candidates(i, B, pos2, sc2, d2, b2)
-        c1 = [c for c in c1 if c[0] >= min1][:o.top_cands]
-        c2 = [c for c in c2 if c[0] >= min2][:o.top_cands]
+        c1 = aligner._ranked_candidates(m1, i, min1, limit=o.top_cands)
+        c2 = aligner._ranked_candidates(m2, i, min2, limit=o.top_cands)
 
         pr = PairResult()
         # ---- concordant search over the combo grid ----
@@ -88,16 +88,16 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                     combos.append((s1 + s2, (s1, p1, f1, g1), (s2, p2, f2, g2)))
         if combos:
             combos.sort(key=lambda x: -x[0])
-            total, m1, m2 = combos[0]
-            a1 = aligner._finalize(i, b1, m1[0], m1[1], m1[2], m1[3], l1)
-            a2 = aligner._finalize(i, b2, m2[0], m2[1], m2[2], m2[3], l2)
+            total, w1, w2 = combos[0]
+            a1 = aligner._finalize(i, b1, w1[0], w1[1], w1[2], w1[3], l1)
+            a2 = aligner._finalize(i, b2, w2[0], w2[1], w2[2], w2[3], l2)
             if a1 is not None and a2 is not None and a1.tidx == a2.tidx:
                 pr.kind = "concordant"
                 pr.aln1, pr.aln2 = a1, a2
                 pr.best = total
                 # second-best distinct concordant pair
-                for t, mm1, mm2 in combos[1:]:
-                    if (mm1[1], mm2[1]) != (m1[1], m2[1]):
+                for t, x1, x2 in combos[1:]:
+                    if (x1[1], x2[1]) != (w1[1], w2[1]):
                         pr.secbest = t
                         break
                 out.append(pr)
@@ -106,13 +106,13 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
         if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
                 and (len(c1) == 1 or c1[0][0] > c1[1][0])
                 and (len(c2) == 1 or c2[0][0] > c2[1][0])):
-            m1, m2 = c1[0], c2[0]
-            a1 = aligner._finalize(i, b1, m1[0], m1[1], m1[2], m1[3], l1)
-            a2 = aligner._finalize(i, b2, m2[0], m2[1], m2[2], m2[3], l2)
+            w1, w2 = c1[0], c2[0]
+            a1 = aligner._finalize(i, b1, w1[0], w1[1], w1[2], w1[3], l1)
+            a2 = aligner._finalize(i, b2, w2[0], w2[1], w2[2], w2[3], l2)
             if a1 is not None and a2 is not None:
                 pr.kind = "discordant"
                 pr.aln1, pr.aln2 = a1, a2
-                pr.best = m1[0] + m2[0]
+                pr.best = w1[0] + w2[0]
                 out.append(pr)
                 continue
         # ---- mixed: report mates individually ----
@@ -131,7 +131,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
     sc = aligner.scoring
     ref = aligner.fm.ref
     stats = dict(pairs=0, conc_uniq=0, conc_multi=0, disc=0,
-                 mixed_al=0, unal=0)
+                 mixed_al=0, unal=0, mates_al=0)
 
     def qstr(b, i, ln):
         return "".join(chr(int(x) + 33) for x in b.quals[i, :ln])
@@ -158,9 +158,16 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
             minsc = sc.min_score(l1) + sc.min_score(l2)
             mq = _mapq.mapq_v2(pr.best, pr.secbest, perfect, minsc,
                                local=sc.local)
-            # TLEN from leftmost start to rightmost end
-            left = min(a1.toff, a2.toff)
-            right = max(a1.toff + a1.ref_span, a2.toff + a2.ref_span)
+            # TLEN spans the *unclipped* fragment (reference setMateParams
+            # includes soft-clipped bases in the template length)
+            def clips(a):
+                c5 = a.cigar[0][1] if a.cigar and a.cigar[0][0] == "S" else 0
+                c3 = a.cigar[-1][1] if a.cigar and a.cigar[-1][0] == "S" else 0
+                return c5, c3
+            c15, c13 = clips(a1)
+            c25, c23 = clips(a2)
+            left = min(a1.toff - c15, a2.toff - c25)
+            right = max(a1.toff + a1.ref_span + c13, a2.toff + a2.ref_span + c23)
             tl = right - left
             t1 = tl if a1.toff <= a2.toff else -tl
             yt = "CP" if conc else "DP"
@@ -177,6 +184,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                     mate_rname=ref.names[other.tidx], mate_pos=other.toff,
                     mate_fw=other.fw, tlen=t)
                 lines.append(samio.format_aligned(name, seq, q, rec))
+            stats["mates_al"] += 2
             writer.emit(rdid, lines)
             continue
 
@@ -192,6 +200,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                 (True, r1, r2, seq1, q1, l1), (False, r2, r1, seq2, q2, l2)):
             oa = other.alns[0] if other.aligned else None
             if res.aligned:
+                stats["mates_al"] += 1
                 a = res.alns[0]
                 mq = _mapq.mapq_v2(res.best, res.secbest,
                                    sc.perfect_score(ln), sc.min_score(ln),

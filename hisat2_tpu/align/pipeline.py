@@ -107,9 +107,11 @@ def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
             jnp.concatenate([lens, lens]))
 
 
-@partial(jax.jit, static_argnames=("max_seeds", "locs_per_seg", "top_cands"))
+@partial(jax.jit, static_argnames=("max_seeds", "locs_per_seg", "top_cands",
+                                   "min_seg_len"))
 def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
-                      max_seeds: int, locs_per_seg: int, top_cands: int):
+                      max_seeds: int, locs_per_seg: int, top_cands: int,
+                      min_seg_len: int = 3):
     """Stages 1-5: orientations, search, expand, dedup, verify, top-K.
 
     Returns per orientation-row (R = 2B): top candidate positions (R, T),
@@ -125,8 +127,10 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
                                         locs_per_seg)        # (R, S, locs)
     seg_ok = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
               < hits["n"][:, None])                          # (R, S)
-    # ignore trivially short segments (1-2bp matches everywhere)
-    seg_ok &= hits["len"] >= 3
+    # anchor length floor: the reference's _minK = ceil(log4 |genome|)
+    # (hi_aligner.h:3979) — shorter matches occur by chance everywhere and
+    # only waste candidate budget
+    seg_ok &= hits["len"] >= min_seg_len
     cand = locs - hits["off"][:, :, None]
     valid = lvalid & seg_ok[:, :, None]
     cand = cand.reshape(R, -1)
@@ -134,15 +138,20 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     width = hits["bot"] - hits["top"]
     exhausted = jnp.all(jnp.where(seg_ok, width <= locs_per_seg, True), axis=1)
 
-    # dedup identical positions (sort asc; invalid -> +inf sentinel)
+    # dedup identical positions (sort asc; invalid -> +inf sentinel), then
+    # compact: only the first `verify_cands` distinct loci are verified —
+    # rows with more are repetitive and capped (the reference similarly
+    # bounds exploration per read, hisat2.cpp:3480-3513)
     big = jnp.int32(1 << 30)
     key = jnp.where(valid, cand, big)
-    order = jnp.argsort(key, axis=1)
-    skey = jnp.take_along_axis(key, order, 1)
+    skey = jnp.sort(key, axis=1)
     dup = jnp.concatenate(
         [jnp.zeros((R, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1)
+    skey = jnp.where(dup, big, skey)
+    verify_cands = min(3 * top_cands, skey.shape[1])
+    skey = jnp.sort(skey, axis=1)[:, :verify_cands]
     vcand = skey
-    vvalid = (skey < big) & ~dup
+    vvalid = skey < big
 
     res = _extend.verify_ungapped(idx, sctab, seqs2, quals2, lens2,
                                   vcand, vvalid)
@@ -157,22 +166,18 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
 @partial(jax.jit, static_argnames=("dp_pad",))
 def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
               pos_top, dp_rows, dp_pad: int):
-    """Stage 6: gapped DP scores for the top candidates of selected rows.
-
-    pos_top (R, T); dp_rows (R,) bool. Returns (R, T) DP scores (NEG_INF on
-    non-selected rows) and the window starts used.
-    """
+    """Stage 6: gapped DP scores for the top candidates of (pre-compacted)
+    rows. pos_top (R', T); dp_rows (R',) bool mask. Returns (R', T) scores."""
     R, L = seqs2.shape
     T = pos_top.shape[1]
     W = L + 2 * dp_pad
-    wstart = pos_top - dp_pad                                   # (R, T)
-    ref = _rank_text_window(idx, wstart.reshape(-1), W)         # (R*T, W)
+    wstart = pos_top - dp_pad                                   # (R', T)
+    ref = _rank_text_window(idx, wstart.reshape(-1), W)         # (R'*T, W)
     rd = jnp.repeat(seqs2, T, axis=0)
     q = jnp.repeat(quals2, T, axis=0)
     rl = jnp.repeat(lens2, T)
     score = _sw.dp_score_batch(sctab, rd, q, rl, ref).reshape(R, T)
-    score = jnp.where(dp_rows[:, None], score, NEG_INF)
-    return score, wstart
+    return jnp.where(dp_rows[:, None], score, NEG_INF)
 
 
 def _rank_text_window(idx, start, length):
@@ -194,72 +199,117 @@ class Aligner:
         self.opts = opts or AlignerOpts()
         self.idx = fm.device
         self.sctab = scoring.device_tables()
+        # reference _minK: minimum anchor = ceil(log4 |genome|), >= 8
+        self.min_seg_len = max(8, int(np.ceil(np.log(max(fm.n, 4))
+                                              / np.log(4))))
 
     # ---- device orchestration ----
 
     def _device_align(self, batch: ReadBatch):
         o = self.opts
+        B = len(batch)
         seqs = jnp.asarray(batch.seqs)
         quals = jnp.asarray(batch.quals)
         lens = jnp.asarray(batch.lens)
         st = _stage_candidates(self.idx, self.sctab, seqs, quals, lens,
-                               o.max_seeds, o.locs_per_seg, o.top_cands)
-        pos = st["pos"]
-        un_sc = st["score"]
+                               o.max_seeds, o.locs_per_seg, o.top_cands,
+                               self.min_seg_len)
         dp_sc = None
         if not o.no_dp:
-            # rows whose best ungapped score is worse than one max-penalty
-            # mismatch may hide a better gapped alignment (gap >= open+ext
-            # always costs more than one mismatch, so 0/1-mm rows are final)
-            need = un_sc.max(axis=1) < -self.scoring.mm_pen_max
-            if bool(need.any()):
-                dp_sc, _ = _stage_dp(self.idx, self.sctab, st["seqs2"],
-                                     st["quals2"], st["lens2"], pos, need,
-                                     o.dp_pad)
+            # Gapped rescue only for reads that would otherwise go
+            # unaligned: an indel read's ungapped score collapses (every
+            # position past the gap mismatches), while mismatch-only reads
+            # keep a passing score and never need DP. Triggered rows are
+            # compacted into a fixed-size buffer so the expensive DP shape
+            # stays static and small.
+            row_best = np.asarray(st["score"].max(axis=1))
+            read_best = np.maximum(row_best[:B], row_best[B:])
+            min_scs = np.ceil(self.scoring.score_min.I
+                              + self.scoring.score_min.S
+                              * batch.lens).astype(np.int64)
+            need_read = read_best < min_scs
+            if need_read.any():
+                rows = np.concatenate([np.flatnonzero(need_read),
+                                       np.flatnonzero(need_read) + B])
+                budget = max(64, B // 8)
+                rows = rows[:2 * budget]
+                pad = (-rows.size) % 64
+                rows_p = np.pad(rows, (0, pad))          # repeat row 0: harmless
+                ridx = jnp.asarray(rows_p, jnp.int32)
+                dp_rows = _stage_dp(
+                    self.idx, self.sctab,
+                    st["seqs2"][ridx], st["quals2"][ridx], st["lens2"][ridx],
+                    st["pos"][ridx],
+                    jnp.ones(rows_p.size, bool), o.dp_pad)
+                dp_full = np.full(st["score"].shape, NEG_INF, np.int64)
+                dp_full[rows] = np.asarray(dp_rows)[:rows.size]
+                dp_sc = dp_full
         return st, dp_sc
 
     # ---- host finalization ----
 
     def align_batch(self, batch: ReadBatch) -> list[ReadResult]:
         B = len(batch)
-        o = self.opts
         st, dp_sc = self._device_align(batch)
         pos = np.asarray(st["pos"])            # (2B, T)
         un_sc = np.asarray(st["score"])
-        nmm = np.asarray(st["nmm"])
         dp = np.asarray(dp_sc) if dp_sc is not None else None
+        merged = self._merge_candidates(B, pos, un_sc, dp)
+
+        lens = batch.lens
+        min_scs = np.ceil(self.scoring.score_min.I
+                          + self.scoring.score_min.S * lens).astype(np.int64)
+        nNs = ((batch.seqs >= 4)
+               & (np.arange(batch.seqs.shape[1])[None, :] < lens[:, None])
+               ).sum(axis=1)
+        max_ns = (self.scoring.n_ceil.I + self.scoring.n_ceil.S * lens)
 
         results = []
         for i in range(B):
-            rdlen = int(batch.lens[i])
-            min_sc = self.scoring.min_score(rdlen)
-            nN = int((batch.seqs[i, :rdlen] >= 4).sum())
-            if rdlen == 0 or nN > self.scoring.max_ns(rdlen):
+            rdlen = int(lens[i])
+            if rdlen == 0 or nNs[i] > max_ns[i]:
                 results.append(ReadResult(filtered="NS" if rdlen else "LN"))
                 continue
-            cands = self._gather_candidates(i, B, pos, un_sc, dp, batch)
-            results.append(self._select(i, batch, cands, min_sc, rdlen))
+            cands = self._ranked_candidates(merged, i, int(min_scs[i]))
+            results.append(self._select(i, batch, cands, int(min_scs[i]), rdlen))
         return results
 
-    def _gather_candidates(self, i, B, pos, un_sc, dp, batch):
-        """Merge fw/rc top candidates into [(score, pos, fw, source), ...]."""
+    def _merge_candidates(self, B, pos, un_sc, dp):
+        """Vectorized merge of fw/rc candidate grids into per-read ranked
+        arrays (host NumPy; replaces a per-read Python loop)."""
+        T = pos.shape[1]
+        sc = un_sc if dp is None else np.maximum(un_sc, dp)
+        gapped = (np.zeros_like(sc, bool) if dp is None else dp > un_sc)
+        # (2B, T) -> (B, 2T): forward block then rc block per read
+        cat = lambda a: np.concatenate([a[:B], a[B:]], axis=1)
+        sc2, pos2, gap2 = cat(sc), cat(pos), cat(gapped)
+        fw2 = np.zeros((B, 2 * T), bool)
+        fw2[:, :T] = True
+        order = np.argsort(-sc2, axis=1, kind="stable")
+        return dict(score=np.take_along_axis(sc2, order, 1),
+                    pos=np.take_along_axis(pos2, order, 1),
+                    fw=np.take_along_axis(fw2, order, 1),
+                    gapped=np.take_along_axis(gap2, order, 1))
+
+    def _ranked_candidates(self, merged, i, min_sc, limit=None):
+        """Candidate tuples for read i, best-first, scores >= min_sc,
+        deduped by (pos, fw)."""
+        limit = limit or (self.opts.khits + 2)
         out = []
-        for fw, row in ((True, i), (False, i + B)):
-            for t in range(pos.shape[1]):
-                s_un = int(un_sc[row, t])
-                s_dp = int(dp[row, t]) if dp is not None else NEG_INF
-                s = max(s_un, s_dp)
-                if s <= NEG_INF // 2:
-                    continue
-                out.append((s, int(pos[row, t]), fw, s_dp > s_un, row, t))
-        # dedup (pos, fw) keeping best score; gapped alignments found by DP
-        # can share a window with an ungapped candidate
-        best = {}
-        for s, p, fw, gapped, row, t in out:
-            k = (p, fw)
-            if k not in best or s > best[k][0]:
-                best[k] = (s, p, fw, gapped, row, t)
-        return sorted(best.values(), key=lambda x: -x[0])
+        seen = set()
+        sc = merged["score"][i]
+        for t in range(sc.shape[0]):
+            s = int(sc[t])
+            if s < min_sc:
+                break  # sorted desc
+            key = (int(merged["pos"][i, t]), bool(merged["fw"][i, t]))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((s, key[0], key[1], bool(merged["gapped"][i, t]), i, t))
+            if len(out) >= limit:
+                break
+        return out
 
     def _select(self, i, batch, cands, min_sc, rdlen) -> ReadResult:
         res = ReadResult()

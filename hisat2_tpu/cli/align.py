@@ -54,8 +54,23 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: alignment kernels recompile per
+    (batch, read-length) shape; cache them across runs."""
+    import os
+    import jax
+    try:
+        d = os.path.expanduser("~/.cache/hisat2_tpu_jax")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    _enable_compile_cache()
     from ..align.pipeline import Aligner, AlignerOpts, results_to_sam
     from ..align.paired import align_pairs, pairs_to_sam
     from ..align.scoring import Scoring
@@ -161,8 +176,7 @@ def _print_summary(args, t, nreads, dt):
         w(f"    {t.get('conc_multi',0)} ({t.get('conc_multi',0)/n*100:.2f}%)"
           f" aligned concordantly >1 times\n")
         denom = 2 * n
-        al = denom - 2 * t.get("unal", 0)
-        w(f"{al/denom*100:.2f}% overall alignment rate\n")
+        w(f"{t.get('mates_al',0)/denom*100:.2f}% overall alignment rate\n")
     else:
         n = t.get("reads", 0) or 1
         w(f"{t.get('reads',0)} reads; of these:\n")

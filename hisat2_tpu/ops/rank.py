@@ -69,9 +69,13 @@ def lf(idx: dict, i: jax.Array, c: jax.Array) -> jax.Array:
 
 def lf_step_interval(idx: dict, top: jax.Array, bot: jax.Array,
                      c: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Extend an SA interval [top, bot) left by symbol c (c in 0..3)."""
+    """Extend an SA interval [top, bot) left by symbol c (c in 0..3).
+    Both bounds rank in one fused gather batch (half the HBM round-trips
+    of ranking top and bot separately)."""
     base = idx["ccount"][c]
-    return base + rank(idx, c, top), base + rank(idx, c, bot)
+    tb = jnp.stack([top, bot])
+    r = rank(idx, jnp.broadcast_to(c, tb.shape), tb)
+    return base + r[0], base + r[1]
 
 
 def packed_char(packed: jax.Array, pos: jax.Array) -> jax.Array:
@@ -89,8 +93,31 @@ def bwt_char(idx: dict, r: jax.Array) -> jax.Array:
 def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     """Joined-text window [start, start+length) as int32 codes; positions
     outside [0, n) come back as 4 (N). start: (...,) int32; result (..., length).
-    BitPairReference::getStretch equivalent (reference.h:108)."""
+    BitPairReference::getStretch equivalent (reference.h:108).
+
+    HBM-friendly: gathers the ceil(length/16)+1 consecutive uint32 words
+    covering each window (one small contiguous gather per lane) and unpacks
+    /aligns locally on the VPU — ~13x fewer HBM gathers than per-position
+    word lookups, which dominated the verify stage.
+    """
+    start = start.astype(jnp.int32)
+    nw = (length + 15) // 16
+    packed = idx["text_packed"]
+    cs = jnp.clip(start, 0, None)
+    base = cs >> 4                                          # first word
+    sh = (2 * (cs & 15)).astype(jnp.uint32)                 # bit offset
+    widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
+    words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]  # (..., nw+1)
+    # align to the window start entirely with per-lane shifts (no gather):
+    # aligned[w] = words[w] >> sh | words[w+1] << (32-sh)
+    lo = words[..., :nw] >> sh[..., None]
+    hi_sh = (jnp.uint32(32) - sh)[..., None]
+    hi = jnp.where(sh[..., None] == 0, jnp.uint32(0),
+                   words[..., 1:] << hi_sh)
+    aligned = lo | hi                                       # (..., nw)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
+    chars = ((aligned[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
+    out = chars.reshape(*chars.shape[:-2], nw * 16)[..., :length]
     pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
     inb = (pos >= 0) & (pos < idx["n"])
-    ch = packed_char(idx["text_packed"], jnp.clip(pos, 0, idx["n"] - 1))
-    return jnp.where(inb, ch, 4)
+    return jnp.where(inb, out, 4)

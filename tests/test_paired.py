@@ -1,0 +1,105 @@
+"""Paired-end alignment tests: concordance policy, TLEN, flags, fallbacks."""
+
+import io
+
+import numpy as np
+import pytest
+
+from hisat2_tpu.align.pipeline import Aligner
+from hisat2_tpu.align.paired import align_pairs, pairs_to_sam, _concordant
+from hisat2_tpu.index.fm_index import build_fm_index
+from hisat2_tpu.io import sam as samio
+from hisat2_tpu.io.reads import Read, batchify
+from hisat2_tpu.io.reference import reference_from_seqs
+from hisat2_tpu.utils import alphabet
+
+
+@pytest.fixture(scope="module")
+def setup():
+    r = np.random.default_rng(21)
+    codes = r.integers(0, 4, size=60000).astype(np.uint8)
+    ref = reference_from_seqs({"chrP": alphabet.decode(codes)})
+    return codes, Aligner(build_fm_index(ref, ftab_k=6))
+
+
+def _make_pairs(codes, rng, n, frag=300, rdlen=100):
+    r1, r2, truth = [], [], []
+    for i in range(n):
+        p = int(rng.integers(0, codes.size - frag))
+        m1 = codes[p:p + rdlen].copy()
+        m2 = alphabet.revcomp(codes[p + frag - rdlen:p + frag])
+        r1.append(Read(f"p{i}", m1, np.full(rdlen, 40), i))
+        r2.append(Read(f"p{i}", m2, np.full(rdlen, 40), i))
+        truth.append((p, p + frag - rdlen))
+    return r1, r2, truth
+
+
+def test_concordant_pairs(setup):
+    codes, al = setup
+    rng = np.random.default_rng(3)
+    r1, r2, truth = _make_pairs(codes, rng, 20)
+    b1, b2 = batchify(r1), batchify(r2)
+    results = align_pairs(al, b1, b2)
+    for pr, (p1, p2) in zip(results, truth):
+        assert pr.kind == "concordant"
+        assert pr.aln1.joined_pos == p1 and pr.aln1.fw
+        assert pr.aln2.joined_pos == p2 and not pr.aln2.fw
+        assert pr.best == 0
+
+
+def test_pair_sam_flags_tlen(setup):
+    codes, al = setup
+    rng = np.random.default_rng(4)
+    r1, r2, truth = _make_pairs(codes, rng, 5, frag=400)
+    b1, b2 = batchify(r1), batchify(r2)
+    results = align_pairs(al, b1, b2)
+    buf = io.StringIO()
+    w = samio.SamWriter(buf, al.fm.ref.names, [60000])
+    stats = pairs_to_sam(b1, b2, results, al, w)
+    assert stats["conc_uniq"] == 5
+    recs = [l.split("\t") for l in buf.getvalue().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 10
+    for f in recs:
+        flag = int(f[1])
+        assert flag & 0x1 and flag & 0x2            # paired, proper
+        assert abs(int(f[8])) == 400                # TLEN = fragment size
+        assert f[6] == "="
+        if flag & 0x40:   # mate1 fw, leftmost
+            assert int(f[8]) == 400
+        else:
+            assert int(f[8]) == -400
+
+
+def test_orientation_policy():
+    # FR: upstream mate fw, downstream rc
+    ok, frag = _concordant(True, 100, 100, False, 300, 100, 0, 1000, "fr")
+    assert ok and frag == 300
+    ok, _ = _concordant(False, 100, 100, True, 300, 100, 0, 1000, "fr")
+    assert not ok
+    ok, _ = _concordant(False, 100, 100, True, 300, 100, 0, 1000, "rf")
+    assert ok
+    # insert bounds
+    ok, _ = _concordant(True, 100, 100, False, 2000, 100, 0, 1000, "fr")
+    assert not ok
+
+
+def test_mixed_fallback(setup):
+    codes, al = setup
+    rng = np.random.default_rng(5)
+    m1 = codes[5000:5100].copy()
+    junk = rng.integers(0, 4, size=100).astype(np.uint8)
+    b1 = batchify([Read("x", m1, np.full(100, 40), 0)])
+    b2 = batchify([Read("x", junk, np.full(100, 40), 0)])
+    results = align_pairs(al, b1, b2)
+    assert results[0].kind == "mixed"
+    assert results[0].res1.aligned
+    buf = io.StringIO()
+    w = samio.SamWriter(buf, al.fm.ref.names, [60000])
+    stats = pairs_to_sam(b1, b2, results, al, w)
+    assert stats["mates_al"] == 1
+    recs = [l.split("\t") for l in buf.getvalue().splitlines()
+            if not l.startswith("@")]
+    flags = sorted(int(f[1]) for f in recs)
+    # one aligned (mate-unmapped set), one unmapped
+    assert any(f & 0x4 for f in flags) and any(not (f & 0x4) for f in flags)

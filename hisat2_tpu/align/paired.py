@@ -134,7 +134,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                  mixed_al=0, unal=0, mates_al=0)
 
     def qstr(b, i, ln):
-        return "".join(chr(int(x) + 33) for x in b.quals[i, :ln])
+        return (b.quals[i, :ln].astype(np.uint8) + 33).tobytes().decode("ascii")
 
     for i, pr in enumerate(results):
         stats["pairs"] += 1

@@ -256,23 +256,156 @@ class Aligner:
         dp = np.asarray(dp_sc) if dp_sc is not None else None
         merged = self._merge_candidates(B, pos, un_sc, dp)
 
-        lens = batch.lens
-        min_scs = np.ceil(self.scoring.score_min.I
-                          + self.scoring.score_min.S * lens).astype(np.int64)
-        nNs = ((batch.seqs >= 4)
-               & (np.arange(batch.seqs.shape[1])[None, :] < lens[:, None])
-               ).sum(axis=1)
-        max_ns = (self.scoring.n_ceil.I + self.scoring.n_ceil.S * lens)
+        return self._finalize_results(batch, merged)
 
-        results = []
+    def _finalize_results(self, batch: ReadBatch, merged) -> list[ReadResult]:
+        """Vectorized host finalization: primary-winner clips/MD/coords are
+        computed batch-wide with NumPy; only gapped winners, secondaries,
+        and fragment-boundary rejects drop to per-read slow paths."""
+        B = len(batch)
+        L = batch.seqs.shape[1]
+        lens = batch.lens.astype(np.int64)
+        sc = self.scoring
+        min_scs = np.ceil(sc.score_min.I + sc.score_min.S * lens).astype(np.int64)
+        nNs = ((batch.seqs >= 4)
+               & (np.arange(L)[None, :] < lens[:, None])).sum(axis=1)
+        max_ns = sc.n_ceil.I + sc.n_ceil.S * lens
+
+        msc, mpos = merged["score"], merged["pos"]
+        mfw, mgap = merged["fw"], merged["gapped"]
+        filtered = (lens == 0) | (nNs > max_ns)
+        aligned = ~filtered & (msc[:, 0] >= min_scs)
+        nvalid = (msc >= min_scs[:, None]).sum(axis=1)
+        has_sec = ~filtered & (nvalid >= 2)
+
+        # ---- batched primary ungapped finalization ----
+        prim_un = aligned & ~mgap[:, 0]
+        rows = np.flatnonzero(prim_un)
+        fin: dict[int, Alignment] = {}
+        if rows.size:
+            fin = self._finalize_ungapped_rows(
+                batch, rows, mpos[rows, 0], mfw[rows, 0], lens[rows])
+        results: list[ReadResult] = []
         for i in range(B):
-            rdlen = int(lens[i])
-            if rdlen == 0 or nNs[i] > max_ns[i]:
-                results.append(ReadResult(filtered="NS" if rdlen else "LN"))
+            if filtered[i]:
+                results.append(ReadResult(filtered="NS" if lens[i] else "LN"))
                 continue
-            cands = self._ranked_candidates(merged, i, int(min_scs[i]))
-            results.append(self._select(i, batch, cands, int(min_scs[i]), rdlen))
+            if not aligned[i]:
+                results.append(ReadResult())
+                continue
+            res = ReadResult(best=int(msc[i, 0]),
+                             secbest=int(msc[i, 1]) if has_sec[i] else None)
+            a0 = fin.get(i) if not mgap[i, 0] else self._finalize(
+                i, batch, int(msc[i, 0]), int(mpos[i, 0]), bool(mfw[i, 0]),
+                True, int(lens[i]))
+            if a0 is None:  # fragment-boundary reject: try remaining cands
+                cands = self._ranked_candidates(merged, i, int(min_scs[i]))
+                results.append(self._select(i, batch, cands,
+                                            int(min_scs[i]), int(lens[i])))
+                continue
+            res.alns.append(a0)
+            if nvalid[i] > 1 and self.opts.khits > 1:
+                for t in range(1, min(int(nvalid[i]), self.opts.khits)):
+                    a = self._finalize(i, batch, int(msc[i, t]),
+                                       int(mpos[i, t]), bool(mfw[i, t]),
+                                       bool(mgap[i, t]), int(lens[i]))
+                    if a is not None:
+                        res.alns.append(a)
+            results.append(res)
         return results
+
+    def _finalize_ungapped_rows(self, batch, rows, pos, fw, rdlens
+                                ) -> dict[int, Alignment]:
+        """Vectorized clips + mismatch extraction + coordinate mapping for
+        ungapped primary winners. Returns {read_index: Alignment} (reads
+        whose alignment crosses a fragment boundary are omitted)."""
+        sc = self.scoring
+        ref = self.fm.ref
+        R = rows.size
+        L = batch.seqs.shape[1]
+        # read in alignment orientation
+        seqs = batch.seqs[rows].astype(np.int64)
+        quals = np.clip(batch.quals[rows].astype(np.int64), 0, 63)
+        ar = np.arange(L)
+        rcidx = np.clip(rdlens[:, None] - 1 - ar[None, :], 0, L - 1)
+        comp = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(fw[:, None], seqs,
+                      comp[np.take_along_axis(seqs, rcidx, 1)])
+        q = np.where(fw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
+        in_read = ar[None, :] < rdlens[:, None]
+        rd = np.where(in_read, rd, 4)
+        # reference windows (one fancy-gather over the joined text)
+        joined = ref.joined
+        wpos = pos[:, None] + ar[None, :]
+        inb = (wpos >= 0) & (wpos < joined.size)
+        win = np.where(inb, joined[np.clip(wpos, 0, joined.size - 1)], 4
+                       ).astype(np.int64)
+        # per-position scores + clip penalties
+        mm_pens = sc.mm_pens()
+        scp_t = sc.sc_pens()
+        isn = ((rd >= 4) | (win >= 4)) & in_read
+        mm = (rd != win) & ~isn & in_read
+        s = np.where(mm, -mm_pens[q], 0)
+        s = np.where(isn, -sc.n_pen, s)
+        s = s + np.where(~mm & ~isn & in_read, sc.match_bonus, 0)
+        scp = np.where(in_read, scp_t[q], 0)
+        g = s + scp
+        P = np.concatenate([np.zeros((R, 1), np.int64),
+                            np.cumsum(g, axis=1)], axis=1)
+        prefmin = np.minimum.accumulate(P, axis=1)
+        ends = P[:, 1:] - prefmin[:, :-1]
+        ends_m = np.where(in_read, ends, np.int64(-1) << 40)
+        k = (L - 1) - np.argmax(ends_m[:, ::-1], axis=1)
+        Pm = np.where(np.arange(L + 1)[None, :] <= k[:, None], P, np.int64(1) << 40)
+        c5 = np.argmin(Pm, axis=1)
+        best = ends_m[np.arange(R), k]
+        score = best - scp.sum(axis=1)
+        c3 = rdlens - (k + 1)
+        # mismatches inside the aligned region
+        amask = (ar[None, :] >= c5[:, None]) & (ar[None, :] <= k[:, None])
+        mm_all = (mm | isn) & amask
+        nmm = mm_all.sum(axis=1)
+        # coordinates: fragment containment
+        astart = pos + c5
+        span = rdlens - c5 - c3
+        f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
+        ok = (f >= 0) & (span > 0)
+        fc = np.clip(f, 0, len(ref.frag_joined) - 1)
+        ok &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
+        tidx = ref.frag_tidx[fc]
+        toff = ref.frag_toff[fc] + astart - ref.frag_joined[fc]
+
+        mm_rows, mm_cols = np.nonzero(mm_all)
+        out: dict[int, Alignment] = {}
+        ptr = 0
+        for r in range(R):
+            if not ok[r]:
+                continue
+            i = int(rows[r])
+            rl, cc5, cc3 = int(rdlens[r]), int(c5[r]), int(c3[r])
+            mid = rl - cc5 - cc3
+            cigar = ([("S", cc5)] if cc5 else []) + [("M", mid)] \
+                + ([("S", cc3)] if cc3 else [])
+            # MD string from mismatch columns
+            while ptr < mm_rows.size and mm_rows[ptr] < r:
+                ptr += 1
+            cols = []
+            p2 = ptr
+            while p2 < mm_rows.size and mm_rows[p2] == r:
+                cols.append(int(mm_cols[p2]))
+                p2 += 1
+            md_parts = []
+            last = cc5 - 1
+            for cpos in cols:
+                md_parts.append(str(cpos - last - 1))
+                md_parts.append("ACGTN"[int(win[r, cpos])])
+                last = cpos
+            md_parts.append(str(cc5 + mid - 1 - last))
+            out[i] = Alignment(
+                joined_pos=int(astart[r]), fw=bool(fw[r]), score=int(score[r]),
+                cigar=cigar, nmm=int(nmm[r]), md="".join(md_parts),
+                nm=int(nmm[r]), tidx=int(tidx[r]), toff=int(toff[r]))
+        return out
 
     def _merge_candidates(self, B, pos, un_sc, dp):
         """Vectorized merge of fw/rc candidate grids into per-read ranked
@@ -414,7 +547,7 @@ def results_to_sam(batch: ReadBatch, results: list[ReadResult],
         name = batch.names[i]
         rdlen = int(batch.lens[i])
         seq = batch.seqs[i, :rdlen]
-        qual = "".join(chr(int(x) + 33) for x in batch.quals[i, :rdlen])
+        qual = (batch.quals[i, :rdlen].astype(np.uint8) + 33).tobytes().decode("ascii")
         if not res.aligned:
             stats["unal"] += 1
             writer.emit(int(batch.rdids[i]), [samio.format_unaligned(

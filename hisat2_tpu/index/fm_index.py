@@ -64,12 +64,23 @@ class FMIndex:
     def device(self) -> dict:
         """Device-ready arrays (put on default device lazily by jnp ops).
 
+        `sides` interleaves each block's four Occ checkpoints with its 8
+        BWT words ((nblocks, 12) uint32) so one rank touches a single
+        48-byte contiguous stretch of HBM — the TPU analogue of the
+        reference's 64-byte cache-line sides (gfm.h:2958).
+
         Fragment tables ride along so verify kernels can reject candidates
         crossing fragment boundaries (joinedToTextOff semantics, gfm.h:5527).
         """
         import jax.numpy as jnp
         r = self.ref
+        nblocks = self.occ.shape[0] - 1
+        sides = np.empty((nblocks, 4 + WORDS_PER_BLOCK), np.uint32)
+        sides[:, :4] = self.occ[:-1].astype(np.uint32)
+        sides[:, 4:] = self.bwt_packed[: nblocks * WORDS_PER_BLOCK].reshape(
+            nblocks, WORDS_PER_BLOCK)
         return dict(
+            sides=jnp.asarray(sides),
             bwt_packed=jnp.asarray(self.bwt_packed),
             text_packed=jnp.asarray(self.text_packed),
             occ=jnp.asarray(self.occ),

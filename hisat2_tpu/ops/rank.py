@@ -43,18 +43,28 @@ def count_eq_packed(words: jax.Array, c: jax.Array, nsym: jax.Array) -> jax.Arra
 def rank(idx: dict, c: jax.Array, i: jax.Array) -> jax.Array:
     """rank(c, i): #occurrences of symbol c in bwt[0:i).
 
-    c, i: int32 arrays of identical shape. Corrects for the '$' row (stored
-    as symbol 0 at zoff), mirroring the reference's _zOffs handling
+    c, i: int32 arrays of identical shape. One 48-byte contiguous HBM
+    gather per lane: the side row holds the block's 4 Occ checkpoints and
+    its 8 BWT words (fm_index.device "sides" — the reference's cache-line
+    side layout, gfm.h:2958, recast for HBM DMA efficiency). Corrects for
+    the '$' row (stored as symbol 0 at zoff), mirroring _zOffs handling
     (gfm.h:2431).
     """
     c = c.astype(jnp.int32)
     i = i.astype(jnp.int32)
-    blk = i >> _LOG2_BLOCK
-    base = idx["occ"][blk, c]
-    within = i & (OCC_BLOCK - 1)
+    sides = idx["sides"]
+    nblocks = sides.shape[0]
+    blk = jnp.minimum(i >> _LOG2_BLOCK, nblocks - 1)
+    side = sides[blk]                                     # (..., 12)
+    # 4-way select of the checkpoint (minor-axis gathers are slow on TPU)
+    base = jnp.where(
+        c == 0, side[..., 0],
+        jnp.where(c == 1, side[..., 1],
+                  jnp.where(c == 2, side[..., 2], side[..., 3]))
+    ).astype(jnp.int32)
+    within = i - (blk << _LOG2_BLOCK)                     # 0..128
     w = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
-    word_idx = blk[..., None] * WORDS_PER_BLOCK + w
-    words = idx["bwt_packed"][word_idx]
+    words = side[..., 4:]
     nsym = jnp.clip(within[..., None] - _WORD_SYMS * w, 0, _WORD_SYMS)
     cnt = count_eq_packed(words, c[..., None], nsym).sum(axis=-1)
     dollar_fix = ((c == 0) & (i > idx["zoff"])).astype(jnp.int32)

@@ -131,6 +131,23 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     # (hi_aligner.h:3979) — shorter matches occur by chance everywhere and
     # only waste candidate budget
     seg_ok &= hits["len"] >= min_seg_len
+    if "patch_start" in idx and idx["patch_start"].shape[0] > 0:
+        # graph mode: seed occurrences inside variant patch fragments map
+        # back to primary-text coordinates (with the indel shift when the
+        # seed sits right of the variant) before diagonals are formed —
+        # the rest of the pipeline only ever sees genomic coordinates.
+        # Translation uses the OCCURRENCE position (always inside one
+        # patch), not the diagonal origin (which may precede the patch).
+        pn = idx["primary_n"]
+        inpatch = locs >= pn
+        pi = jnp.searchsorted(idx["patch_start"], locs, side="right") - 1
+        pi = jnp.clip(pi, 0, idx["patch_start"].shape[0] - 1)
+        o = locs - idx["patch_start"][pi]
+        shift = jnp.where(o >= idx["patch_vpos"][pi],
+                          idx["patch_shift"][pi], 0)
+        tlocs = idx["patch_ref"][pi] + o + shift
+        locs = jnp.where(inpatch, tlocs, locs)
+
     cand = locs - hits["off"][:, :, None]
     valid = lvalid & seg_ok[:, :, None]
     cand = cand.reshape(R, -1)
@@ -202,6 +219,23 @@ class Aligner:
         # reference _minK: minimum anchor = ceil(log4 |genome|), >= 8
         self.min_seg_len = max(8, int(np.ceil(np.log(max(fm.n, 4))
                                               / np.log(4))))
+        # graph-index extras (SNP-aware scoring)
+        self.overlay = getattr(fm, "snv_overlay", None)
+        if self.overlay is not None and self.overlay.size == 0:
+            self.overlay = None
+        self.snps = getattr(fm, "snps", None)
+        self._del_snps: set[tuple[int, int]] = set()
+        self._ins_snps: dict[int, np.ndarray] = {}
+        if self.snps is not None:
+            from ..io.annotations import SNP_DEL, SNP_INS
+            for si in range(len(self.snps)):
+                t = int(self.snps.types[si])
+                if t == SNP_DEL:
+                    self._del_snps.add((int(self.snps.jpos[si]),
+                                        int(self.snps.lens[si])))
+                elif t == SNP_INS:
+                    self._ins_snps[int(self.snps.jpos[si])] = \
+                        self.snps.ins_seqs[si]
 
     # ---- device orchestration ----
 
@@ -305,12 +339,13 @@ class Aligner:
                 continue
             res.alns.append(a0)
             if nvalid[i] > 1 and self.opts.khits > 1:
-                for t in range(1, min(int(nvalid[i]), self.opts.khits)):
+                for t in range(1, min(int(nvalid[i]), self.opts.khits + 1)):
                     a = self._finalize(i, batch, int(msc[i, t]),
                                        int(mpos[i, t]), bool(mfw[i, t]),
                                        bool(mgap[i, t]), int(lens[i]))
                     if a is not None:
                         res.alns.append(a)
+            _dedup_alns(res, self.opts.khits)
             results.append(res)
         return results
 
@@ -345,9 +380,16 @@ class Aligner:
         scp_t = sc.sc_pens()
         isn = ((rd >= 4) | (win >= 4)) & in_read
         mm = (rd != win) & ~isn & in_read
-        s = np.where(mm, -mm_pens[q], 0)
+        if self.overlay is not None:
+            ov = np.where(inb, self.overlay[np.clip(wpos, 0,
+                                                    joined.size - 1)], 0)
+            snp_free = mm & ((ov == rd + 1) | (ov == 15))
+        else:
+            snp_free = np.zeros_like(mm)
+        mm_sc = mm & ~snp_free                 # penalized mismatches
+        s = np.where(mm_sc, -mm_pens[q], 0)
         s = np.where(isn, -sc.n_pen, s)
-        s = s + np.where(~mm & ~isn & in_read, sc.match_bonus, 0)
+        s = s + np.where(~mm_sc & ~isn & in_read, sc.match_bonus, 0)
         scp = np.where(in_read, scp_t[q], 0)
         g = s + scp
         P = np.concatenate([np.zeros((R, 1), np.int64),
@@ -361,10 +403,11 @@ class Aligner:
         best = ends_m[np.arange(R), k]
         score = best - scp.sum(axis=1)
         c3 = rdlens - (k + 1)
-        # mismatches inside the aligned region
+        # mismatches inside the aligned region: MD shows every diff
+        # (including SNP-allele positions), NM/XM count only penalized ones
         amask = (ar[None, :] >= c5[:, None]) & (ar[None, :] <= k[:, None])
         mm_all = (mm | isn) & amask
-        nmm = mm_all.sum(axis=1)
+        nmm = ((mm_sc | isn) & amask).sum(axis=1)
         # coordinates: fragment containment
         astart = pos + c5
         span = rdlens - c5 - c3
@@ -452,12 +495,13 @@ class Aligner:
         res.best = valid[0][0]
         if len(valid) > 1:
             res.secbest = valid[1][0]
-        for s, p, fw, gapped, row, t in valid[: self.opts.khits]:
+        for s, p, fw, gapped, row, t in valid[: self.opts.khits + 1]:
             aln = self._finalize(i, batch, s, p, fw, gapped, rdlen)
             if aln is not None:
                 res.alns.append(aln)
         if not res.alns:
             return ReadResult()
+        _dedup_alns(res, self.opts.khits)
         return res
 
     def _finalize(self, i, batch, score, pos, fw, gapped, rdlen) -> Alignment | None:
@@ -470,50 +514,192 @@ class Aligner:
             q = q[::-1].copy()
         if not gapped:
             window = ref.get_stretch(pos, rdlen)
-            c5, c3, sub_score = _best_clip(self.scoring, rd, q, window)
+            ovw = self._overlay_window(pos, rdlen)
+            c5, c3, sub_score = _best_clip(self.scoring, rd, q, window, ovw)
             mid = rdlen - c5 - c3
             if mid <= 0:
                 return None
             cigar = ([("S", c5)] if c5 else []) + [("M", mid)] \
                 + ([("S", c3)] if c3 else [])
-            md, nm = samio.make_md(rd[c5:rdlen - c3], window[c5:rdlen - c3],
-                                   [("M", mid)])
+            md, _ = samio.make_md(rd[c5:rdlen - c3], window[c5:rdlen - c3],
+                                  [("M", mid)])
             a_rd, a_rf = rd[c5:rdlen - c3], window[c5:rdlen - c3]
-            mmmask = (a_rd != a_rf) | (a_rd >= 4) | (a_rf >= 4)
-            aln = Alignment(joined_pos=pos + c5, fw=fw, score=score,
-                            cigar=cigar, nmm=int(mmmask.sum()), md=md, nm=nm)
+            diff = (a_rd != a_rf) | (a_rd >= 4) | (a_rf >= 4)
+            if ovw is not None:
+                aov = ovw[c5:rdlen - c3]
+                diff &= ~((aov == a_rd + 1) | (aov == 15))
+            aln = Alignment(joined_pos=pos + c5, fw=fw, score=sub_score,
+                            cigar=cigar, nmm=int(diff.sum()), md=md,
+                            nm=int(diff.sum()))
         else:
-            pad = self.opts.dp_pad
-            wstart = pos - pad
-            W = rdlen + 2 * pad
-            window = ref.get_stretch(wstart, W)
-            s, ref_start, cigar, mds = _sw.dp_traceback(self.scoring, rd, q, window)
-            jpos = wstart + ref_start
-            span = sum(n for op, n in cigar if op in ("M", "D"))
-            md, nm = samio.make_md(rd, window[ref_start:ref_start + span], cigar)
-            nmm = len(mds)
-            gap_opens = sum(1 for op, n in cigar if op in ("I", "D"))
-            gap_exts = sum(n - 1 for op, n in cigar if op in ("I", "D"))
-            aln = Alignment(joined_pos=jpos, fw=fw, score=s, cigar=cigar,
-                            nmm=nmm, gap_opens=gap_opens, gap_exts=gap_exts,
-                            md=md, nm=nm)
+            aln = self._try_snp_indels(rd, q, pos, rdlen, fw)
+            if aln is None:
+                pad = self.opts.dp_pad
+                wstart = pos - pad
+                W = rdlen + 2 * pad
+                window = ref.get_stretch(wstart, W)
+                s, ref_start, cigar, mds = _sw.dp_traceback(
+                    self.scoring, rd, q, window)
+                jpos = wstart + ref_start
+                span = sum(n for op, n in cigar if op in ("M", "D"))
+                md, nm = samio.make_md(rd, window[ref_start:ref_start + span],
+                                       cigar)
+                nmm = len(mds)
+                gap_opens = sum(1 for op, n in cigar if op in ("I", "D"))
+                gap_exts = sum(n - 1 for op, n in cigar if op in ("I", "D"))
+                aln = Alignment(joined_pos=jpos, fw=fw, score=s, cigar=cigar,
+                                nmm=nmm, gap_opens=gap_opens,
+                                gap_exts=gap_exts, md=md, nm=nm)
+                self._adjust_snp_gaps(aln, rd)
         loc = ref.joined_to_text(aln.joined_pos, aln.ref_span)
         if loc is None:
             return None
         aln.tidx, aln.toff = loc
         return aln
 
+    def _adjust_snp_gaps(self, aln: Alignment, rd: np.ndarray) -> None:
+        """Un-penalize DP gaps that exactly match a known DEL/INS SNP
+        (reference graph extension treats ALT-consistent gaps as free and
+        excludes them from NM/XO/XG)."""
+        if not self._del_snps and not self._ins_snps:
+            return
+        sc = self.scoring
+        r = aln.joined_pos
+        c = 0
+        for op, n in aln.cigar:
+            if op == "D":
+                if (r, n) in self._del_snps:
+                    aln.score += sc.read_gap_open() + (n - 1) * sc.read_gap_extend()
+                    aln.nm -= n
+                    aln.gap_opens -= 1
+                    aln.gap_exts -= n - 1
+                r += n
+            elif op == "I":
+                ins = self._ins_snps.get(r)
+                if ins is not None and ins.size == n and \
+                        np.array_equal(rd[c:c + n], ins):
+                    aln.score += sc.ref_gap_open() + (n - 1) * sc.ref_gap_extend()
+                    aln.nm -= n
+                    aln.gap_opens -= 1
+                    aln.gap_exts -= n - 1
+                c += n
+            elif op in ("M", "=", "X"):
+                r += n
+                c += n
+            elif op == "S":
+                c += n
+            elif op == "N":
+                r += n
 
-def _best_clip(scoring, rd: np.ndarray, q: np.ndarray, window: np.ndarray
-               ) -> tuple[int, int, int]:
+    def _overlay_window(self, pos: int, length: int) -> np.ndarray | None:
+        if self.overlay is None:
+            return None
+        out = np.zeros(length, np.uint8)
+        lo, hi = max(0, pos), min(self.overlay.size, pos + length)
+        if hi > lo:
+            out[lo - pos: hi - pos] = self.overlay[lo:hi]
+        return out
+
+    def _try_snp_indels(self, rd, q, pos, rdlen, fw) -> Alignment | None:
+        """Zero-cost known-indel application (graph mode): lay the read on
+        the haplotype with one DEL/INS SNP applied; SNP-consistent gaps
+        cost nothing and are excluded from NM/XO/XG (golden-checked vs
+        hisat2 --snp: e.g. 47M2D53M with AS:i:0 NM:i:0)."""
+        if self.snps is None:
+            return None
+        from ..io.annotations import SNP_DEL, SNP_INS, SNP_SGL
+        snps = self.snps
+        joined = self.fm.ref.joined
+        mm_pens = self.scoring.mm_pens()
+        lo = int(np.searchsorted(snps.jpos, pos + 1))
+        hi = int(np.searchsorted(snps.jpos, pos + rdlen + 32))
+        best: Alignment | None = None
+        for si in range(lo, hi):
+            t = int(snps.types[si])
+            if t == SNP_SGL:
+                continue
+            d = int(snps.lens[si])
+            vp = int(snps.jpos[si])
+            a = vp - pos
+            if a <= 0 or a >= rdlen:
+                continue
+            if t == SNP_DEL:
+                b = rdlen - a
+                span = rdlen + d
+                if pos + span > joined.size:
+                    continue
+                hap = np.concatenate([joined[pos:vp], joined[vp + d:pos + span]])
+                ovw = None
+                if self.overlay is not None:
+                    ovw = np.concatenate([self._overlay_window(pos, a),
+                                          self._overlay_window(vp + d, b)])
+                cigar = [("M", a), ("D", d), ("M", b)]
+            else:
+                ins = snps.ins_seqs[si]
+                if d != ins.size or a + d >= rdlen:
+                    continue
+                if not np.array_equal(rd[a:a + d], ins):
+                    continue
+                b = rdlen - a - d
+                span = rdlen - d
+                hap = np.concatenate([joined[pos:vp], ins, joined[vp:vp + b]])
+                ovw = None
+                if self.overlay is not None:
+                    o1 = self._overlay_window(pos, a)
+                    o2 = self._overlay_window(vp, b)
+                    ovw = np.concatenate([o1, np.zeros(d, np.uint8), o2])
+                cigar = [("M", a), ("I", d), ("M", b)]
+            if hap.size != rdlen:
+                continue
+            diff = (rd != hap) | (rd >= 4) | (hap >= 4)
+            if ovw is not None:
+                diff &= ~((ovw == rd + 1) | (ovw == 15))
+            score = -int(mm_pens[np.clip(q, 0, 63)][diff].sum())
+            if best is not None and score <= best.score:
+                continue
+            footprint = self.fm.ref.get_stretch(pos, span)
+            md, _ = samio.make_md(rd, footprint, cigar)
+            best = Alignment(joined_pos=pos, fw=fw, score=score, cigar=cigar,
+                             nmm=int(diff.sum()), md=md, nm=int(diff.sum()))
+        if best is not None and best.score < self.scoring.min_score(rdlen):
+            return None
+        return best
+
+
+def _dedup_alns(res: ReadResult, khits: int | None = None) -> None:
+    """Distinct-locus dedup after finalization: two candidate diagonals can
+    converge on one final alignment (indel/SNP shifts), which would
+    otherwise fabricate a secondary and an equal second-best score.
+    Re-derives best/secbest from the surviving distinct alignments."""
+    seen = set()
+    out = []
+    for a in sorted(res.alns, key=lambda a: -a.score):
+        k = (a.joined_pos, a.fw, tuple(a.cigar))
+        if k in seen:
+            continue
+        seen.add(k)
+        out.append(a)
+    res.alns = out
+    if out:
+        res.best = out[0].score
+        res.secbest = out[1].score if len(out) > 1 else None
+    if khits is not None:
+        res.alns = res.alns[:khits]
+
+
+def _best_clip(scoring, rd: np.ndarray, q: np.ndarray, window: np.ndarray,
+               ovw: np.ndarray | None = None) -> tuple[int, int, int]:
     """Optimal 5'/3' soft-clip lengths for an ungapped placement (host
-    mirror of the max-subarray scorer in ops/extend.py). Returns
+    mirror of the max-subarray scorer in ops/extend.py; `ovw` is the SNV
+    overlay window for graph-mode free alt-allele matches). Returns
     (clip5, clip3, score)."""
     L = rd.size
     mm_pens = scoring.mm_pens()
     scp = scoring.sc_pens()[np.clip(q, 0, 63)].astype(np.int64)
     isn = (rd >= 4) | (window >= 4)
     mm = (rd != window) & ~isn
+    if ovw is not None:
+        mm &= ~((ovw == rd + 1) | (ovw == 15))
     s = np.where(mm, -mm_pens[np.clip(q, 0, 63)], 0)
     s = np.where(isn, -scoring.n_pen, s)
     s = s + np.where(~mm & ~isn, scoring.match_bonus, 0)

@@ -46,9 +46,9 @@ def main(argv=None) -> int:
             w(f"Sequence-{i+1}\t{n}\t{int(l)}\n")
         return 0
     if args.snp:
-        alts = getattr(fm, "alts", None)
-        if alts is not None:
-            for line in alts.to_snp_lines(ref):
+        snps = getattr(fm, "snps", None)
+        if snps is not None:
+            for line in snps.to_snp_lines(ref):
                 w(line + "\n")
         return 0
 

@@ -117,6 +117,9 @@ class FMIndex:
     def load(prefix: str) -> "FMIndex":
         with open(prefix + ".meta.json") as fh:
             meta = json.load(fh)
+        if meta.get("graph"):
+            from .graph_index import GraphFMIndex
+            return GraphFMIndex.load(prefix)
         if meta["version"] != FORMAT_VERSION:
             raise ValueError(f"index format version {meta['version']} != {FORMAT_VERSION}")
         z = np.load(prefix + ".npz")

@@ -65,6 +65,16 @@ def verify_ungapped(idx: dict, sctab: dict,
     mm = (rd != ref) & ~rd_n & ~rf_n & in_read
     mtch = (rd == ref) & ~rd_n & in_read
 
+    if "snv_packed" in idx:
+        # graph mode: a mismatch whose read base is a known alt allele is a
+        # free SNP edit (reference graph alignment: ALT-compatible bases
+        # cost nothing, excluded from NM/XM — golden-checked vs
+        # hisat2-align-s on an --snp index)
+        ov = _rank.nib4_window(idx, cand_pos.reshape(-1), L).reshape(B, K, L)
+        snp_free = mm & ((ov == rd + 1) | (ov == 15))
+        mm = mm & ~snp_free
+        mtch = mtch | snp_free
+
     mm_pen = sctab["mm_pens"][q.clip(0, 63)]   # (B, 1, L)
     s = (jnp.where(mtch, sctab["match_bonus"], 0)
          - jnp.where(mm, mm_pen, 0)

@@ -95,6 +95,30 @@ def packed_char(packed: jax.Array, pos: jax.Array) -> jax.Array:
     return ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
 
 
+def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
+    """SNV-overlay window: 4-bit nibbles over the primary text (graph
+    index), same shift-aligned gather pattern as text_window. Positions
+    outside [0, primary_n) come back 0 (no SNV)."""
+    start = start.astype(jnp.int32)
+    nw = (length + 7) // 8
+    packed = idx["snv_packed"]
+    cs = jnp.clip(start, 0, None)
+    base = cs >> 3
+    sh = (4 * (cs & 7)).astype(jnp.uint32)
+    widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
+    words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]
+    lo = words[..., :nw] >> sh[..., None]
+    hi = jnp.where(sh[..., None] == 0, jnp.uint32(0),
+                   words[..., 1:] << (jnp.uint32(32) - sh)[..., None])
+    aligned = lo | hi
+    shifts = (4 * jnp.arange(8, dtype=jnp.uint32))
+    nibs = ((aligned[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.int32)
+    out = nibs.reshape(*nibs.shape[:-2], nw * 8)[..., :length]
+    pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
+    inb = (pos >= 0) & (pos < idx["primary_n"])
+    return jnp.where(inb, out, 0)
+
+
 def bwt_char(idx: dict, r: jax.Array) -> jax.Array:
     """BWT symbol at row r (callers must special-case r == zoff)."""
     return packed_char(idx["bwt_packed"], r)

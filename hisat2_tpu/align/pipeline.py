@@ -51,6 +51,13 @@ class AlignerOpts:
     fr: str = "fr"                 # --fr/--rf/--ff
     no_mixed: bool = False
     no_discordant: bool = False
+    # spliced alignment (RNA mode — the reference default; DNA is
+    # --no-spliced-alignment)
+    spliced: bool = False
+    min_intron: int = 20           # --min-intronlen
+    max_intron: int = 500000       # --max-intronlen
+    pairs_per_read: int = 8        # junction diagonal-pairs explored
+    no_temp_splicesite: bool = False  # disable novel-site reuse
 
 
 @dataclass
@@ -68,6 +75,7 @@ class Alignment:
     n_refns: int = 0
     tidx: int = -1
     toff: int = -1
+    xs_strand: str | None = None   # splice strand (XS:A)
 
     @property
     def ref_span(self) -> int:
@@ -224,6 +232,8 @@ class Aligner:
         if self.overlay is not None and self.overlay.size == 0:
             self.overlay = None
         self.snps = getattr(fm, "snps", None)
+        from .splice_db import SpliceSiteDB
+        self.ssdb = SpliceSiteDB()
         self._del_snps: set[tuple[int, int]] = set()
         self._ins_snps: dict[int, np.ndarray] = {}
         if self.snps is not None:
@@ -289,8 +299,190 @@ class Aligner:
         un_sc = np.asarray(st["score"])
         dp = np.asarray(dp_sc) if dp_sc is not None else None
         merged = self._merge_candidates(B, pos, un_sc, dp)
-
+        if self.opts.spliced:
+            n_ss = len(self.ssdb)
+            self._splice_rescue(batch, merged)
+            # second pass: junctions discovered above (or in previous
+            # batches) unlock short-anchor reads via known-site pairs —
+            # the batched counterpart of the reference's cross-thread
+            # novel-splice-site sharing (hisat2.cpp:3285-3308, P5)
+            if len(self.ssdb) != n_ss:
+                self._splice_rescue(batch, merged)
         return self._finalize_results(batch, merged)
+
+    # ---- spliced rescue (RNA mode) ----
+
+    def _splice_rescue(self, batch: ReadBatch, merged) -> None:
+        """Junction search for reads whose contiguous alignment is poor:
+        enumerate same-orientation diagonal pairs from the candidate lists,
+        score the best junction per pair on device (ops/splice.py), and
+        attach winning spliced candidates to `merged['splice']`."""
+        from ..ops import splice as _splice
+        o = self.opts
+        lens = batch.lens.astype(np.int64)
+        # trigger: any imperfect contiguous alignment — a clip or mismatch
+        # may hide a penalty-free junction (canonical splice costs only the
+        # intron-length term, usually 0)
+        perfect = (self.scoring.match_bonus * lens).astype(np.int64)
+        trigger = np.flatnonzero(merged["score"][:, 0] < perfect)
+        if trigger.size == 0:
+            return
+        sc, pos = merged["score"], merged["pos"]
+        fw = merged["fw"]
+        lanes = []        # (read_i, posA, posB, fw)
+        for i in trigger:
+            cands = []
+            seen = set()
+            for t in range(sc.shape[1]):
+                if sc[i, t] <= NEG_INF // 2:
+                    continue
+                key = (int(pos[i, t]), bool(fw[i, t]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                cands.append(key)
+            # known-site-driven pairs first: a single anchored diagonal
+            # plus a known junction inside the read span implies the other
+            # diagonal even when the far anchor is too short to seed
+            pairs = []
+            kl, kr = self.ssdb.lefts_rights()
+            if kl.size:
+                rl = int(lens[i])
+                kr_sorted, kl_by_r = self.ssdb.rights_sorted()
+                for pa, fa in cands:
+                    lo = np.searchsorted(kl, pa)
+                    hi = np.searchsorted(kl, pa + rl - 1)
+                    for si in range(lo, min(hi, lo + 4)):
+                        pb = int(kr[si]) - (int(kl[si]) - pa + 1)
+                        if pb > pa:
+                            pairs.append((pa, pb, fa))
+                    # downstream anchor: sites whose right lands in span
+                    lo2 = np.searchsorted(kr_sorted, pa)
+                    hi2 = np.searchsorted(kr_sorted, pa + rl)
+                    for si in range(lo2, min(hi2, lo2 + 4)):
+                        intron = int(kr_sorted[si]) - int(kl_by_r[si]) - 1
+                        pA2 = pa - intron
+                        if pA2 < pa:
+                            pairs.append((pA2, pa, fa))
+            for pa, fa in cands:
+                for pb, fb in cands:
+                    if fa != fb:
+                        continue
+                    d = pb - pa
+                    if o.min_intron <= d <= o.max_intron:
+                        pairs.append((pa, pb, fa))
+            seenp = set()
+            for pa, pb, fa in pairs:
+                if (pa, pb, fa) in seenp:
+                    continue
+                seenp.add((pa, pb, fa))
+                if len(seenp) > o.pairs_per_read:
+                    break
+                lanes.append((int(i), pa, pb, fa))
+        if not lanes:
+            return
+        P = len(lanes)
+        pad = (-P) % 32
+        lanes_p = lanes + [lanes[0]] * pad
+        L = batch.seqs.shape[1]
+        ridx = np.asarray([l[0] for l in lanes_p], np.int32)
+        posA = np.asarray([l[1] for l in lanes_p], np.int32)
+        posB = np.asarray([l[2] for l in lanes_p], np.int32)
+        lfw = np.asarray([l[3] for l in lanes_p], bool)
+        # reads in alignment orientation
+        seqs = batch.seqs[ridx].astype(np.int64)
+        quals = np.clip(batch.quals[ridx].astype(np.int64), 0, 63)
+        rls = lens[ridx]
+        ar = np.arange(L)
+        rcidx = np.clip(rls[:, None] - 1 - ar[None, :], 0, L - 1)
+        comp = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(lfw[:, None], seqs,
+                      comp[np.take_along_axis(seqs, rcidx, 1)])
+        rd = np.where(ar[None, :] < rls[:, None], rd, 4)
+        q = np.where(lfw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
+
+        kleft, kright = self.ssdb.device_arrays()
+        res = _splice.junction_score(
+            self.idx, self.sctab, jnp.asarray(rd), jnp.asarray(q),
+            jnp.asarray(rls.astype(np.int32)), jnp.asarray(posA),
+            jnp.asarray(posB), kleft, kright)
+        jsc = np.asarray(res["score"])[:P]
+        jj = np.asarray(res["j"])[:P]
+        jstr = np.asarray(res["strand"])[:P]
+        jcan = np.asarray(res["canon"])[:P]
+
+        spl: dict[int, list] = merged.setdefault("splice", {})
+        for k, (i, pa, pb, fa) in enumerate(lanes):
+            min_sc = int(np.ceil(self.scoring.score_min.I
+                                 + self.scoring.score_min.S * lens[i]))
+            if jsc[k] < min_sc or jstr[k] == 0:
+                continue
+            c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=bool(fa),
+                     j=int(jj[k]), delta=pb - pa,
+                     strand="+" if jstr[k] == 1 else "-", canon=int(jcan[k]))
+            cur = spl.setdefault(i, [])
+            if any(x["posA"] == pa and x["posB"] == pb and x["fw"] == fa
+                   for x in cur):
+                continue
+            cur.append(c)
+            # publish confidently-discovered canonical junctions so later
+            # reads (and the second pass) can use them as known sites
+            if (not self.opts.no_temp_splicesite and c["canon"] == 2
+                    and c["score"] >= min_sc):
+                self.ssdb.add_novel(pa + c["j"] - 1, pb + c["j"], c["strand"])
+        for i in list(spl):
+            spl[i].sort(key=lambda c: -c["score"])
+
+    def _finalize_spliced(self, i, batch, c: dict, rdlen: int
+                          ) -> Alignment | None:
+        """Materialize a spliced candidate: CIGAR aM / deltaN / bM, MD over
+        both exon windows, XS:A strand (sam.h:930-940)."""
+        ref = self.fm.ref
+        rd = batch.seqs[i, :rdlen].astype(np.uint8)
+        if not c["fw"]:
+            rd = alphabet.revcomp(rd)
+        j, delta = c["j"], c["delta"]
+        winA = ref.get_stretch(c["posA"], j)
+        winB = ref.get_stretch(c["posB"] + j, rdlen - j)
+        win = np.concatenate([winA, winB])
+        md, nm = samio.make_md(rd, win, [("M", rdlen)])
+        cigar = [("M", j), ("N", delta), ("M", rdlen - j)]
+        aln = Alignment(joined_pos=c["posA"], fw=c["fw"], score=c["score"],
+                        cigar=cigar, nmm=nm, md=md, nm=nm,
+                        xs_strand=c["strand"])
+        loc = ref.joined_to_text(aln.joined_pos, aln.ref_span)
+        if loc is None:
+            return None
+        aln.tidx, aln.toff = loc
+        if not self.opts.no_temp_splicesite and c["canon"] == 2:
+            self.ssdb.add_novel(c["posA"] + j - 1, c["posB"] + j, c["strand"])
+        return aln
+
+    def _select_with_splice(self, i, batch, merged, spl_cands, min_sc,
+                            rdlen) -> ReadResult:
+        """Slow-path selection mixing contiguous and spliced candidates."""
+        res = ReadResult()
+        reg = self._ranked_candidates(merged, i, min_sc)
+        entries = [(s, ("reg", (p, fw, gapped))) for s, p, fw, gapped, _, _
+                   in reg]
+        entries += [(c["score"], ("spl", c)) for c in spl_cands]
+        entries.sort(key=lambda e: -e[0])
+        if not entries or entries[0][0] < min_sc:
+            return res
+        for s, (kind, data) in entries[: self.opts.khits + 1]:
+            if s < min_sc:
+                break
+            if kind == "reg":
+                p, fw, gapped = data
+                a = self._finalize(i, batch, s, p, fw, gapped, rdlen)
+            else:
+                a = self._finalize_spliced(i, batch, data, rdlen)
+            if a is not None:
+                res.alns.append(a)
+        if not res.alns:
+            return res
+        _dedup_alns(res, self.opts.khits)
+        return res
 
     def _finalize_results(self, batch: ReadBatch, merged) -> list[ReadResult]:
         """Vectorized host finalization: primary-winner clips/MD/coords are
@@ -319,10 +511,16 @@ class Aligner:
         if rows.size:
             fin = self._finalize_ungapped_rows(
                 batch, rows, mpos[rows, 0], mfw[rows, 0], lens[rows])
+        spl = merged.get("splice", {})
         results: list[ReadResult] = []
         for i in range(B):
             if filtered[i]:
                 results.append(ReadResult(filtered="NS" if lens[i] else "LN"))
+                continue
+            if i in spl and (not aligned[i]
+                             or spl[i][0]["score"] > msc[i, 0]):
+                results.append(self._select_with_splice(
+                    i, batch, merged, spl[i], int(min_scs[i]), int(lens[i])))
                 continue
             if not aligned[i]:
                 results.append(ReadResult())
@@ -755,6 +953,7 @@ def results_to_sam(batch: ReadBatch, results: list[ReadResult],
                 nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
                 md=aln.md, nm=aln.nm,
                 zs=res.secbest if res.secbest is not None else None,
+                xs_strand=aln.xs_strand,
                 nh=nh, secondary=k > 0)
             lines.append(samio.format_aligned(name, seq, qual, rec))
         writer.emit(int(batch.rdids[i]), lines)

@@ -1,0 +1,101 @@
+"""Splice-site database (host side).
+
+Equivalent role to the reference's SpliceSiteDB (splice_site.h:519): known
+sites loaded from a `.ss` file (or GTF via the extract tool), novel sites
+discovered at runtime and shared across subsequent batches — the batched
+replacement for the reference's mutex-guarded cross-thread sharing with a
+read-id skew window (hisat2.cpp:3285-3308): discoveries merge at batch
+boundaries, deterministically.
+
+Sites are keyed in joined-text coordinates: left = last base of the
+upstream exon, right = first base of the downstream exon.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SpliceSiteDB:
+    def __init__(self):
+        self.known: set[tuple[int, int]] = set()         # (left, right)
+        self.novel: dict[tuple[int, int], int] = {}      # -> support count
+        self.strands: dict[tuple[int, int], str] = {}
+        self._keys_cache: np.ndarray | None = None
+        self._dirty = True
+
+    # ---- ingestion ----
+
+    def add_known(self, left: int, right: int, strand: str = ".") -> None:
+        self.known.add((left, right))
+        self.strands[(left, right)] = strand
+        self._dirty = True
+
+    def load_ss_file(self, path, ref) -> int:
+        """Load a .ss file (chrom, left, right, strand — exon boundary
+        coords) mapping to joined offsets."""
+        from ..io.annotations import read_splice_sites
+        n = 0
+        for s in read_splice_sites(path):
+            try:
+                tidx = ref.names.index(s.chrom)
+            except ValueError:
+                continue
+            jl = ref.text_to_joined(tidx, s.left)
+            jr = ref.text_to_joined(tidx, s.right)
+            if jl is None or jr is None:
+                continue
+            self.add_known(jl, jr, s.strand)
+            n += 1
+        return n
+
+    def add_novel(self, left: int, right: int, strand: str) -> None:
+        k = (left, right)
+        self.novel[k] = self.novel.get(k, 0) + 1
+        self.strands.setdefault(k, strand)
+        self._dirty = True
+
+    # ---- device view ----
+
+    def _sorted_pairs(self) -> np.ndarray:
+        if self._dirty or self._keys_cache is None:
+            pairs = sorted(set(self.known) | set(self.novel))
+            self._keys_cache = (np.asarray(pairs, np.int64).reshape(-1, 2)
+                                if pairs else np.zeros((0, 2), np.int64))
+            self._dirty = False
+        return self._keys_cache
+
+    def device_arrays(self):
+        """(left, right) int32 arrays sorted lexicographically by (left,
+        right), for the junction kernel's known-site check."""
+        import jax.numpy as jnp
+        arr = self._sorted_pairs()
+        return (jnp.asarray(arr[:, 0].astype(np.int32)),
+                jnp.asarray(arr[:, 1].astype(np.int32)))
+
+    def lefts_rights(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host view for known-site-driven pair generation."""
+        arr = self._sorted_pairs()
+        return arr[:, 0], arr[:, 1]
+
+    def rights_sorted(self) -> tuple[np.ndarray, np.ndarray]:
+        """(rights sorted asc, matching lefts) — for downstream-anchor
+        lookups."""
+        arr = self._sorted_pairs()
+        order = np.argsort(arr[:, 1], kind="stable")
+        return arr[order, 1], arr[order, 0]
+
+    def __len__(self) -> int:
+        return len(self.known) + len(self.novel)
+
+    # ---- persistence (--novel-splicesite-outfile equivalent) ----
+
+    def write_novel(self, path, ref) -> None:
+        with open(path, "w") as fh:
+            for (l, r), cnt in sorted(self.novel.items()):
+                locl = ref.joined_to_text(l)
+                locr = ref.joined_to_text(r)
+                if locl is None or locr is None:
+                    continue
+                fh.write(f"{ref.names[locl[0]]}\t{locl[1]}\t{locr[1]}\t"
+                         f"{self.strands.get((l, r), '.')}\n")

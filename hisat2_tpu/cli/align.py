@@ -38,6 +38,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--no-mixed", action="store_true")
     ap.add_argument("--no-discordant", action="store_true")
     ap.add_argument("--no-spliced-alignment", action="store_true")
+    ap.add_argument("--min-intronlen", type=int, default=20)
+    ap.add_argument("--max-intronlen", type=int, default=500000)
+    ap.add_argument("--known-splicesite-infile", default=None)
+    ap.add_argument("--novel-splicesite-outfile", default=None)
+    ap.add_argument("--novel-splicesite-infile", default=None)
+    ap.add_argument("--no-temp-splicesite", action="store_true")
+    ap.add_argument("--dta", "--downstream-transcriptome-assembly",
+                    action="store_true", dest="dta")
     ap.add_argument("--no-head", action="store_true")
     ap.add_argument("--reorder", action="store_true")
     ap.add_argument("--phred64", action="store_true")
@@ -83,8 +91,17 @@ def main(argv=None) -> int:
     opts = AlignerOpts(khits=args.khits, minins=args.minins,
                        maxins=args.maxins, fr=args.orient,
                        no_mixed=args.no_mixed,
-                       no_discordant=args.no_discordant)
+                       no_discordant=args.no_discordant,
+                       spliced=not args.no_spliced_alignment,
+                       min_intron=args.min_intronlen,
+                       max_intron=args.max_intronlen,
+                       no_temp_splicesite=args.no_temp_splicesite)
     al = Aligner(fm, Scoring(), opts)
+    for p in (args.known_splicesite_infile, args.novel_splicesite_infile):
+        if p:
+            n = al.ssdb.load_ss_file(p, fm.ref)
+            if not args.quiet:
+                print(f"  loaded {n} splice sites from {p}", file=sys.stderr)
 
     out = open(args.output, "w") if args.output else sys.stdout
     writer = samio.SamWriter(
@@ -135,6 +152,8 @@ def main(argv=None) -> int:
         return 1
 
     writer.flush()
+    if args.novel_splicesite_outfile:
+        al.ssdb.write_novel(args.novel_splicesite_outfile, fm.ref)
     if out is not sys.stdout:
         out.close()
     _print_summary(args, totals, nreads, time.time() - t0)

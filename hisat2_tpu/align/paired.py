@@ -68,62 +68,109 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
     pos2, sc2, d2 = arr(st2, dp2)
     m1 = aligner._merge_candidates(B, pos1, sc1, d1)
     m2 = aligner._merge_candidates(B, pos2, sc2, d2)
+    if o.spliced:
+        n_ss = len(aligner.ssdb)
+        aligner._splice_rescue(b1, m1)
+        aligner._splice_rescue(b2, m2)
+        if len(aligner.ssdb) != n_ss:   # second pass with shared sites (P5)
+            aligner._splice_rescue(b1, m1)
+            aligner._splice_rescue(b2, m2)
+
+    def mate_cands(m, batch, i, min_sc, rdlen):
+        """Per-mate candidate dicts (regular + spliced), best first."""
+        cs = []
+        for s, p, fw, gapped, *_ in aligner._ranked_candidates(
+                m, i, min_sc, limit=o.top_cands):
+            cs.append(dict(score=s, pos=p, fw=fw, kind="reg", gapped=gapped,
+                           extent=rdlen))
+        for c in m.get("splice", {}).get(i, []):
+            if c["score"] >= min_sc:
+                cs.append(dict(score=c["score"], pos=c["posA"], fw=c["fw"],
+                               kind="spl", c=c, extent=rdlen + c["delta"]))
+        cs.sort(key=lambda x: -x["score"])
+        return cs[:o.top_cands]
+
+    def finalize(batch, i, c, rdlen):
+        if c["kind"] == "spl":
+            return aligner._finalize_spliced(i, batch, c["c"], rdlen)
+        return aligner._finalize(i, batch, c["score"], c["pos"], c["fw"],
+                                 c["gapped"], rdlen)
 
     out: list[PairResult] = []
     for i in range(B):
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         min1 = aligner.scoring.min_score(l1)
         min2 = aligner.scoring.min_score(l2)
-        c1 = aligner._ranked_candidates(m1, i, min1, limit=o.top_cands)
-        c2 = aligner._ranked_candidates(m2, i, min2, limit=o.top_cands)
+        c1 = mate_cands(m1, b1, i, min1, l1)
+        c2 = mate_cands(m2, b2, i, min2, l2)
 
         pr = PairResult()
         # ---- concordant search over the combo grid ----
         combos = []
-        for s1, p1, f1, g1, *_ in c1:
-            for s2, p2, f2, g2, *_ in c2:
-                ok, frag = _concordant(f1, p1, l1, f2, p2, l2,
+        for x1 in c1:
+            for x2 in c2:
+                ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
+                                       x2["fw"], x2["pos"], x2["extent"],
                                        o.minins, o.maxins, o.fr)
                 if ok:
-                    combos.append((s1 + s2, (s1, p1, f1, g1), (s2, p2, f2, g2)))
+                    combos.append((x1["score"] + x2["score"], x1, x2))
         if combos:
             combos.sort(key=lambda x: -x[0])
             total, w1, w2 = combos[0]
-            a1 = aligner._finalize(i, b1, w1[0], w1[1], w1[2], w1[3], l1)
-            a2 = aligner._finalize(i, b2, w2[0], w2[1], w2[2], w2[3], l2)
+            a1 = finalize(b1, i, w1, l1)
+            a2 = finalize(b2, i, w2, l2)
             if a1 is not None and a2 is not None and a1.tidx == a2.tidx:
                 pr.kind = "concordant"
                 pr.aln1, pr.aln2 = a1, a2
                 pr.best = total
                 # second-best distinct concordant pair
                 for t, x1, x2 in combos[1:]:
-                    if (x1[1], x2[1]) != (w1[1], w2[1]):
+                    if (x1["pos"], x2["pos"]) != (w1["pos"], w2["pos"]):
                         pr.secbest = t
                         break
                 out.append(pr)
                 continue
         # ---- discordant: both mates unique ----
         if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
-                and (len(c1) == 1 or c1[0][0] > c1[1][0])
-                and (len(c2) == 1 or c2[0][0] > c2[1][0])):
-            w1, w2 = c1[0], c2[0]
-            a1 = aligner._finalize(i, b1, w1[0], w1[1], w1[2], w1[3], l1)
-            a2 = aligner._finalize(i, b2, w2[0], w2[1], w2[2], w2[3], l2)
+                and (len(c1) == 1 or c1[0]["score"] > c1[1]["score"])
+                and (len(c2) == 1 or c2[0]["score"] > c2[1]["score"])):
+            a1 = finalize(b1, i, c1[0], l1)
+            a2 = finalize(b2, i, c2[0], l2)
             if a1 is not None and a2 is not None:
                 pr.kind = "discordant"
                 pr.aln1, pr.aln2 = a1, a2
-                pr.best = w1[0] + w2[0]
+                pr.best = c1[0]["score"] + c2[0]["score"]
                 out.append(pr)
                 continue
         # ---- mixed: report mates individually ----
         if not o.no_mixed:
             pr.kind = "mixed"
-            pr.res1 = aligner._select(i, b1, c1, min1, l1)
-            pr.res2 = aligner._select(i, b2, c2, min2, l2)
+            pr.res1 = _mate_result(aligner, b1, i, c1, min1, l1, finalize)
+            pr.res2 = _mate_result(aligner, b2, i, c2, min2, l2, finalize)
             if not pr.res1.aligned and not pr.res2.aligned:
                 pr.kind = "unal"
         out.append(pr)
     return out
+
+
+def _mate_result(aligner, batch, i, cands, min_sc, rdlen, finalize
+                 ) -> ReadResult:
+    from .pipeline import _dedup_alns
+    res = ReadResult()
+    valid = [c for c in cands if c["score"] >= min_sc]
+    if not valid:
+        return res
+    res.best = valid[0]["score"]
+    if len(valid) > 1:
+        res.secbest = valid[1]["score"]
+    for c in valid[: aligner.opts.khits + 1]:
+        a = finalize(batch, i, c, rdlen)
+        if a is not None:
+            res.alns.append(a)
+    if not res.alns:
+        return ReadResult()
+    _dedup_alns(res, aligner.opts.khits)
+    return res
 
 
 def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
@@ -168,7 +215,33 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
             c25, c23 = clips(a2)
             left = min(a1.toff - c15, a2.toff - c25)
             right = max(a1.toff + a1.ref_span + c13, a2.toff + a2.ref_span + c23)
-            tl = right - left
+            # template-length adjustment: introns don't count toward TLEN
+            # (reference setMateParams with templateLenAdjustment; shared
+            # splice sites between mates count once)
+            introns = set()
+            for a in (a1, a2):
+                r = a.toff
+                for op, n in a.cigar:
+                    if op == "N":
+                        introns.add((r, n))
+                    if op in ("M", "D", "N", "=", "X"):
+                        r += n
+            # known/discovered introns between the mates also shrink TLEN
+            # (reference setMateParams consults SpliceSiteDB for the gap)
+            inner_l = min(a1.toff + a1.ref_span, a2.toff + a2.ref_span)
+            inner_r = max(a1.toff, a2.toff)
+            if inner_r > inner_l and len(aligner.ssdb):
+                kl, kr = aligner.ssdb.lefts_rights()
+                jl = aligner.fm.ref.text_to_joined(a1.tidx, inner_l)
+                if jl is not None:
+                    goff = inner_l - jl   # joined = text - goff on this frag
+                    lo = np.searchsorted(kl, inner_l - goff)
+                    hi = np.searchsorted(kl, inner_r - goff)
+                    for si in range(lo, hi):
+                        if kr[si] <= inner_r - goff:
+                            introns.add((int(kl[si]) + goff + 1,
+                                         int(kr[si] - kl[si] - 1)))
+            tl = right - left - sum(n for _, n in introns)
             t1 = tl if a1.toff <= a2.toff else -tl
             yt = "CP" if conc else "DP"
             lines = []
@@ -180,6 +253,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                     cigar=a.cigar, score=a.score, nmm=a.nmm,
                     gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
                     nm=a.nm, yt=yt, nh=1, paired=True, mate1=mate1,
+                    xs_strand=a.xs_strand,
                     proper_pair=conc, mate_mapped=True,
                     mate_rname=ref.names[other.tidx], mate_pos=other.toff,
                     mate_fw=other.fw, tlen=t)
@@ -210,6 +284,7 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                     cigar=a.cigar, score=a.score, nmm=a.nmm,
                     gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
                     nm=a.nm, zs=res.secbest, yt="UP", nh=len(res.alns),
+                    xs_strand=a.xs_strand,
                     paired=True, mate1=mate1,
                     mate_mapped=oa is not None,
                     mate_rname=ref.names[oa.tidx] if oa else None,

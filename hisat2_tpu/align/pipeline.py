@@ -445,10 +445,36 @@ class Aligner:
         winA = ref.get_stretch(c["posA"], j)
         winB = ref.get_stretch(c["posB"] + j, rdlen - j)
         win = np.concatenate([winA, winB])
-        md, nm = samio.make_md(rd, win, [("M", rdlen)])
-        cigar = [("M", j), ("N", delta), ("M", rdlen - j)]
-        aln = Alignment(joined_pos=c["posA"], fw=c["fw"], score=c["score"],
-                        cigar=cigar, nmm=nm, md=md, nm=nm,
+        # recover optimal outer soft clips (mirrors the kernel's clip-aware
+        # prefix/suffix cummins)
+        q = batch.quals[i, :rdlen].astype(np.int64)
+        if not c["fw"]:
+            q = q[::-1].copy()
+        mm_pens = self.scoring.mm_pens()
+        isn = (rd >= 4) | (win >= 4)
+        mm = (rd != win) & ~isn
+        s = np.where(mm, -mm_pens[np.clip(q, 0, 63)], 0)
+        s = np.where(isn, -self.scoring.n_pen, s)
+        scp = self.scoring.sc_pens()[np.clip(q, 0, 63)].astype(np.int64)
+        A = np.concatenate([[0], np.cumsum(s)])
+        SCP = np.concatenate([[0], np.cumsum(scp)])
+        c5 = int(np.argmin((A + SCP)[: j + 1]))
+        # end e >= j maximizing exon2 score - trailing clip; ties toward
+        # larger e (fewer clipped bases)
+        vals = (A[j:] - A[j]) - (SCP[-1] - SCP[j:])
+        e = rdlen - int(np.argmax(vals[::-1]))
+        c3 = rdlen - e
+        if j - c5 <= 0 or e - j <= 0:
+            c5, c3, e = 0, 0, rdlen
+        mid_mask = np.zeros(rdlen, bool)
+        mid_mask[c5:e] = True
+        nm = int(((mm | isn) & mid_mask).sum())
+        md, _ = samio.make_md(rd[c5:e], win[c5:e], [("M", e - c5)])
+        cigar = ([("S", c5)] if c5 else []) + [("M", j - c5), ("N", delta),
+                                               ("M", e - j)] \
+            + ([("S", c3)] if c3 else [])
+        aln = Alignment(joined_pos=c["posA"] + c5, fw=c["fw"],
+                        score=c["score"], cigar=cigar, nmm=nm, md=md, nm=nm,
                         xs_strand=c["strand"])
         loc = ref.joined_to_text(aln.joined_pos, aln.ref_span)
         if loc is None:

@@ -83,12 +83,22 @@ def junction_score(idx: dict, sctab: dict,
 
     sA = pos_scores(winA[:, :L])
     sB = pos_scores(winB)
-    # prefix[j] = score of read[0:j] on A;  suffix[j] = read[j:] on B
-    prefix = jnp.concatenate(
+    # clip-aware prefix/suffix (reference allows soft clips at the outer
+    # read ends of a spliced alignment too, e.g. 1S98M200N1M):
+    #   prefix[j] = max_{c5<=j} sum sA[c5:j] - SCP[c5]  (cummin trick)
+    #   suffix[j] = max_{e>=j}  sum sB[j:e]  - (SCP[L]-SCP[e])
+    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)
+    SCP = jnp.concatenate(
+        [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(scp, axis=1)], axis=1)
+    A = jnp.concatenate(
         [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(sA, axis=1)], axis=1)
-    suffix_total = jnp.sum(sB, axis=1, keepdims=True)
-    suffix = suffix_total - jnp.concatenate(
+    prefix = A - lax.cummin(A + SCP, axis=1)
+    SB = jnp.concatenate(
         [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(sB, axis=1)], axis=1)
+    sufsum = SB[:, -1:] - SB                          # sum sB[j:]
+    tailclip = SCP[:, -1:] - SCP
+    # max over e>=j of (sufsum[j]-sufsum[e]) - tailclip[e]
+    suffix = sufsum - lax.cummin((sufsum + tailclip)[:, ::-1], axis=1)[:, ::-1]
     base = prefix + suffix                           # (C, L+1), junction at j
 
     jcol = jnp.arange(L + 1, dtype=jnp.int32)[None, :]

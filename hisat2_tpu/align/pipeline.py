@@ -260,22 +260,21 @@ class Aligner:
                                self.min_seg_len)
         dp_sc = None
         if not o.no_dp:
-            # Gapped rescue only for reads that would otherwise go
-            # unaligned: an indel read's ungapped score collapses (every
-            # position past the gap mismatches), while mismatch-only reads
-            # keep a passing score and never need DP. Triggered rows are
-            # compacted into a fixed-size buffer so the expensive DP shape
-            # stays static and small.
+            # Gapped rescue for reads whose best ungapped score could be
+            # beaten by an alignment containing one gap (a 1bp gap costs
+            # open=const+linear, so anything scoring >= -open is already
+            # optimal without DP; indel reads' ungapped scores collapse far
+            # below that). Triggered rows are compacted into a fixed-size
+            # buffer so the expensive DP shape stays static and small.
             row_best = np.asarray(st["score"].max(axis=1))
             read_best = np.maximum(row_best[:B], row_best[B:])
-            min_scs = np.ceil(self.scoring.score_min.I
-                              + self.scoring.score_min.S
-                              * batch.lens).astype(np.int64)
-            need_read = read_best < min_scs
+            gap1 = min(self.scoring.read_gap_open(),
+                       self.scoring.ref_gap_open())
+            need_read = read_best < -gap1
             if need_read.any():
                 rows = np.concatenate([np.flatnonzero(need_read),
                                        np.flatnonzero(need_read) + B])
-                budget = max(64, B // 8)
+                budget = max(64, B // 4)
                 rows = rows[:2 * budget]
                 pad = (-rows.size) % 64
                 rows_p = np.pad(rows, (0, pad))          # repeat row 0: harmless

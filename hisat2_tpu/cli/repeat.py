@@ -1,0 +1,53 @@
+"""hisat2-repeat equivalent CLI (reference hisat2_repeat.cpp:778):
+discover genome-wide repeats and write <base>.rep.fa / <base>.rep.info,
+optionally building the repeat FM index (<base>.rep.npz)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="hisat2-tpu-repeat",
+        description="Find repeats and build the repeat database/index")
+    ap.add_argument("reference", help="comma-separated FASTA file(s)")
+    ap.add_argument("base", help="output base name")
+    ap.add_argument("--repeat-length", type=int, default=100)
+    ap.add_argument("--repeat-count", type=int, default=5)
+    ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--no-index", action="store_true",
+                    help="skip building the repeat FM index")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..io.reference import load_reference, reference_from_seqs
+    from ..index.repeats import build_repeats
+    from ..index.fm_index import build_fm_index
+    from ..utils import alphabet
+
+    t0 = time.time()
+    ref = load_reference(args.reference.split(","))
+    db = build_repeats(ref, args.repeat_length, args.repeat_count,
+                       forward_only=args.forward_only)
+    db.save(args.base)
+    if not args.quiet:
+        print(f"  {len(db.repeats)} repeats "
+              f"({sum(len(r.positions) for r in db.repeats)} placements) "
+              f"written to {args.base}.rep.fa ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+    if not args.no_index and db.repeats:
+        rep_ref = reference_from_seqs(
+            {r.name: alphabet.decode(r.seq) for r in db.repeats})
+        fm = build_fm_index(rep_ref)
+        fm.save(args.base + ".rep")
+        if not args.quiet:
+            print(f"  repeat index written to {args.base}.rep.npz",
+                  file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Repeat subsystem tests: discovery, persistence, expansion (the
+reference's hisat2-repeat + ht2_repeat_expand contracts)."""
+
+import numpy as np
+import pytest
+
+from hisat2_tpu.index.repeats import build_repeats, RepeatDB, lcp_array
+from hisat2_tpu.index.suffix_array import build_suffix_array
+from hisat2_tpu.io.reference import reference_from_seqs
+from hisat2_tpu.utils import alphabet
+
+
+@pytest.fixture(scope="module")
+def rep_setup():
+    rng = np.random.default_rng(123)
+    codes = rng.integers(0, 4, size=20000).astype(np.uint8)
+    unit = rng.integers(0, 4, size=150).astype(np.uint8)
+    # plant 6 forward copies + 2 reverse-complement copies
+    spots = [1000, 3000, 5000, 8000, 11000, 14000]
+    for p in spots:
+        codes[p:p + 150] = unit
+    rcspots = [16500, 18200]
+    for p in rcspots:
+        codes[p:p + 150] = alphabet.revcomp(unit)
+    ref = reference_from_seqs({"chrX": alphabet.decode(codes)})
+    return codes, unit, spots, rcspots, ref
+
+
+def test_lcp_array():
+    text = alphabet.encode("ABRACADABRA".replace("B", "C")
+                           .replace("R", "G").replace("D", "T"))
+    sa = build_suffix_array(text)
+    lcp = lcp_array(text.astype(np.int64), sa)
+    # adjacent suffixes sharing prefixes exist; validity: recompute naive
+    n = text.size
+    for i in range(1, sa.size):
+        a, b = int(sa[i - 1]), int(sa[i])
+        k = 0
+        while a + k < n and b + k < n and text[a + k] == text[b + k]:
+            k += 1
+        assert lcp[i] == k
+
+
+def test_repeat_discovery(rep_setup):
+    codes, unit, spots, rcspots, ref = rep_setup
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    # coverage dedup collapses shifted sub-repeats into a handful of groups
+    assert 1 <= len(db.repeats) <= 6
+    big = max(db.repeats, key=lambda r: len(r.positions))
+    assert len(big.positions) >= len(spots)
+    all_pos = sorted(j for j, fw in big.positions)
+    # every planted copy (either strand representation) is found
+    for p in spots + rcspots:
+        assert any(p <= q < p + 150 for q in all_pos), (p, all_pos)
+
+
+def test_repeat_expand(rep_setup):
+    codes, unit, spots, rcspots, ref = rep_setup
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    big = max(db.repeats, key=lambda r: len(r.positions))
+    locs = db.expand(big.name, 10, 50)
+    assert len(locs) >= 5
+    for chr_id, direction, pos in locs:
+        assert chr_id == 0
+        # the expanded 50bp window must match the repeat subsequence
+        sub = big.seq[10:60]
+        g = ref.joined[pos:pos + 50]
+        if direction == 0:
+            assert np.array_equal(g, sub)
+        else:
+            assert np.array_equal(g, alphabet.revcomp(sub))
+
+
+def test_repeat_save_load(rep_setup, tmp_path):
+    codes, unit, spots, rcspots, ref = rep_setup
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    base = str(tmp_path / "rp")
+    db.save(base)
+    db2 = RepeatDB.load(base, ref)
+    assert len(db2.repeats) == len(db.repeats)
+    assert db2.expand(db.repeats[0].name, 0, 50) == \
+        db.expand(db.repeats[0].name, 0, 50)

@@ -13,16 +13,46 @@ from __future__ import annotations
 import numpy as np
 
 
+def _build_sais(text: np.ndarray) -> np.ndarray | None:
+    """Native SA-IS over text+sentinel; None if the library is unavailable."""
+    try:
+        from ..native import sais_lib
+        lib = sais_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    n = int(text.size)
+    # shift symbols +1 and append the 0 sentinel (SA-IS contract)
+    t = np.empty(n + 1, np.uint8)
+    t[:n] = text.astype(np.uint8) + 1
+    t[n] = 0
+    if n + 1 < (1 << 31):
+        sa = np.empty(n + 1, np.int32)
+        lib.sais_u8_i32(t, sa, n + 1, 6)
+        return sa.astype(np.int64)
+    sa = np.empty(n + 1, np.int64)
+    lib.sais_u8_i64(t, sa, n + 1, 6)
+    return sa
+
+
 def build_suffix_array(text: np.ndarray) -> np.ndarray:
     """Suffix array of text (uint8 codes 0..3) + implicit terminal sentinel.
 
     Returns SA of length n+1 over T' = text + '$' where '$' sorts before
     every symbol; SA[0] == n always (the sentinel suffix).
+
+    Uses the native SA-IS builder (native/sais.cpp, linear time) when the
+    toolchain is available; falls back to NumPy prefix doubling.
     """
-    text = np.asarray(text, dtype=np.int64)
+    text = np.asarray(text)
     n = int(text.size)
     if n == 0:
         return np.zeros(1, dtype=np.int64)
+    sa = _build_sais(text)
+    if sa is not None:
+        return sa
+    text = text.astype(np.int64)
     # rank 0 reserved for the sentinel; symbols shifted +1
     rank = np.zeros(n + 1, dtype=np.int64)
     rank[:n] = text + 1

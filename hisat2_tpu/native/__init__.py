@@ -1,0 +1,65 @@
+"""Native (C++) host-side components, built on demand with g++ and loaded
+via ctypes (no pybind dependency):
+
+  sais.cpp     — linear-time SA-IS suffix array construction
+  samfmt.cpp   — batched SAM record formatting
+
+The reference's equivalents are its C++ blockwise_sa/multikey_qsort stack
+and sam.h record assembly; here C++ covers exactly the host-side hotspots
+the Python/JAX pipeline can't vectorize.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(os.path.expanduser("~"), ".cache", "hisat2_tpu_native")
+
+
+def _build(name: str, src: str) -> str | None:
+    """Compile <src>.cpp to a cached .so; returns path or None."""
+    os.makedirs(_CACHE, exist_ok=True)
+    src_path = os.path.join(_DIR, src)
+    so_path = os.path.join(_CACHE, name + ".so")
+    if (os.path.exists(so_path)
+            and os.path.getmtime(so_path) >= os.path.getmtime(src_path)):
+        return so_path
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", so_path, src_path],
+            check=True, capture_output=True, timeout=300)
+        return so_path
+    except Exception:
+        return None
+
+
+_libs: dict[str, ctypes.CDLL | None] = {}
+
+
+def load(name: str, src: str) -> ctypes.CDLL | None:
+    if name not in _libs:
+        path = _build(name, src)
+        _libs[name] = ctypes.CDLL(path) if path else None
+    return _libs[name]
+
+
+def sais_lib() -> ctypes.CDLL | None:
+    lib = load("sais", "sais.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+        lib.sais_u8_i32.argtypes = [
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32, ctypes.c_int32]
+        lib.sais_u8_i64.argtypes = [
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64]
+        lib._configured = True
+    return lib

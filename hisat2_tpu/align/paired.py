@@ -62,12 +62,8 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
     B = len(b1)
     st1, dp1 = aligner._device_align(b1)
     st2, dp2 = aligner._device_align(b2)
-    arr = lambda st, dp: (np.asarray(st["pos"]), np.asarray(st["score"]),
-                          np.asarray(dp) if dp is not None else None)
-    pos1, sc1, d1 = arr(st1, dp1)
-    pos2, sc2, d2 = arr(st2, dp2)
-    m1 = aligner._merge_candidates(B, pos1, sc1, d1)
-    m2 = aligner._merge_candidates(B, pos2, sc2, d2)
+    m1 = aligner._merged_host(st1, dp1, B)
+    m2 = aligner._merged_host(st2, dp2, B)
     if o.spliced:
         n_ss = len(aligner.ssdb)
         aligner._splice_rescue(b1, m1)

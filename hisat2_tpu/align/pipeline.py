@@ -202,12 +202,34 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
     q = jnp.repeat(quals2, T, axis=0)
     rl = jnp.repeat(lens2, T)
     score = _sw.dp_score_batch(sctab, rd, q, rl, ref).reshape(R, T)
-    return jnp.where(dp_rows[:, None], score, NEG_INF)
+    # sentinel (invalid) candidates must stay invalid: their all-N windows
+    # would otherwise "score" better than real but poor placements
+    ok = dp_rows[:, None] & (pos_top < (1 << 30) - (1 << 20)) & (pos_top >= 0)
+    return jnp.where(ok, score, NEG_INF)
 
 
 def _rank_text_window(idx, start, length):
     from ..ops import rank as _rank
     return _rank.text_window(idx, start, length)
+
+
+@partial(jax.jit, static_argnames=("B", "K2"))
+def _stage_merge(pos, score, dp_score, B: int, K2: int):
+    """Merge fw/rc candidate grids and keep the per-read top-K2 on device —
+    the host then fetches three small (B, K2) arrays instead of the full
+    (2B, T) grids (each device->host transfer costs ~ms over the link)."""
+    T = pos.shape[1]
+    sc = score if dp_score is None else jnp.maximum(score, dp_score)
+    gap = (jnp.zeros_like(sc, bool) if dp_score is None
+           else dp_score > score)
+    cat = lambda a: jnp.concatenate([a[:B], a[B:]], axis=1)
+    sc2, pos2, gap2 = cat(sc), cat(pos), cat(gap)
+    fw2 = jnp.concatenate([jnp.ones((B, T), bool),
+                           jnp.zeros((B, T), bool)], axis=1)
+    top, ti = lax.top_k(sc2, K2)
+    take = lambda a: jnp.take_along_axis(a, ti, 1)
+    flags = take(fw2).astype(jnp.uint8) | (take(gap2).astype(jnp.uint8) << 1)
+    return top, take(pos2), flags
 
 
 # ---------------------------------------------------------------------------
@@ -284,20 +306,28 @@ class Aligner:
                     st["seqs2"][ridx], st["quals2"][ridx], st["lens2"][ridx],
                     st["pos"][ridx],
                     jnp.ones(rows_p.size, bool), o.dp_pad)
-                dp_full = np.full(st["score"].shape, NEG_INF, np.int64)
-                dp_full[rows] = np.asarray(dp_rows)[:rows.size]
-                dp_sc = dp_full
+                # scatter back on device — the full grid never leaves HBM
+                dp_sc = jnp.full(st["score"].shape, NEG_INF, jnp.int32)
+                dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32)].set(
+                    dp_rows[:rows.size])
         return st, dp_sc
+
+    def _merged_host(self, st, dp_dev, B: int):
+        """Device-side merge + one small fetch -> host candidate dict."""
+        K2 = min(2 * st["pos"].shape[1], max(8, self.opts.khits + 3))
+        top, pos, flags = _stage_merge(st["pos"], st["score"], dp_dev, B, K2)
+        top = np.asarray(top).astype(np.int64)
+        pos = np.asarray(pos)
+        flags = np.asarray(flags)
+        return dict(score=top, pos=pos,
+                    fw=(flags & 1).astype(bool), gapped=(flags & 2) > 0)
 
     # ---- host finalization ----
 
     def align_batch(self, batch: ReadBatch) -> list[ReadResult]:
         B = len(batch)
         st, dp_sc = self._device_align(batch)
-        pos = np.asarray(st["pos"])            # (2B, T)
-        un_sc = np.asarray(st["score"])
-        dp = np.asarray(dp_sc) if dp_sc is not None else None
-        merged = self._merge_candidates(B, pos, un_sc, dp)
+        merged = self._merged_host(st, dp_sc, B)
         if self.opts.spliced:
             n_ss = len(self.ssdb)
             self._splice_rescue(batch, merged)
@@ -672,23 +702,6 @@ class Aligner:
                 cigar=cigar, nmm=int(nmm[r]), md="".join(md_parts),
                 nm=int(nmm[r]), tidx=int(tidx[r]), toff=int(toff[r]))
         return out
-
-    def _merge_candidates(self, B, pos, un_sc, dp):
-        """Vectorized merge of fw/rc candidate grids into per-read ranked
-        arrays (host NumPy; replaces a per-read Python loop)."""
-        T = pos.shape[1]
-        sc = un_sc if dp is None else np.maximum(un_sc, dp)
-        gapped = (np.zeros_like(sc, bool) if dp is None else dp > un_sc)
-        # (2B, T) -> (B, 2T): forward block then rc block per read
-        cat = lambda a: np.concatenate([a[:B], a[B:]], axis=1)
-        sc2, pos2, gap2 = cat(sc), cat(pos), cat(gapped)
-        fw2 = np.zeros((B, 2 * T), bool)
-        fw2[:, :T] = True
-        order = np.argsort(-sc2, axis=1, kind="stable")
-        return dict(score=np.take_along_axis(sc2, order, 1),
-                    pos=np.take_along_axis(pos2, order, 1),
-                    fw=np.take_along_axis(fw2, order, 1),
-                    gapped=np.take_along_axis(gap2, order, 1))
 
     def _ranked_candidates(self, merged, i, min_sc, limit=None):
         """Candidate tuples for read i, best-first, scores >= min_sc,

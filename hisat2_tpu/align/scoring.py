@@ -124,8 +124,18 @@ class Scoring:
 
     def min_score(self, rdlen: int) -> int:
         """Minimum valid alignment score for a read of this length
-        (reference scoreMin, default -0.2*L)."""
-        return int(np.ceil(self.score_min(rdlen)))
+        (reference scoreMin, default -0.2*L). Cached per length — this is
+        called once per finalized alignment."""
+        cache = object.__getattribute__(self, "_min_cache") if \
+            "_min_cache" in self.__dict__ else None
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_min_cache", cache)
+        v = cache.get(rdlen)
+        if v is None:
+            v = int(np.ceil(self.score_min(rdlen)))
+            cache[rdlen] = v
+        return v
 
     def max_ns(self, rdlen: int) -> int:
         return int(self.n_ceil(rdlen))

@@ -72,6 +72,21 @@ def make_md(read_codes, ref_codes, cigar) -> tuple[str, int]:
     read_codes / ref_codes: the full read (aligned portion) and the reference
     stretch covering the alignment footprint (len = sum of M+D).
     """
+    import numpy as np
+    if len(cigar) == 1 and cigar[0][0] in ("M", "=", "X"):
+        # vectorized fast path for the ubiquitous all-M case
+        n = cigar[0][1]
+        rd = np.asarray(read_codes[:n])
+        rf = np.asarray(ref_codes[:n])
+        mmpos = np.flatnonzero((rd != rf) | (rd >= 4) | (rf >= 4))
+        parts = []
+        last = -1
+        for p in mmpos:
+            parts.append(str(int(p) - last - 1))
+            parts.append("ACGTN"[int(rf[p])])
+            last = int(p)
+        parts.append(str(n - 1 - last))
+        return "".join(parts), int(mmpos.size)
     md = []
     run = 0
     nm = 0

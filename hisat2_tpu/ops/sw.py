@@ -139,14 +139,25 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
     E = np.full((L + 1, W + 1), NEG, np.int64)   # read gap (D): along j
     F = np.full((L + 1, W + 1), NEG, np.int64)   # ref gap (I): along i
     H[0, :] = 0
+    # row-vectorized fill: the within-row E dependency closes with the
+    # same running-max identity as the device kernel (dp_score_batch)
+    jix = np.arange(W + 1, dtype=np.int64)
     for i in range(1, L + 1):
-        H[i, 0] = max(-(rf_open + (i - 1) * rf_ext), -SCP[i])
-        F[i, 0] = H[i, 0]
-        for j in range(1, W + 1):
-            E[i, j] = max(H[i, j - 1] - rd_open, E[i, j - 1] - rd_ext)
-            F[i, j] = max(H[i - 1, j] - rf_open, F[i - 1, j] - rf_ext)
-            H[i, j] = max(H[i - 1, j - 1] + sub[i - 1, j - 1], E[i, j],
-                          F[i, j], -SCP[i])
+        col0 = max(-(rf_open + (i - 1) * rf_ext), -SCP[i])
+        diag = H[i - 1, :-1] + sub[i - 1]
+        Frow = np.maximum(H[i - 1] - rf_open, F[i - 1] - rf_ext)
+        Frow[0] = col0
+        G = np.empty(W + 1, np.int64)
+        G[0] = col0
+        G[1:] = np.maximum(diag, Frow[1:])
+        M = np.maximum.accumulate(G + rd_ext * jix)
+        Erow = np.full(W + 1, NEG, np.int64)
+        Erow[1:] = M[:-1] - rd_open - rd_ext * (jix[1:] - 1)
+        Hrow = np.maximum(np.maximum(G, Erow), -SCP[i])
+        Hrow[0] = col0
+        E[i] = Erow
+        F[i] = Frow
+        H[i] = Hrow
 
     # end: maximize H[i][j] - trailing clip; ties toward larger i (fewer
     # clipped bases), then smaller j (leftmost end)
@@ -177,7 +188,11 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
                 state = "F"
         elif state == "E":
             ops.append("D")
-            if E[i, j] == H[i, j - 1] - rd_open:
+            # close the gap when the open identity holds or the extension
+            # identity fails (E is the closed-form optimum, not the
+            # sequential matrix, so closure must be inferred)
+            if (E[i, j] == H[i, j - 1] - rd_open or j <= 1
+                    or E[i, j] != E[i, j - 1] - rd_ext):
                 state = "H"
             j -= 1
         else:  # F
@@ -186,7 +201,8 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
                 i -= 1
                 state = "H"
                 continue
-            if F[i, j] == H[i - 1, j] - rf_open:
+            if (F[i, j] == H[i - 1, j] - rf_open or i <= 1
+                    or F[i, j] != F[i - 1, j] - rf_ext):
                 state = "H"
             i -= 1
     clip5 = i

@@ -22,6 +22,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="comma-separated unpaired read files")
     ap.add_argument("-1", dest="m1", default=None)
     ap.add_argument("-2", dest="m2", default=None)
+    ap.add_argument("--12", dest="tab6", default=None,
+                    help="tab6 interleaved input (reference --12)")
     ap.add_argument("-S", dest="output", default=None, help="SAM output file")
     ap.add_argument("-f", dest="fasta", action="store_true",
                     help="reads are FASTA")
@@ -84,7 +86,7 @@ def main(argv=None) -> int:
     from ..align.scoring import Scoring
     from ..index.fm_index import FMIndex
     from ..io import sam as samio
-    from ..io.reads import read_reads, batch_iter, batchify
+    from ..io.reads import read_reads, read_tab6, batch_iter, batchify
 
     t0 = time.time()
     fm = FMIndex.load(args.index)
@@ -116,15 +118,40 @@ def main(argv=None) -> int:
         for k, v in s.items():
             totals[k] = totals.get(k, 0) + v
 
+    un_fh = open(args.un, "w") if args.un else None
+    al_fh = open(args.al, "w") if args.al else None
+
+    def write_unal_al(batch, results):
+        """--un/--al outputs (the reference Perl wrapper's role)."""
+        if un_fh is None and al_fh is None:
+            return
+        from ..utils import alphabet as _alpha
+        for i, res in enumerate(results):
+            fh = al_fh if res.aligned else un_fh
+            if fh is None:
+                continue
+            ln = int(batch.lens[i])
+            s = _alpha.decode(batch.seqs[i, :ln])
+            q = (batch.quals[i, :ln].astype("uint8") + 33).tobytes().decode()
+            fh.write(f"@{batch.names[i]}\n{s}\n+\n{q}\n")
+
     nreads = 0
-    if args.unpaired:
-        readers = [read_reads(p, fmt, args.phred64)
-                   for p in args.unpaired.split(",")]
-        stream = itertools.chain(*readers)
-        rdid = 0
+    if args.unpaired or args.tab6:
+        if args.tab6:
+            def stream_tab6():
+                for r1, r2 in itertools.chain(*[read_tab6(p, args.phred64)
+                                                for p in args.tab6.split(",")]):
+                    yield r1
+                    yield r2
+            stream = stream_tab6()
+        else:
+            readers = [read_reads(p, fmt, args.phred64)
+                       for p in args.unpaired.split(",")]
+            stream = itertools.chain(*readers)
         for batch in batch_iter(_reindex(stream), args.batch_size):
             results = al.align_batch(batch)
             merge(results_to_sam(batch, results, al, writer))
+            write_unal_al(batch, results)
             nreads += len(batch)
     elif args.m1 and args.m2:
         r1s = itertools.chain(*[read_reads(p, fmt, args.phred64)
@@ -154,6 +181,9 @@ def main(argv=None) -> int:
     writer.flush()
     if args.novel_splicesite_outfile:
         al.ssdb.write_novel(args.novel_splicesite_outfile, fm.ref)
+    for fh in (un_fh, al_fh):
+        if fh:
+            fh.close()
     if out is not sys.stdout:
         out.close()
     _print_summary(args, totals, nreads, time.time() - t0)
@@ -183,6 +213,40 @@ def _print_summary(args, t, nreads, dt):
     if args.quiet and not args.summary_file:
         return
     w = dest.write
+    if args.new_summary:
+        # machine-readable summary (reference --new-summary,
+        # MANUAL.markdown --summary-file section)
+        w("HISAT2-TPU summary stats:\n")
+        if "pairs" in t:
+            n = t.get("pairs", 0) or 1
+            conc = t.get("conc_uniq", 0) + t.get("conc_multi", 0)
+            w(f"\tTotal pairs: {t.get('pairs',0)}\n")
+            w(f"\tAligned concordantly 0 time: {t.get('pairs',0)-conc} "
+              f"({(t.get('pairs',0)-conc)/n*100:.2f}%)\n")
+            w(f"\tAligned concordantly 1 time: {t.get('conc_uniq',0)} "
+              f"({t.get('conc_uniq',0)/n*100:.2f}%)\n")
+            w(f"\tAligned concordantly >1 times: {t.get('conc_multi',0)} "
+              f"({t.get('conc_multi',0)/n*100:.2f}%)\n")
+            w(f"\tAligned discordantly 1 time: {t.get('disc',0)} "
+              f"({t.get('disc',0)/n*100:.2f}%)\n")
+            w(f"\tOverall alignment rate: "
+              f"{t.get('mates_al',0)/(2*n)*100:.2f}%\n")
+        else:
+            n = t.get("reads", 0) or 1
+            w(f"\tTotal reads: {t.get('reads',0)}\n")
+            w(f"\tAligned 0 time: {t.get('unal',0)} "
+              f"({t.get('unal',0)/n*100:.2f}%)\n")
+            w(f"\tAligned 1 time: {t.get('uniq',0)} "
+              f"({t.get('uniq',0)/n*100:.2f}%)\n")
+            w(f"\tAligned >1 times: {t.get('multi',0)} "
+              f"({t.get('multi',0)/n*100:.2f}%)\n")
+            w(f"\tOverall alignment rate: "
+              f"{(n-t.get('unal',0))/n*100:.2f}%\n")
+        if args.time:
+            w(f"\tTime: {dt:.2f}s\n")
+        if args.summary_file:
+            dest.close()
+        return
     if "pairs" in t:
         n = t.get("pairs", 0) or 1
         conc = t.get("conc_uniq", 0) + t.get("conc_multi", 0)

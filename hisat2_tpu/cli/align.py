@@ -53,6 +53,23 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--phred64", action="store_true")
     ap.add_argument("--un", default=None, help="write unaligned reads here")
     ap.add_argument("--al", default=None, help="write aligned reads here")
+    # scoring options (reference function-valued options, simple_func.h)
+    ap.add_argument("--score-min", default=None,
+                    help="min score function, e.g. L,0,-0.2")
+    ap.add_argument("--n-ceil", default=None, help="max Ns function")
+    ap.add_argument("--mp", default=None, help="MX,MN mismatch penalties")
+    ap.add_argument("--sp", default=None, help="MX,MN soft-clip penalties")
+    ap.add_argument("--no-softclip", action="store_true")
+    ap.add_argument("--np", dest="n_pen", type=int, default=None)
+    ap.add_argument("--rdg", default=None, help="read gap open,extend")
+    ap.add_argument("--rfg", default=None, help="ref gap open,extend")
+    ap.add_argument("--pen-cansplice", type=int, default=None)
+    ap.add_argument("--pen-noncansplice", type=int, default=None)
+    # presets (accepted for compatibility; sensitivity knobs map to
+    # candidate budgets)
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--sensitive", action="store_true")
+    ap.add_argument("--very-sensitive", action="store_true")
     ap.add_argument("--batch-size", type=int, default=2048,
                     help="reads per device batch")
     ap.add_argument("-p", "--threads", type=int, default=1,
@@ -90,6 +107,37 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     fm = FMIndex.load(args.index)
+    from ..align.scoring import SimpleFunc
+    from dataclasses import replace as _dc_replace
+    sc = Scoring()
+    kw = {}
+    if args.score_min:
+        kw["score_min"] = SimpleFunc.parse(args.score_min)
+    if args.n_ceil:
+        kw["n_ceil"] = SimpleFunc.parse(args.n_ceil)
+    if args.mp:
+        mx, mn = (int(x) for x in args.mp.split(","))
+        kw["mm_pen_max"], kw["mm_pen_min"] = mx, mn
+    if args.sp:
+        mx, mn = (int(x) for x in args.sp.split(","))
+        kw["sc_pen_max"], kw["sc_pen_min"] = mx, mn
+    if args.no_softclip:
+        kw["no_softclip"] = True
+    if args.n_pen is not None:
+        kw["n_pen"] = args.n_pen
+    if args.rdg:
+        o_, e_ = (int(x) for x in args.rdg.split(","))
+        kw["read_gap_const"], kw["read_gap_linear"] = o_, e_
+    if args.rfg:
+        o_, e_ = (int(x) for x in args.rfg.split(","))
+        kw["ref_gap_const"], kw["ref_gap_linear"] = o_, e_
+    if args.pen_cansplice is not None:
+        kw["canonical_splice_pen"] = args.pen_cansplice
+    if args.pen_noncansplice is not None:
+        kw["noncanonical_splice_pen"] = args.pen_noncansplice
+    if kw:
+        sc = _dc_replace(sc, **kw)
+
     opts = AlignerOpts(khits=args.khits, minins=args.minins,
                        maxins=args.maxins, fr=args.orient,
                        no_mixed=args.no_mixed,
@@ -98,7 +146,17 @@ def main(argv=None) -> int:
                        min_intron=args.min_intronlen,
                        max_intron=args.max_intronlen,
                        no_temp_splicesite=args.no_temp_splicesite)
-    al = Aligner(fm, Scoring(), opts)
+    if args.fast:
+        opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
+    elif args.very_sensitive:
+        opts.max_seeds, opts.locs_per_seg, opts.top_cands = 24, 16, 24
+    al = Aligner(fm, sc, opts)
+    # splice sites baked into a transcriptome-aware index (--ss at build)
+    ks = getattr(fm, "known_ss", None)
+    if ks is not None and getattr(ks, "size", 0):
+        for jl, jr, strand in ks:
+            al.ssdb.add_known(int(jl), int(jr),
+                              "+" if strand > 0 else ("-" if strand < 0 else "."))
     for p in (args.known_splicesite_infile, args.novel_splicesite_infile):
         if p:
             n = al.ssdb.load_ss_file(p, fm.ref)

@@ -21,6 +21,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ftabchars", type=int, default=10,
                     help="ftab k-mer length (auto-shrunk for tiny refs)")
     ap.add_argument("--snp", default=None, help="SNP file (hisat2 .snp format)")
+    ap.add_argument("--ss", default=None,
+                    help="splice-site file (.ss, transcriptome-aware index)")
+    ap.add_argument("--exon", default=None,
+                    help="exon file (.exon; splice sites derived from exons)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -40,11 +44,51 @@ def main(argv=None) -> int:
         fm = build_graph_index(ref, snps, ftab_k=args.ftabchars)
     else:
         fm = build_fm_index(ref, ftab_k=args.ftabchars)
+    if args.ss:
+        fm.known_ss = _load_ss(args.ss, ref)
+        if not args.quiet:
+            print(f"  {fm.known_ss.shape[0]} splice sites baked into index",
+                  file=sys.stderr)
     fm.save(args.prefix)
     if not args.quiet:
         print(f"  index written to {args.prefix}.npz "
               f"({time.time()-t0:.1f}s)", file=sys.stderr)
     return 0
+
+
+def _load_ss(path, ref):
+    """Map a .ss file to joined coordinates -> (K, 3) int64 array (per-
+    chromosome sorted fragment lookup, not the O(F) per-site scan)."""
+    import numpy as np
+    from ..io.annotations import read_splice_sites
+    name_to_tidx = {n: i for i, n in enumerate(ref.names)}
+    by_tidx = {}
+    for t in range(len(ref.names)):
+        m = ref.frag_tidx == t
+        order = np.argsort(ref.frag_toff[m])
+        by_tidx[t] = (ref.frag_toff[m][order], ref.frag_len[m][order],
+                      ref.frag_joined[m][order])
+
+    def to_joined(tidx, pos):
+        toffs, flens, fjoins = by_tidx[tidx]
+        fi = int(np.searchsorted(toffs, pos, side="right")) - 1
+        if fi < 0 or pos >= toffs[fi] + flens[fi]:
+            return None
+        return int(fjoins[fi] + pos - toffs[fi])
+
+    rows = []
+    for s in read_splice_sites(path):
+        tidx = name_to_tidx.get(s.chrom)
+        if tidx is None:
+            continue
+        jl = to_joined(tidx, s.left)
+        jr = to_joined(tidx, s.right)
+        if jl is None or jr is None:
+            continue
+        strand = 1 if s.strand == "+" else (-1 if s.strand == "-" else 0)
+        rows.append((jl, jr, strand))
+    return (np.asarray(rows, np.int64).reshape(-1, 3) if rows
+            else np.zeros((0, 3), np.int64))
 
 
 if __name__ == "__main__":

@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--names", action="store_true")
     ap.add_argument("-s", "--summary", action="store_true")
     ap.add_argument("--snp", action="store_true")
+    ap.add_argument("--ss", action="store_true",
+                    help="print splice sites baked into the index")
     ap.add_argument("-a", "--across", type=int, default=60,
                     help="bases per FASTA line")
     args = ap.parse_args(argv)
@@ -50,6 +52,17 @@ def main(argv=None) -> int:
         if snps is not None:
             for line in snps.to_snp_lines(ref):
                 w(line + "\n")
+        return 0
+    if args.ss:
+        ks = getattr(fm, "known_ss", None)
+        if ks is not None:
+            for jl, jr, strand in ks:
+                ll = ref.joined_to_text(int(jl))
+                rr = ref.joined_to_text(int(jr))
+                if ll is None or rr is None:
+                    continue
+                sc = "+" if strand > 0 else ("-" if strand < 0 else ".")
+                w(f"{ref.names[ll[0]]}\t{ll[1]}\t{rr[1]}\t{sc}\n")
         return 0
 
     # reconstruct per-chromosome sequence: N everywhere, fragments filled in

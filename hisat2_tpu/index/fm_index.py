@@ -53,6 +53,9 @@ class FMIndex:
     ccount: np.ndarray        # (5,) int32, ccount[4] = m
     sa: np.ndarray            # (m,) int32
     ftab: np.ndarray          # (4^k, 2) int32 [top, bot) per k-mer
+    # transcriptome annotations baked at build time (--ss/--exon; the
+    # reference stores these as SPLICESITE/EXON ALTs in .7.ht2)
+    known_ss: np.ndarray = None   # (K, 3) int64 [left, right, strand(+1/-1/0)]
 
     @property
     def m(self) -> int:
@@ -107,6 +110,8 @@ class FMIndex:
             frag_joined=self.ref.frag_joined, frag_toff=self.ref.frag_toff,
             frag_tidx=self.ref.frag_tidx, frag_len=self.ref.frag_len,
             tlens=self.ref.tlens,
+            known_ss=(self.known_ss if self.known_ss is not None
+                      else np.zeros((0, 3), np.int64)),
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
                     ftab_k=self.ftab_k, names=self.ref.names)
@@ -131,7 +136,8 @@ class FMIndex:
                        ftab_k=meta["ftab_k"],
                        bwt_packed=z["bwt_packed"], text_packed=z["text_packed"],
                        occ=z["occ"], ccount=z["ccount"], sa=z["sa"],
-                       ftab=z["ftab"])
+                       ftab=z["ftab"],
+                       known_ss=z["known_ss"] if "known_ss" in z else None)
 
 
 def _pack_to_blocks(codes: np.ndarray) -> np.ndarray:

@@ -96,6 +96,8 @@ class GraphFMIndex(FMIndex):
             snp_alt=s.alt_codes, snp_tpos=s.tpos,
             snp_names=np.asarray(s.names), snp_chroms=np.asarray(s.chroms),
             snp_ins=np.asarray([alphabet.decode(x) for x in s.ins_seqs]),
+            known_ss=(self.known_ss if self.known_ss is not None
+                      else np.zeros((0, 3), np.int64)),
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
                     ftab_k=self.ftab_k, names=self.ref.names,
@@ -125,7 +127,8 @@ class GraphFMIndex(FMIndex):
             snps=snps, primary_n=meta["primary_n"],
             patch_start=z["patch_start"], patch_ref=z["patch_ref"],
             patch_vpos=z["patch_vpos"], patch_shift=z["patch_shift"],
-            patch_len=z["patch_len"], snv_overlay=z["snv_overlay"])
+            patch_len=z["patch_len"], snv_overlay=z["snv_overlay"],
+            known_ss=z["known_ss"] if "known_ss" in z else None)
 
 
 def _pack4(overlay: np.ndarray) -> np.ndarray:

@@ -58,6 +58,7 @@ class AlignerOpts:
     max_intron: int = 500000       # --max-intronlen
     pairs_per_read: int = 8        # junction diagonal-pairs explored
     no_temp_splicesite: bool = False  # disable novel-site reuse
+    seed_mode: bool = True         # stride seeds (fast) + segment fallback
 
 
 @dataclass
@@ -116,11 +117,17 @@ def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("max_seeds", "locs_per_seg", "top_cands",
-                                   "min_seg_len"))
+                                   "min_seg_len", "seeder", "ftab_k"))
 def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
                       max_seeds: int, locs_per_seg: int, top_cands: int,
-                      min_seg_len: int = 3):
+                      min_seg_len: int = 3, seeder: str = "segments",
+                      ftab_k: int = 10):
     """Stages 1-5: orientations, search, expand, dedup, verify, top-K.
+
+    seeder 'seeds' uses fixed stride seeds (ftab jump + ~12 LF steps —
+    short dependency chain, the throughput path); 'segments' walks the
+    whole read for maximal segments (the sensitive path, used as fallback
+    for reads the seed pass can't place).
 
     Returns per orientation-row (R = 2B): top candidate positions (R, T),
     scores (R, T), nmm (R, T), plus exhausted flags (R,) — True when every
@@ -129,7 +136,11 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     seqs2, quals2, lens2 = _with_revcomp(seqs, quals, lens)
     R, L = seqs2.shape
 
-    hits = _search.partial_search(idx, seqs2, lens2, max_hits=max_seeds)
+    if seeder == "seeds":
+        hits = _search.seed_search(idx, seqs2, lens2, seed_len=22,
+                                   n_seeds=max_seeds, ftab_k=ftab_k)
+    else:
+        hits = _search.partial_search(idx, seqs2, lens2, max_hits=max_seeds)
     # candidate start = SA[row] - segment read-offset
     locs, lvalid = _locate.expand_range(idx, hits["top"], hits["bot"],
                                         locs_per_seg)        # (R, S, locs)
@@ -277,9 +288,12 @@ class Aligner:
         seqs = jnp.asarray(batch.seqs)
         quals = jnp.asarray(batch.quals)
         lens = jnp.asarray(batch.lens)
+        seeder = "seeds" if o.seed_mode else "segments"
         st = _stage_candidates(self.idx, self.sctab, seqs, quals, lens,
                                o.max_seeds, o.locs_per_seg, o.top_cands,
-                               self.min_seg_len)
+                               self.min_seg_len, seeder, self.fm.ftab_k)
+        if o.seed_mode:
+            st = self._segment_fallback(batch, st, seqs, quals, lens)
         dp_sc = None
         if not o.no_dp:
             # Gapped rescue for reads whose best ungapped score could be
@@ -311,6 +325,35 @@ class Aligner:
                 dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32)].set(
                     dp_rows[:rows.size])
         return st, dp_sc
+
+    def _segment_fallback(self, batch, st, seqs, quals, lens):
+        """Reads the seed pass couldn't place above min score re-run through
+        the sensitive maximal-segment search (compacted sub-batch) and their
+        candidate rows are replaced on device."""
+        o = self.opts
+        B = len(batch)
+        row_best = np.asarray(st["score"].max(axis=1))
+        read_best = np.maximum(row_best[:B], row_best[B:])
+        min_scs = np.ceil(self.scoring.score_min.I
+                          + self.scoring.score_min.S
+                          * batch.lens).astype(np.int64)
+        need = np.flatnonzero(read_best < min_scs)
+        if need.size == 0:
+            return st
+        pad = (-need.size) % 32
+        need_p = np.pad(need, (0, pad))
+        ridx = jnp.asarray(need_p, jnp.int32)
+        st2 = _stage_candidates(
+            self.idx, self.sctab, seqs[ridx], quals[ridx], lens[ridx],
+            o.max_seeds, o.locs_per_seg, o.top_cands,
+            self.min_seg_len, "segments", self.fm.ftab_k)
+        rows = jnp.concatenate([ridx, ridx + B])
+        Bs = need_p.size
+        out = dict(st)
+        for k in ("pos", "score", "nmm"):
+            sub = jnp.concatenate([st2[k][:Bs], st2[k][Bs:]])
+            out[k] = st[k].at[rows].set(sub)
+        return out
 
     def _merged_host(self, st, dp_dev, B: int):
         """Device-side merge + one small fetch -> host candidate dict."""

@@ -135,3 +135,65 @@ def partial_search(idx: dict, seqs: jax.Array, lens: jax.Array,
                  in_axes=(0, 0))
     h_top, h_bot, h_off, h_len, nh = f(seqs, lens.astype(jnp.int32))
     return dict(top=h_top, bot=h_bot, off=h_off, len=h_len, n=nh)
+
+
+@partial(jax.jit, static_argnames=("seed_len", "n_seeds", "ftab_k"))
+def seed_search(idx: dict, seqs: jax.Array, lens: jax.Array,
+                seed_len: int = 22, n_seeds: int = 8, ftab_k: int = 10):
+    """Fixed-length stride-seed search (the reference's *multiseed* policy,
+    SEED=0,22 IVAL presets — vs partial_search's maximal segments).
+
+    TPU rationale: backward search is sequential in pattern length, and
+    the wavefront's wall-clock is dominated by that dependency chain. With
+    n_seeds fixed 22bp seeds per read, every (read, seed) lane is
+    independent, the first ftab_k characters resolve in ONE ftab gather
+    (gfm.h _ftab role), and only seed_len - ftab_k LF steps remain —
+    ~12 sequential rank rounds instead of ~100.
+
+    seqs (B, L) codes, lens (B,). Returns dict of (B, n_seeds) arrays
+    top/bot/off/len + n (B,) — same contract as partial_search so the
+    candidate stage is agnostic to the seeder.
+    """
+    B, L = seqs.shape
+    k = ftab_k
+    seqs = seqs.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    # seed offsets: evenly spread over [0, len - seed_len]
+    s_ix = jnp.arange(n_seeds, dtype=jnp.int32)
+    span = jnp.maximum(lens - seed_len, 0)
+    offs = jnp.where(
+        n_seeds > 1,
+        (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1),
+        jnp.zeros((B, n_seeds), jnp.int32))                      # (B, S)
+    usable = (lens >= seed_len)[:, None]   # every slot once the read fits
+
+    # gather the seed characters: (B, S, seed_len)
+    pos = offs[:, :, None] + jnp.arange(seed_len, dtype=jnp.int32)
+    ch = jnp.take_along_axis(seqs[:, None, :].repeat(n_seeds, 1),
+                             jnp.clip(pos, 0, L - 1), axis=2)
+    has_n = (ch >= 4).any(axis=2)
+    ch = jnp.minimum(ch, 3)
+
+    # ftab jump on the seed's LAST k characters (backward search starts
+    # from the pattern suffix)
+    tailk = ch[:, :, seed_len - k:]
+    weights = 4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+    code = (tailk * weights[None, None, :]).sum(axis=2)
+    tb = idx["ftab"][code]                                       # (B, S, 2)
+    top, bot = tb[..., 0], tb[..., 1]
+
+    def body(j, st):
+        top, bot = st
+        c = ch[:, :, seed_len - k - 1 - j]
+        ntop, nbot = _rank.lf_step_interval(idx, top, bot, c)
+        alive = bot > top
+        return (jnp.where(alive, ntop, top), jnp.where(alive, nbot, bot))
+
+    top, bot = lax.fori_loop(0, seed_len - k, body, (top, bot))
+    dead = has_n | ~usable
+    top = jnp.where(dead, 1, top)
+    bot = jnp.where(dead, 0, bot)
+    return dict(top=top, bot=bot, off=offs,
+                len=jnp.where(dead, 0, seed_len).astype(jnp.int32),
+                n=jnp.full(B, n_seeds, jnp.int32))

@@ -312,8 +312,9 @@ class Aligner:
                                        np.flatnonzero(need_read) + B])
                 budget = max(64, B // 4)
                 rows = rows[:2 * budget]
-                pad = (-rows.size) % 64
-                rows_p = np.pad(rows, (0, pad))          # repeat row 0: harmless
+                # pad to the FIXED bucket size: one compiled DP shape per
+                # batch size (remote compiles are expensive)
+                rows_p = np.pad(rows, (0, 2 * budget - rows.size))
                 ridx = jnp.asarray(rows_p, jnp.int32)
                 dp_rows = _stage_dp(
                     self.idx, self.sctab,
@@ -340,8 +341,9 @@ class Aligner:
         need = np.flatnonzero(read_best < min_scs)
         if need.size == 0:
             return st
-        pad = (-need.size) % 32
-        need_p = np.pad(need, (0, pad))
+        bucket = max(32, B // 8)
+        need = need[:bucket]
+        need_p = np.pad(need, (0, bucket - need.size))   # fixed shape
         ridx = jnp.asarray(need_p, jnp.int32)
         st2 = _stage_candidates(
             self.idx, self.sctab, seqs[ridx], quals[ridx], lens[ridx],
@@ -454,8 +456,11 @@ class Aligner:
         if not lanes:
             return
         P = len(lanes)
-        pad = (-P) % 32
-        lanes_p = lanes + [lanes[0]] * pad
+        # pad lane count to a power of two: bounded set of compiled shapes
+        bucket = 32
+        while bucket < P:
+            bucket *= 2
+        lanes_p = lanes + [lanes[0]] * (bucket - P)
         L = batch.seqs.shape[1]
         ridx = np.asarray([l[0] for l in lanes_p], np.int32)
         posA = np.asarray([l[1] for l in lanes_p], np.int32)

@@ -316,14 +316,18 @@ class Aligner:
                 # batch size (remote compiles are expensive)
                 rows_p = np.pad(rows, (0, 2 * budget - rows.size))
                 ridx = jnp.asarray(rows_p, jnp.int32)
+                # DP only the best few candidates of each triggered row —
+                # for a real indel the true diagonal ranks top by ungapped
+                # score (both gap sides seed it); the tail is junk loci
+                Tdp = min(4, st["pos"].shape[1])
                 dp_rows = _stage_dp(
                     self.idx, self.sctab,
                     st["seqs2"][ridx], st["quals2"][ridx], st["lens2"][ridx],
-                    st["pos"][ridx],
+                    st["pos"][ridx, :Tdp],
                     jnp.ones(rows_p.size, bool), o.dp_pad)
                 # scatter back on device — the full grid never leaves HBM
                 dp_sc = jnp.full(st["score"].shape, NEG_INF, jnp.int32)
-                dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32)].set(
+                dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32), :Tdp].set(
                     dp_rows[:rows.size])
         return st, dp_sc
 

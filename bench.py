@@ -109,7 +109,8 @@ def _measure_baseline():
 
 def main() -> int:
     _enable_compile_cache()
-    from hisat2_tpu.align.pipeline import Aligner, results_to_sam
+    from hisat2_tpu.align.pipeline import Aligner
+    from hisat2_tpu.align.emit import align_and_emit
     from hisat2_tpu.io import sam as samio
 
     fm = _get_index()
@@ -117,8 +118,11 @@ def main() -> int:
     batches = [_make_reads(fm, BATCH, seed=100 + k) for k in range(NBATCH)]
 
     # warmup / compile
-    res = al.align_batch(batches[0])
-    n_al = sum(1 for r in res if r.aligned)
+    buf = io.StringIO()
+    writer = samio.SamWriter(buf, fm.ref.names,
+                             [int(x) for x in fm.ref.tlens], no_head=True)
+    stats = align_and_emit(al, batches[0], writer)
+    n_al = BATCH - stats["unal"]
     assert n_al > 0.9 * BATCH, f"sanity: only {n_al}/{BATCH} aligned"
 
     buf = io.StringIO()
@@ -126,8 +130,7 @@ def main() -> int:
                              [int(x) for x in fm.ref.tlens], no_head=True)
     t0 = time.perf_counter()
     for b in batches:
-        results = al.align_batch(b)
-        results_to_sam(b, results, al, writer)
+        align_and_emit(al, b, writer)
     dt = time.perf_counter() - t0
     rps = NBATCH * BATCH / dt
 

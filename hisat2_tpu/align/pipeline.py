@@ -224,6 +224,61 @@ def _rank_text_window(idx, start, length):
     return _rank.text_window(idx, start, length)
 
 
+@partial(jax.jit, static_argnames=("B", "max_mm"))
+def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
+                       ppos, pfw, B: int, max_mm: int = 8):
+    """Device finalization of the primary ungapped candidate per read:
+    optimal clips (max-subarray), score, penalized-mismatch count, and the
+    first max_mm (col, refchar) mismatch pairs for MD construction — so
+    the host fast path only touches O(B) scalars, not (B, L) matrices."""
+    L = seqs2.shape[1]
+    rowidx = jnp.arange(B, dtype=jnp.int32) + jnp.where(pfw, 0, B)
+    rd = seqs2[rowidx]
+    q = jnp.clip(quals2[rowidx], 0, 63)
+    ln = lens2[:B]
+    win = _rank_text_window(idx, ppos, L)
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = ar < ln[:, None]
+    rd = jnp.where(in_read, rd, 4)
+    isn = ((rd >= 4) | (win >= 4)) & in_read
+    mm = (rd != win) & ~isn & in_read
+    if "snv_packed" in idx:
+        from ..ops import rank as _rank
+        ov = _rank.nib4_window(idx, ppos, L)
+        snp_free = mm & ((ov == rd + 1) | (ov == 15))
+    else:
+        snp_free = jnp.zeros_like(mm)
+    mm_sc = mm & ~snp_free
+    s = jnp.where(mm_sc, -sctab["mm_pens"][q], 0)
+    s = jnp.where(isn, -sctab["n_pen"], s)
+    s = s + jnp.where(~mm_sc & ~isn & in_read, sctab["match_bonus"], 0)
+    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)
+    g = s + scp
+    P = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                         jnp.cumsum(g, axis=1)], axis=1)
+    ends = P[:, 1:] - lax.cummin(P, axis=1)[:, :-1]
+    ends_m = jnp.where(in_read, ends, NEG_INF)
+    k = (L - 1) - jnp.argmax(ends_m[:, ::-1], axis=1).astype(jnp.int32)
+    Pm = jnp.where(jnp.arange(L + 1)[None, :] <= k[:, None], P,
+                   jnp.int32(1 << 30))
+    c5 = jnp.argmin(Pm, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(ends_m, k[:, None], 1)[:, 0]
+    score = best - scp.sum(axis=1)
+    c3 = (ln - (k + 1)).astype(jnp.int32)
+    amask = (ar >= c5[:, None]) & (ar <= k[:, None])
+    mm_all = (mm | isn) & amask
+    nmm = ((mm_sc | isn) & amask).sum(axis=1).astype(jnp.int32)
+    nmm_all = mm_all.sum(axis=1).astype(jnp.int32)
+    # first max_mm mismatch columns (ascending) + their ref chars
+    colkey = jnp.where(mm_all, ar, jnp.int32(1 << 20))
+    mcols = jnp.sort(colkey, axis=1)[:, :max_mm]
+    onehot = (ar[:, None, :] == mcols[:, :, None])        # (B, max_mm, L)
+    mchars = (jnp.where(onehot, win[:, None, :], 0)).sum(axis=2)
+    return dict(c5=c5, c3=c3, score=score, nmm=nmm, nmm_all=nmm_all,
+                mcols=mcols.astype(jnp.int32),
+                mchars=mchars.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("B", "K2"))
 def _stage_merge(pos, score, dp_score, B: int, K2: int):
     """Merge fw/rc candidate grids and keep the per-read top-K2 on device —
@@ -654,11 +709,12 @@ class Aligner:
             results.append(res)
         return results
 
-    def _finalize_ungapped_rows(self, batch, rows, pos, fw, rdlens
-                                ) -> dict[int, Alignment]:
+    def _ungapped_arrays(self, batch, rows, pos, fw, rdlens) -> dict:
         """Vectorized clips + mismatch extraction + coordinate mapping for
-        ungapped primary winners. Returns {read_index: Alignment} (reads
-        whose alignment crosses a fragment boundary are omitted)."""
+        ungapped placements — shared by the Alignment-object path and the
+        native SAM fast path. Returns column arrays over the `rows` subset
+        (ok mask marks fragment-contained alignments) plus mismatch
+        (row, col, refchar) triples for MD construction."""
         sc = self.scoring
         ref = self.fm.ref
         R = rows.size
@@ -703,7 +759,8 @@ class Aligner:
         ends = P[:, 1:] - prefmin[:, :-1]
         ends_m = np.where(in_read, ends, np.int64(-1) << 40)
         k = (L - 1) - np.argmax(ends_m[:, ::-1], axis=1)
-        Pm = np.where(np.arange(L + 1)[None, :] <= k[:, None], P, np.int64(1) << 40)
+        Pm = np.where(np.arange(L + 1)[None, :] <= k[:, None], P,
+                      np.int64(1) << 40)
         c5 = np.argmin(Pm, axis=1)
         best = ends_m[np.arange(R), k]
         score = best - scp.sum(axis=1)
@@ -722,19 +779,28 @@ class Aligner:
         ok &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
         tidx = ref.frag_tidx[fc]
         toff = ref.frag_toff[fc] + astart - ref.frag_joined[fc]
-
         mm_rows, mm_cols = np.nonzero(mm_all)
+        return dict(rd=rd, q=q, win=win, c5=c5, c3=c3, k=k, score=score,
+                    nmm=nmm, ok=ok, tidx=tidx, toff=toff, astart=astart,
+                    in_read=in_read, mm_rows=mm_rows, mm_cols=mm_cols,
+                    mm_ref=win[mm_rows, mm_cols])
+
+    def _finalize_ungapped_rows(self, batch, rows, pos, fw, rdlens
+                                ) -> dict[int, Alignment]:
+        """Alignment objects for ungapped primary winners (reads whose
+        alignment crosses a fragment boundary are omitted)."""
+        A = self._ungapped_arrays(batch, rows, pos, fw, rdlens)
+        mm_rows, mm_cols, win = A["mm_rows"], A["mm_cols"], A["win"]
         out: dict[int, Alignment] = {}
         ptr = 0
-        for r in range(R):
-            if not ok[r]:
+        for r in range(rows.size):
+            if not A["ok"][r]:
                 continue
             i = int(rows[r])
-            rl, cc5, cc3 = int(rdlens[r]), int(c5[r]), int(c3[r])
+            rl, cc5, cc3 = int(rdlens[r]), int(A["c5"][r]), int(A["c3"][r])
             mid = rl - cc5 - cc3
             cigar = ([("S", cc5)] if cc5 else []) + [("M", mid)] \
                 + ([("S", cc3)] if cc3 else [])
-            # MD string from mismatch columns
             while ptr < mm_rows.size and mm_rows[ptr] < r:
                 ptr += 1
             cols = []
@@ -750,9 +816,10 @@ class Aligner:
                 last = cpos
             md_parts.append(str(cc5 + mid - 1 - last))
             out[i] = Alignment(
-                joined_pos=int(astart[r]), fw=bool(fw[r]), score=int(score[r]),
-                cigar=cigar, nmm=int(nmm[r]), md="".join(md_parts),
-                nm=int(nmm[r]), tidx=int(tidx[r]), toff=int(toff[r]))
+                joined_pos=int(A["astart"][r]), fw=bool(fw[r]),
+                score=int(A["score"][r]), cigar=cigar, nmm=int(A["nmm"][r]),
+                md="".join(md_parts), nm=int(A["nmm"][r]),
+                tidx=int(A["tidx"][r]), toff=int(A["toff"][r]))
         return out
 
     def _ranked_candidates(self, merged, i, min_sc, limit=None):

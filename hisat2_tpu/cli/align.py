@@ -206,10 +206,14 @@ def main(argv=None) -> int:
             readers = [read_reads(p, fmt, args.phred64)
                        for p in args.unpaired.split(",")]
             stream = itertools.chain(*readers)
+        from ..align.emit import align_and_emit
         for batch in batch_iter(_reindex(stream), args.batch_size):
-            results = al.align_batch(batch)
-            merge(results_to_sam(batch, results, al, writer))
-            write_unal_al(batch, results)
+            if args.un or args.al:   # needs per-read results
+                results = al.align_batch(batch)
+                merge(results_to_sam(batch, results, al, writer))
+                write_unal_al(batch, results)
+            else:
+                merge(align_and_emit(al, batch, writer))
             nreads += len(batch)
     elif args.m1 and args.m2:
         r1s = itertools.chain(*[read_reads(p, fmt, args.phred64)

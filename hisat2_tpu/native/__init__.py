@@ -48,6 +48,29 @@ def load(name: str, src: str) -> ctypes.CDLL | None:
     return _libs[name]
 
 
+def samfmt_lib() -> ctypes.CDLL | None:
+    lib = load("samfmt", "samfmt.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+        i32 = ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64 = ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8 = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.format_se_batch.restype = ctypes.c_int64
+        lib.format_se_batch.argtypes = [
+            ctypes.c_int32,
+            i32, i32, i32, i32,          # flag rname pos1 mapq
+            i32, i32, i32,               # c5 mid c3
+            i32, i32, i32, i32, i32,     # score nmm nm zs nh
+            u8, i64,                     # name buf/off
+            u8, u8, i64,                 # seq qual off
+            i32, u8, i64,                # mm cols/ref/off
+            u8, i64,                     # refname buf/off
+            ctypes.c_char_p, i64]        # out, rec_ends
+        lib._configured = True
+    return lib
+
+
 def sais_lib() -> ctypes.CDLL | None:
     lib = load("sais", "sais.cpp")
     if lib is not None and not getattr(lib, "_configured", False):

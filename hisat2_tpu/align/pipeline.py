@@ -321,7 +321,9 @@ class Aligner:
             self.overlay = None
         self.snps = getattr(fm, "snps", None)
         from .splice_db import SpliceSiteDB
+        from ..utils.metrics import Metrics
         self.ssdb = SpliceSiteDB()
+        self.metrics = Metrics()
         self._del_snps: set[tuple[int, int]] = set()
         self._ins_snps: dict[int, np.ndarray] = {}
         if self.snps is not None:
@@ -344,6 +346,11 @@ class Aligner:
         quals = jnp.asarray(batch.quals)
         lens = jnp.asarray(batch.lens)
         seeder = "seeds" if o.seed_mode else "segments"
+        self.metrics.reads += B
+        self.metrics.batches += 1
+        self.metrics.seeds += 2 * B * o.max_seeds
+        self.metrics.candidates += 2 * B * min(3 * o.top_cands,
+                                               o.max_seeds * o.locs_per_seg)
         st = _stage_candidates(self.idx, self.sctab, seqs, quals, lens,
                                o.max_seeds, o.locs_per_seg, o.top_cands,
                                self.min_seg_len, seeder, self.fm.ftab_k)
@@ -375,6 +382,7 @@ class Aligner:
                 # for a real indel the true diagonal ranks top by ungapped
                 # score (both gap sides seed it); the tail is junk loci
                 Tdp = min(4, st["pos"].shape[1])
+                self.metrics.dp_lanes += int(rows.size) * Tdp
                 dp_rows = _stage_dp(
                     self.idx, self.sctab,
                     st["seqs2"][ridx], st["quals2"][ridx], st["lens2"][ridx],
@@ -402,6 +410,7 @@ class Aligner:
             return st
         bucket = max(32, B // 8)
         need = need[:bucket]
+        self.metrics.fallback_reads += int(need.size)
         need_p = np.pad(need, (0, bucket - need.size))   # fixed shape
         ridx = jnp.asarray(need_p, jnp.int32)
         st2 = _stage_candidates(
@@ -515,6 +524,7 @@ class Aligner:
         if not lanes:
             return
         P = len(lanes)
+        self.metrics.splice_lanes += P
         # pad lane count to a power of two: bounded set of compiled shapes
         bucket = 32
         while bucket < P:

@@ -75,6 +75,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-p", "--threads", type=int, default=1,
                     help="accepted for compatibility (device batching)")
     ap.add_argument("-t", "--time", action="store_true")
+    ap.add_argument("--met", type=float, default=1.0,
+                    help="metrics emission interval (seconds)")
+    ap.add_argument("--met-file", default=None)
+    ap.add_argument("--met-stderr", action="store_true")
     ap.add_argument("--summary-file", default=None)
     ap.add_argument("--new-summary", action="store_true")
     ap.add_argument("--quiet", action="store_true")
@@ -170,6 +174,11 @@ def main(argv=None) -> int:
         no_head=args.no_head, reorder=args.reorder)
 
     fmt = "fasta" if args.fasta else ("fastq" if args.fastq else None)
+    msink = None
+    if args.met_file or args.met_stderr:
+        from ..utils.metrics import MetricsSink
+        msink = MetricsSink(al.metrics, args.met_file, args.met_stderr,
+                            args.met)
     totals: dict[str, int] = {}
 
     def merge(s):
@@ -215,6 +224,11 @@ def main(argv=None) -> int:
             else:
                 merge(align_and_emit(al, batch, writer))
             nreads += len(batch)
+            if msink:
+                al.metrics.aligned = totals.get("uniq", 0) + totals.get("multi", 0)
+                al.metrics.unaligned = totals.get("unal", 0)
+                al.metrics.multi = totals.get("multi", 0)
+                msink.tick()
     elif args.m1 and args.m2:
         r1s = itertools.chain(*[read_reads(p, fmt, args.phred64)
                                 for p in args.m1.split(",")])
@@ -241,6 +255,8 @@ def main(argv=None) -> int:
         return 1
 
     writer.flush()
+    if msink:
+        msink.close()
     if args.novel_splicesite_outfile:
         al.ssdb.write_novel(args.novel_splicesite_outfile, fm.ref)
     for fh in (un_fh, al_fh):

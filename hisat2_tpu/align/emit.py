@@ -68,11 +68,14 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     ends = np.zeros(0, np.int64)
     fast_idx: dict[int, int] = {}
     if fast.any():
-        fin = _stage_primary_fin(
+        packed = np.asarray(_stage_primary_fin(
             al.idx, al.sctab, st["seqs2"], st["quals2"], st["lens2"],
             jnp.asarray(mpos[:, 0].astype(np.int32)),
-            jnp.asarray(mfw[:, 0]), B)
-        F = {k: np.asarray(v) for k, v in fin.items()}
+            jnp.asarray(mfw[:, 0]), B))
+        F = dict(c5=packed[:, 0], c3=packed[:, 1], score=packed[:, 2],
+                 nmm=packed[:, 3], nmm_all=packed[:, 4],
+                 mcols=packed[:, 5:5 + MAX_FAST_MM],
+                 mchars=packed[:, 5 + MAX_FAST_MM:5 + 2 * MAX_FAST_MM])
         fast &= F["nmm_all"] <= MAX_FAST_MM
         # fragment containment
         ref = al.fm.ref

@@ -93,6 +93,7 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                                  c["gapped"], rdlen)
 
     out: list[PairResult] = []
+    rescue: list[tuple] = []
     for i in range(B):
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         min1 = aligner.scoring.min_score(l1)
@@ -138,6 +139,11 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                 pr.best = c1[0]["score"] + c2[0]["score"]
                 out.append(pr)
                 continue
+        # ---- mate rescue candidates: one mate anchored, other missing ----
+        if c1 and not c2:
+            rescue.append((i, 1, c1[0]))
+        elif c2 and not c1:
+            rescue.append((i, 2, c2[0]))
         # ---- mixed: report mates individually ----
         if not o.no_mixed:
             pr.kind = "mixed"
@@ -146,7 +152,111 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
             if not pr.res1.aligned and not pr.res2.aligned:
                 pr.kind = "unal"
         out.append(pr)
+
+    if rescue:
+        _rescue_mates(aligner, b1, b2, out, rescue, finalize)
     return out
+
+
+def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
+    """Mate rescue (reference HI_Aligner::alignMate, hi_aligner.h:4107):
+    DP the unaligned mate against the window the paired-end policy implies
+    from its anchored partner; a passing score upgrades the pair to
+    concordant. Batched: one device DP call over all rescue lanes."""
+    import jax.numpy as jnp
+    from ..ops import sw as _sw, rank as _rank
+    from .pipeline import _rank_text_window
+    o = aligner.opts
+    sc = aligner.scoring
+    lanes = []
+    L = max(b1.seqs.shape[1], b2.seqs.shape[1])
+    W = min(o.maxins, 1000) + L
+    for i, anchored, ac in rescue[:512]:
+        tb = b2 if anchored == 1 else b1
+        rdlen = int(tb.lens[i])
+        if rdlen == 0:
+            continue
+        # FR policy: mate opposite orientation, downstream of a fw anchor /
+        # upstream of an rc anchor
+        if ac["fw"]:
+            wstart = ac["pos"]
+            mate_fw = False
+        else:
+            wstart = ac["pos"] + ac["extent"] - W
+            mate_fw = True
+        lanes.append((i, anchored, ac, wstart, mate_fw, rdlen))
+    if not lanes:
+        return
+    P = len(lanes)
+    bucket = 32
+    while bucket < P:
+        bucket *= 2
+    lanes_p = lanes + [lanes[0]] * (bucket - P)
+    rd = np.full((bucket, L), 4, np.int64)
+    q = np.full((bucket, L), 40, np.int64)
+    rls = np.zeros(bucket, np.int32)
+    wstarts = np.zeros(bucket, np.int32)
+    from ..utils import alphabet
+    for k, (i, anchored, ac, wstart, mate_fw, rdlen) in enumerate(lanes_p):
+        tb = b2 if anchored == 1 else b1
+        s = tb.seqs[i, :rdlen].astype(np.uint8)
+        qq = np.clip(tb.quals[i, :rdlen].astype(np.int64), 0, 63)
+        if not mate_fw:
+            s = alphabet.revcomp(s)
+            qq = qq[::-1].copy()
+        rd[k, :rdlen] = s
+        q[k, :rdlen] = qq
+        rls[k] = rdlen
+        wstarts[k] = wstart
+    win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
+    scores = np.asarray(_sw.dp_score_batch(
+        aligner.sctab, jnp.asarray(rd), jnp.asarray(q), jnp.asarray(rls),
+        win))[:P]
+
+    for k, (i, anchored, ac, wstart, mate_fw, rdlen) in enumerate(lanes):
+        min_sc = sc.min_score(rdlen)
+        if scores[k] < min_sc:
+            continue
+        # host traceback against the window for the exact placement
+        window = aligner.fm.ref.get_stretch(int(wstart), W)
+        s2, ref_start, cigar, mds = _sw.dp_traceback(
+            sc, rd[k, :rdlen].astype(np.uint8), q[k, :rdlen], window)
+        jpos = int(wstart) + ref_start
+        from .pipeline import Alignment
+        span = sum(n for op, n in cigar if op in ("M", "D"))
+        md, nm = None, None
+        from ..io import sam as samio_
+        md, nm = samio_.make_md(rd[k, :rdlen].astype(np.uint8),
+                                window[ref_start:ref_start + span], cigar)
+        a_resc = Alignment(joined_pos=jpos, fw=mate_fw, score=int(s2),
+                           cigar=cigar, nmm=len(mds), md=md, nm=nm,
+                           gap_opens=sum(1 for op, n in cigar
+                                         if op in ("I", "D")),
+                           gap_exts=sum(n - 1 for op, n in cigar
+                                        if op in ("I", "D")))
+        loc = aligner.fm.ref.joined_to_text(jpos, a_resc.ref_span)
+        if loc is None:
+            continue
+        a_resc.tidx, a_resc.toff = loc
+        ab = b1 if anchored == 1 else b2
+        a_anchor = finalize(ab, i, ac, int(ab.lens[i]))
+        if a_anchor is None or a_anchor.tidx != a_resc.tidx:
+            continue
+        ok, _frag = _concordant(
+            a_anchor.fw, a_anchor.joined_pos, ac["extent"],
+            a_resc.fw, a_resc.joined_pos, a_resc.ref_span,
+            aligner.opts.minins, aligner.opts.maxins, aligner.opts.fr)
+        if not ok:
+            continue
+        pr = results[i]
+        pr.kind = "concordant"
+        if anchored == 1:
+            pr.aln1, pr.aln2 = a_anchor, a_resc
+        else:
+            pr.aln1, pr.aln2 = a_resc, a_anchor
+        pr.best = ac["score"] + int(s2)
+        pr.secbest = None
+        pr.res1 = pr.res2 = None
 
 
 def _mate_result(aligner, batch, i, cands, min_sc, rdlen, finalize

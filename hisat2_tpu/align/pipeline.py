@@ -274,9 +274,11 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
     mcols = jnp.sort(colkey, axis=1)[:, :max_mm]
     onehot = (ar[:, None, :] == mcols[:, :, None])        # (B, max_mm, L)
     mchars = (jnp.where(onehot, win[:, None, :], 0)).sum(axis=2)
-    return dict(c5=c5, c3=c3, score=score, nmm=nmm, nmm_all=nmm_all,
-                mcols=mcols.astype(jnp.int32),
-                mchars=mchars.astype(jnp.int32))
+    # single packed tensor -> one device->host transfer
+    return jnp.concatenate(
+        [c5[:, None], c3[:, None], score[:, None], nmm[:, None],
+         nmm_all[:, None], mcols.astype(jnp.int32),
+         mchars.astype(jnp.int32)], axis=1)
 
 
 @partial(jax.jit, static_argnames=("B", "K2"))
@@ -294,8 +296,9 @@ def _stage_merge(pos, score, dp_score, B: int, K2: int):
                            jnp.zeros((B, T), bool)], axis=1)
     top, ti = lax.top_k(sc2, K2)
     take = lambda a: jnp.take_along_axis(a, ti, 1)
-    flags = take(fw2).astype(jnp.uint8) | (take(gap2).astype(jnp.uint8) << 1)
-    return top, take(pos2), flags
+    flags = take(fw2).astype(jnp.int32) | (take(gap2).astype(jnp.int32) << 1)
+    # one packed (B, K2, 3) tensor -> one device->host transfer
+    return jnp.stack([top, take(pos2), flags], axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +384,7 @@ class Aligner:
                 # DP only the best few candidates of each triggered row —
                 # for a real indel the true diagonal ranks top by ungapped
                 # score (both gap sides seed it); the tail is junk loci
-                Tdp = min(4, st["pos"].shape[1])
+                Tdp = min(2, st["pos"].shape[1])
                 self.metrics.dp_lanes += int(rows.size) * Tdp
                 dp_rows = _stage_dp(
                     self.idx, self.sctab,
@@ -428,12 +431,12 @@ class Aligner:
     def _merged_host(self, st, dp_dev, B: int):
         """Device-side merge + one small fetch -> host candidate dict."""
         K2 = min(2 * st["pos"].shape[1], max(8, self.opts.khits + 3))
-        top, pos, flags = _stage_merge(st["pos"], st["score"], dp_dev, B, K2)
-        top = np.asarray(top).astype(np.int64)
-        pos = np.asarray(pos)
-        flags = np.asarray(flags)
-        return dict(score=top, pos=pos,
-                    fw=(flags & 1).astype(bool), gapped=(flags & 2) > 0)
+        packed = np.asarray(_stage_merge(st["pos"], st["score"], dp_dev,
+                                         B, K2))
+        return dict(score=packed[:, :, 0].astype(np.int64),
+                    pos=packed[:, :, 1],
+                    fw=(packed[:, :, 2] & 1).astype(bool),
+                    gapped=(packed[:, :, 2] & 2) > 0)
 
     # ---- host finalization ----
 

@@ -103,3 +103,26 @@ def test_mixed_fallback(setup):
     flags = sorted(int(f[1]) for f in recs)
     # one aligned (mate-unmapped set), one unmapped
     assert any(f & 0x4 for f in flags) and any(not (f & 0x4) for f in flags)
+
+
+def test_mate_rescue(setup):
+    """One mate seeds normally; the other is too mutated to seed but is
+    recoverable by windowed DP near its partner (reference alignMate)."""
+    codes, al = setup
+    rng = np.random.default_rng(77)
+    p = 20000
+    m1 = codes[p:p + 100].copy()
+    # mate2 carries two 1bp deletions that fragment every seed diagonal,
+    # so direct search fails; windowed DP near the anchored mate finds it
+    frag = codes[p + 200:p + 300]
+    m2 = np.concatenate([frag[:11], frag[12:61], frag[62:]])  # two 1bp dels
+    m2 = alphabet.revcomp(m2)
+    b1 = batchify([Read("r", m1, np.full(100, 40), 0)])
+    b2 = batchify([Read("r", m2, np.full(m2.size, 40), 0)])
+    results = align_pairs(al, b1, b2)
+    pr = results[0]
+    assert pr.kind == "concordant"
+    assert pr.aln1.toff == p
+    assert pr.aln2 is not None and not pr.aln2.fw
+    ops = [op for op, n in pr.aln2.cigar]
+    assert "D" in ops

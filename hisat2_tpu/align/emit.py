@@ -35,10 +35,14 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
         results = al.align_batch(batch)
         return results_to_sam(batch, results, al, writer)
 
-    import jax.numpy as jnp
     B = len(batch)
-    st, dp = al._device_align(batch)
-    merged = al._merged_host(st, dp, B)
+    if al.opts.seed_mode:
+        merged, fin_packed = al.device_align_fused(batch)
+    else:
+        import jax.numpy as jnp
+        st, dp = al._device_align(batch)
+        merged = al._merged_host(st, dp, B)
+        fin_packed = None
     if al.opts.spliced:
         n_ss = len(al.ssdb)
         al._splice_rescue(batch, merged)
@@ -68,10 +72,13 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     ends = np.zeros(0, np.int64)
     fast_idx: dict[int, int] = {}
     if fast.any():
-        packed = np.asarray(_stage_primary_fin(
-            al.idx, al.sctab, st["seqs2"], st["quals2"], st["lens2"],
-            jnp.asarray(mpos[:, 0].astype(np.int32)),
-            jnp.asarray(mfw[:, 0]), B))
+        if fin_packed is None:
+            import jax.numpy as jnp
+            fin_packed = np.asarray(_stage_primary_fin(
+                al.idx, al.sctab, st["seqs2"], st["quals2"], st["lens2"],
+                jnp.asarray(mpos[:, 0].astype(np.int32)),
+                jnp.asarray(mfw[:, 0]), B))
+        packed = fin_packed
         F = dict(c5=packed[:, 0], c3=packed[:, 1], score=packed[:, 2],
                  nmm=packed[:, 3], nmm_all=packed[:, 4],
                  mcols=packed[:, 5:5 + MAX_FAST_MM],

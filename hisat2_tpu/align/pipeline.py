@@ -281,6 +281,67 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
          mchars.astype(jnp.int32)], axis=1)
 
 
+@partial(jax.jit, static_argnames=(
+    "B", "max_seeds", "locs_per_seg", "top_cands", "min_seg_len", "ftab_k",
+    "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp"))
+def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
+                       minsc_i, minsc_s, gap1,
+                       B: int, max_seeds: int, locs_per_seg: int,
+                       top_cands: int, min_seg_len: int, ftab_k: int,
+                       K2: int, max_mm: int, fb_bucket: int, dp_bucket: int,
+                       dp_pad: int, no_dp: bool):
+    """The ENTIRE single-end device path in one dispatch: seed candidates,
+    segment fallback for failing reads (device-side top-k compaction), DP
+    rescue, merge, and primary finalization. One round trip matters: on a
+    tunneled TPU each dispatch+sync costs ~25ms regardless of work, so the
+    pipeline's five phases fuse into one executable with fixed-size
+    compaction buckets instead of host-driven shape-changing gathers."""
+    st = _stage_candidates(idx, sctab, seqs, quals, lens, max_seeds,
+                           locs_per_seg, top_cands, min_seg_len, "seeds",
+                           ftab_k)
+    pos, score = st["pos"], st["score"]
+    min_scs = jnp.ceil(minsc_i + minsc_s
+                       * lens.astype(jnp.float32)).astype(jnp.int32)
+    row_best = score.max(axis=1)
+    read_best = jnp.maximum(row_best[:B], row_best[B:])
+
+    if fb_bucket > 0:
+        key = jnp.where(read_best < min_scs, -read_best, NEG_INF)
+        val, sel = lax.top_k(key, fb_bucket)
+        selmask = val > NEG_INF // 2
+        st2 = _stage_candidates(idx, sctab, seqs[sel], quals[sel], lens[sel],
+                                max_seeds, locs_per_seg, top_cands,
+                                min_seg_len, "segments", ftab_k)
+        rows = jnp.concatenate([sel, sel + B])
+        m2 = jnp.concatenate([selmask, selmask])
+        for k in ("pos", "score", "nmm"):
+            new = jnp.where(m2[:, None], st2[k], st[k][rows])
+            st[k] = st[k].at[rows].set(new)
+        pos, score = st["pos"], st["score"]
+        row_best = score.max(axis=1)
+        read_best = jnp.maximum(row_best[:B], row_best[B:])
+
+    dp_sc = None
+    if not no_dp:
+        key = jnp.where(read_best < -gap1, -read_best, NEG_INF)
+        val, sel = lax.top_k(key, dp_bucket)
+        selmask = val > NEG_INF // 2
+        rows = jnp.concatenate([sel, sel + B])
+        m2 = jnp.concatenate([selmask, selmask])
+        Tdp = min(2, pos.shape[1])
+        dpv = _stage_dp(idx, sctab, st["seqs2"][rows], st["quals2"][rows],
+                        st["lens2"][rows], pos[rows, :Tdp], m2, dp_pad)
+        dp_sc = jnp.full(score.shape, NEG_INF, jnp.int32
+                         ).at[rows, :Tdp].set(dpv)
+
+    merged = _stage_merge(pos, score, dp_sc, B, K2)
+    ppos = merged[:, 0, 1]
+    pfw = (merged[:, 0, 2] & 1) == 1
+    fin = _stage_primary_fin(idx, sctab, st["seqs2"], st["quals2"],
+                             st["lens2"], ppos, pfw, B, max_mm)
+    return merged, fin
+
+
 @partial(jax.jit, static_argnames=("B", "K2"))
 def _stage_merge(pos, score, dp_score, B: int, K2: int):
     """Merge fw/rc candidate grids and keep the per-read top-K2 on device —
@@ -396,6 +457,34 @@ class Aligner:
                 dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32), :Tdp].set(
                     dp_rows[:rows.size])
         return st, dp_sc
+
+    def device_align_fused(self, batch: ReadBatch):
+        """One-dispatch device path (emit fast path): returns host arrays
+        (merged dict, fin packed). SE seed-mode only."""
+        o = self.opts
+        B = len(batch)
+        self.metrics.reads += B
+        self.metrics.batches += 1
+        self.metrics.seeds += 2 * B * o.max_seeds
+        K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+        merged_d, fin_d = _stage_align_fused(
+            self.idx, self.sctab,
+            jnp.asarray(batch.seqs), jnp.asarray(batch.quals),
+            jnp.asarray(batch.lens),
+            jnp.float32(self.scoring.score_min.I),
+            jnp.float32(self.scoring.score_min.S),
+            jnp.int32(min(self.scoring.read_gap_open(),
+                          self.scoring.ref_gap_open())),
+            B, o.max_seeds, o.locs_per_seg, o.top_cands,
+            self.min_seg_len, self.fm.ftab_k, K2, 8,
+            min(B, max(32, B // 8)), min(B, max(64, B // 4)),
+            o.dp_pad, o.no_dp)
+        packed = np.asarray(merged_d)
+        merged = dict(score=packed[:, :, 0].astype(np.int64),
+                      pos=packed[:, :, 1],
+                      fw=(packed[:, :, 2] & 1).astype(bool),
+                      gapped=(packed[:, :, 2] & 2) > 0)
+        return merged, np.asarray(fin_d)
 
     def _segment_fallback(self, batch, st, seqs, quals, lens):
         """Reads the seed pass couldn't place above min score re-run through

@@ -209,10 +209,15 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
     W = L + 2 * dp_pad
     wstart = pos_top - dp_pad                                   # (R', T)
     ref = _rank_text_window(idx, wstart.reshape(-1), W)         # (R'*T, W)
+    if "snv_packed" in idx:
+        from ..ops import rank as _rank
+        ov = _rank.nib4_window(idx, wstart.reshape(-1), W)
+    else:
+        ov = None
     rd = jnp.repeat(seqs2, T, axis=0)
     q = jnp.repeat(quals2, T, axis=0)
     rl = jnp.repeat(lens2, T)
-    score = _sw.dp_score_batch(sctab, rd, q, rl, ref).reshape(R, T)
+    score = _sw.dp_score_batch(sctab, rd, q, rl, ref, ov).reshape(R, T)
     # sentinel (invalid) candidates must stay invalid: their all-N windows
     # would otherwise "score" better than real but poor placements
     ok = dp_rows[:, None] & (pos_top < (1 << 30) - (1 << 20)) & (pos_top >= 0)

@@ -29,6 +29,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="reads are FASTA")
     ap.add_argument("-q", dest="fastq", action="store_true",
                     help="reads are FASTQ (default)")
+    ap.add_argument("-r", dest="raw", action="store_true",
+                    help="reads are raw one-per-line")
+    ap.add_argument("-c", dest="cmdline", action="store_true",
+                    help="-U arguments are literal sequences")
+    ap.add_argument("--qseq", action="store_true", help="QSEQ input")
     ap.add_argument("-k", dest="khits", type=int, default=5,
                     help="report up to <int> alignments per read")
     ap.add_argument("-I", "--minins", type=int, default=0)
@@ -173,7 +178,8 @@ def main(argv=None) -> int:
         prog_args=" ".join(argv or sys.argv[1:]),
         no_head=args.no_head, reorder=args.reorder)
 
-    fmt = "fasta" if args.fasta else ("fastq" if args.fastq else None)
+    fmt = ("fasta" if args.fasta else "raw" if args.raw
+           else "qseq" if args.qseq else "fastq" if args.fastq else None)
     msink = None
     if args.met_file or args.met_stderr:
         from ..utils.metrics import MetricsSink
@@ -211,6 +217,9 @@ def main(argv=None) -> int:
                     yield r1
                     yield r2
             stream = stream_tab6()
+        elif args.cmdline:
+            from ..io.reads import reads_from_cmdline
+            stream = reads_from_cmdline(args.unpaired)
         else:
             readers = [read_reads(p, fmt, args.phred64)
                        for p in args.unpaired.split(",")]

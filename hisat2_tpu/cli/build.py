@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     ap.add_argument("--ftabchars", type=int, default=10,
                     help="ftab k-mer length (auto-shrunk for tiny refs)")
     ap.add_argument("--snp", default=None, help="SNP file (hisat2 .snp format)")
+    ap.add_argument("--haplotype", default=None,
+                    help=".haplotype file (phased variant groups)")
     ap.add_argument("--ss", default=None,
                     help="splice-site file (.ss, transcriptome-aware index)")
     ap.add_argument("--exon", default=None,
@@ -39,9 +41,12 @@ def main(argv=None) -> int:
               file=sys.stderr)
     if args.snp:
         from ..index.graph_index import build_graph_index
-        from ..io.annotations import read_snps
+        from ..io.annotations import read_snps, read_haplotypes
         snps = read_snps(args.snp, ref)
-        fm = build_graph_index(ref, snps, ftab_k=args.ftabchars)
+        haps = (read_haplotypes(args.haplotype, ref, snps)
+                if args.haplotype else None)
+        fm = build_graph_index(ref, snps, ftab_k=args.ftabchars,
+                               haplotypes=haps)
     else:
         fm = build_fm_index(ref, ftab_k=args.ftabchars)
     if args.ss:

@@ -143,7 +143,13 @@ def _pack4(overlay: np.ndarray) -> np.ndarray:
 
 
 def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
-                      flank: int = DEFAULT_FLANK) -> GraphFMIndex:
+                      flank: int = DEFAULT_FLANK,
+                      haplotypes: list[list[int]] | None = None
+                      ) -> GraphFMIndex:
+    """haplotypes: optional lists of SNP indices to co-apply in one patch
+    (reference .haplotype input — phased variant combinations get their own
+    indexed alt sequence, so a read carrying several nearby variants still
+    seeds through all of them at once)."""
     text = ref.joined
     n0 = int(text.size)
     chunks = [text]
@@ -175,6 +181,44 @@ def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
         p_ref.append(lo)
         p_vpos.append(len(left) + (len(var) if t == SNP_INS else
                                    (1 if t == SNP_SGL else 0)))
+        p_shift.append(shift)
+        p_len.append(patch.size)
+        cur += patch.size
+
+    # haplotype patches: all variants of one phased group applied together
+    for hap in (haplotypes or []):
+        first = int(snps.jpos[hap[0]])
+        lo = max(0, first - flank)
+        parts = [text[lo:first]]
+        shift = 0
+        cursor = first
+        ok = True
+        for si in hap:
+            jp = int(snps.jpos[si])
+            if jp < cursor:
+                ok = False
+                break
+            parts.append(text[cursor:jp])
+            t = int(snps.types[si])
+            ln = int(snps.lens[si])
+            if t == SNP_SGL:
+                parts.append(np.array([snps.alt_codes[si]], np.uint8))
+                cursor = jp + 1
+            elif t == SNP_DEL:
+                cursor = jp + ln
+                shift += ln
+            else:
+                parts.append(snps.ins_seqs[si])
+                cursor = jp
+                shift -= ln
+        if not ok:
+            continue
+        parts.append(text[cursor:cursor + flank])
+        patch = np.concatenate(parts)
+        chunks.append(patch)
+        p_start.append(cur)
+        p_ref.append(lo)
+        p_vpos.append(patch.size - min(flank, text.size - cursor))
         p_shift.append(shift)
         p_len.append(patch.size)
         cur += patch.size

@@ -134,6 +134,22 @@ def read_snps(path, ref) -> SNPDB:
     )
 
 
+def read_haplotypes(path, ref, snps: SNPDB) -> list[list[int]]:
+    """Parse a .haplotype file (name, chrom, left, right, snp-id list) into
+    lists of SNP indices into `snps` (unknown ids skipped)."""
+    id_to_idx = {n: i for i, n in enumerate(snps.names)}
+    out = []
+    with _open_text(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 5:
+                continue
+            ids = [id_to_idx[x] for x in f[4].split(",") if x in id_to_idx]
+            if len(ids) > 1:
+                out.append(sorted(ids, key=lambda i: int(snps.jpos[i])))
+    return out
+
+
 @dataclass
 class SpliceSiteRec:
     chrom: str

@@ -111,6 +111,42 @@ def read_tab6(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[tupl
             rdid += 1
 
 
+def read_raw(path, start_rdid: int = 0) -> Iterator[Read]:
+    """Raw format (-r): one sequence per line, no names/quals."""
+    with _open_text(path) as fh:
+        rdid = start_rdid
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            yield Read(str(rdid), alphabet.encode(line), None, rdid)
+            rdid += 1
+
+
+def reads_from_cmdline(seqs: str, start_rdid: int = 0) -> Iterator[Read]:
+    """Command-line reads (-c): comma-separated sequences."""
+    for rdid, s in enumerate(seqs.split(","), start=start_rdid):
+        if s:
+            yield Read(str(rdid), alphabet.encode(s), None, rdid)
+
+
+def read_qseq(path, phred64: bool = True, start_rdid: int = 0
+              ) -> Iterator[Read]:
+    """Illumina QSEQ format (--qseq): tab-separated, seq in col 9, quals in
+    col 10 (phred64), '.' means N (reference read_qseq.cpp)."""
+    with _open_text(path) as fh:
+        rdid = start_rdid
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 10:
+                continue
+            name = "_".join(f[:7])
+            seq = f[8].replace(".", "N")
+            yield Read(name, alphabet.encode(seq),
+                       _parse_qual(f[9], phred64), rdid)
+            rdid += 1
+
+
 def read_reads(path, fmt: str | None = None, phred64: bool = False,
                start_rdid: int = 0) -> Iterator[Read]:
     """Auto-dispatch on extension unless fmt given ('fastq'|'fasta')."""
@@ -122,6 +158,10 @@ def read_reads(path, fmt: str | None = None, phred64: bool = False,
         fmt = "fasta" if p.endswith((".fa", ".fasta", ".mfa", ".fna", ".ffn")) else "fastq"
     if fmt == "fasta":
         return read_fasta(path, start_rdid)
+    if fmt == "raw":
+        return read_raw(path, start_rdid)
+    if fmt == "qseq":
+        return read_qseq(path, phred64, start_rdid)
     return read_fastq(path, phred64, start_rdid)
 
 

@@ -32,12 +32,16 @@ import numpy as np
 NEG = -(1 << 28)
 
 
-def _subst(sctab, rd_c, q, rf_c):
-    """Substitution score of read char vs ref char (int32)."""
+def _subst(sctab, rd_c, q, rf_c, ov=None):
+    """Substitution score of read char vs ref char (int32). `ov` is the
+    SNV-overlay value at the ref position (graph mode): a mismatch whose
+    read base is the known alt allele is free."""
     rd_n = rd_c >= 4
     rf_n = rf_c >= 4
     isn = rd_n | rf_n
     mm = (rd_c != rf_c) & ~isn
+    if ov is not None:
+        mm = mm & ~((ov == rd_c + 1) | (ov == 15))
     pen = jnp.where(mm, sctab["mm_pens"][jnp.clip(q, 0, 63)], 0)
     pen = jnp.where(isn, sctab["n_pen"], pen)
     bonus = jnp.where(~mm & ~isn, sctab["match_bonus"], 0)
@@ -46,7 +50,8 @@ def _subst(sctab, rd_c, q, rf_c):
 
 @jax.jit
 def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
-                   rdlens: jax.Array, ref: jax.Array):
+                   rdlens: jax.Array, ref: jax.Array,
+                   ov: jax.Array | None = None):
     """Affine-gap DP score with soft clips, batched over candidates.
 
     rd (C, L) codes 0..4, quals (C, L), rdlens (C,), ref (C, W) codes 0..4
@@ -80,7 +85,7 @@ def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
         H, F, best = carry                               # (C, W+1), (C,)
         rc = rd[:, i][:, None]                           # (C, 1)
         qc = q[:, i][:, None]
-        s = _subst(sctab, rc, qc, ref)                   # (C, W)
+        s = _subst(sctab, rc, qc, ref, ov)               # (C, W)
         diag = H[:, :-1] + s                             # j=1..W
         Fn_tail = jnp.maximum(H[:, 1:] - rf_open, F[:, 1:] - rf_ext)
         col0 = -(rf_open + i * rf_ext)

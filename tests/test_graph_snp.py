@@ -146,3 +146,41 @@ def test_save_load_graph(snp_setup, tmp_path):
     seq[50] = int(snps.alt_codes[3])
     res = al2.align_batch(batchify([Read("x", seq, np.full(100, 40), 0)]))[0]
     assert res.aligned and res.alns[0].score == 0
+
+
+def test_haplotype_patch(tmp_path):
+    """A read carrying several phased variants (SNV + deletion together)
+    seeds through the haplotype patch even when the variants are dense
+    enough to break every single-variant seed."""
+    from hisat2_tpu.index.graph_index import build_graph_index
+    from hisat2_tpu.io.annotations import read_snps, read_haplotypes
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=30000).astype(np.uint8)
+    ref = reference_from_seqs({"chrH": alphabet.decode(codes)})
+    # three dense variants within 20bp: SNV, 2bp del, SNV
+    p = 9000
+    a1 = (int(codes[p]) + 1) % 4
+    a2 = (int(codes[p + 20]) + 2) % 4
+    snp_path = tmp_path / "h.snp"
+    snp_path.write_text(
+        f"rs1\tsingle\tchrH\t{p}\t{alphabet.decode([a1])}\n"
+        f"rs2\tdeletion\tchrH\t{p+8}\t2\n"
+        f"rs3\tsingle\tchrH\t{p+20}\t{alphabet.decode([a2])}\n")
+    hap_path = tmp_path / "h.haplotype"
+    hap_path.write_text(f"ht1\tchrH\t{p}\t{p+20}\trs1,rs2,rs3\n")
+    snps = read_snps(str(snp_path), ref)
+    haps = read_haplotypes(str(hap_path), ref, snps)
+    assert len(haps) == 1 and len(haps[0]) == 3
+    fm = build_graph_index(ref, snps, ftab_k=6, haplotypes=haps)
+    al = Aligner(fm)
+    # read applying ALL variants, centered on the cluster
+    seq = np.concatenate([codes[p - 40:p], [a1], codes[p+1:p+8],
+                          codes[p+10:p+20], [a2],
+                          codes[p+21:p+21+42]]).astype(np.uint8)
+    res = al.align_batch(batchify([Read("h", seq, np.full(seq.size, 40), 0)]))[0]
+    assert res.aligned
+    a = res.alns[0]
+    assert a.joined_pos == p - 40
+    ops = [op for op, n in a.cigar]
+    assert "D" in ops        # the known deletion appears in the CIGAR
+    assert a.score == 0      # everything SNP-consistent -> free

@@ -105,6 +105,34 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     stats = dict(reads=B, unal=0, uniq=0, multi=0)
     out_parts: list[tuple] = []
 
+    # ---- slow reads: collect candidates, batch-finalize ungapped ones ----
+    slow = [i for i in range(B) if i not in fast_idx]
+    plans: dict[int, list] = {}
+    ug_items: list[tuple[int, int, bool]] = []
+    for i in slow:
+        if filtered[i]:
+            continue
+        entries = [("reg", s, p, f, g) for s, p, f, g, _, _
+                   in al._ranked_candidates(merged, i, int(min_scs[i]))]
+        if i in spl:
+            entries += [("spl", c["score"], c["posA"], c["fw"], c)
+                        for c in spl[i] if c["score"] >= min_scs[i]]
+            entries.sort(key=lambda e: -e[1])
+        entries = entries[: al.opts.khits + 1]
+        plans[i] = entries
+        for kind, s, p, f, g in entries:
+            if kind == "reg" and not g:
+                ug_items.append((i, int(p), bool(f)))
+    lookup: dict[tuple, object] = {}
+    if ug_items:
+        ridx = np.asarray([x[0] for x in ug_items])
+        upos = np.asarray([x[1] for x in ug_items])
+        ufw = np.asarray([x[2] for x in ug_items])
+        alns = al._finalize_ungapped_list(batch, ridx, upos, ufw, lens[ridx])
+        for (i, p, f), a in zip(ug_items, alns):
+            lookup[(i, p, f)] = a
+
+    from .pipeline import _dedup_alns
     for i in range(B):
         j = fast_idx.get(i)
         if j is not None:
@@ -112,8 +140,29 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
             s = int(ends[j - 1]) if j > 0 else 0
             out_parts.append(("f", s, int(ends[j])))
             continue
-        res = _slow_result(al, batch, merged, spl, i, int(min_scs[i]),
-                           int(lens[i]), bool(filtered[i]))
+        if filtered[i]:
+            res = ReadResult(filtered="NS" if lens[i] else "LN")
+        else:
+            res = ReadResult()
+            entries = plans.get(i, [])
+            if entries:
+                res.best = entries[0][1]
+                if len(entries) > 1:
+                    res.secbest = entries[1][1]
+                for kind, s, p, f, g in entries:
+                    if kind == "spl":
+                        a = al._finalize_spliced(i, batch, g, int(lens[i]))
+                    elif g:
+                        a = al._finalize(i, batch, s, p, f, True,
+                                         int(lens[i]))
+                    else:
+                        a = lookup.get((i, p, f))
+                    if a is not None:
+                        res.alns.append(a)
+                if res.alns:
+                    _dedup_alns(res, al.opts.khits)
+                else:
+                    res = ReadResult()
         lines = _format_slow(al, batch, i, res, sc)
         if not res.aligned:
             stats["unal"] += 1

@@ -371,6 +371,33 @@ def _stage_merge(pos, score, dp_score, B: int, K2: int):
 # Host-side finalization
 # ---------------------------------------------------------------------------
 
+class RepeatAligner:
+    """Repeat-index alignment (reference RFM path, hi_aligner.h:4151+):
+    reads that multi-map in the genome are aligned once against the
+    assembled repeat sequences; `expand` recovers every genomic placement
+    (ht2_repeat_expand contract)."""
+
+    def __init__(self, rep_fm: FMIndex, repeat_db,
+                 scoring: Scoring = DEFAULT_SCORING):
+        self.aligner = Aligner(rep_fm, scoring)
+        self.db = repeat_db
+
+    def align_repeats(self, batch: ReadBatch):
+        """Returns per read: None or (repeat_name, offset, fw, score,
+        genomic placements list)."""
+        results = self.aligner.align_batch(batch)
+        out = []
+        for res in results:
+            if not res.aligned:
+                out.append(None)
+                continue
+            a = res.alns[0]
+            name = self.aligner.fm.ref.names[a.tidx]
+            placements = self.db.expand(name, a.toff, a.ref_span)
+            out.append((name, a.toff, a.fw, a.score, placements))
+        return out
+
+
 class Aligner:
     """Batched aligner over a built FM index (DNA / --no-spliced-alignment)."""
 
@@ -896,14 +923,21 @@ class Aligner:
                                 ) -> dict[int, Alignment]:
         """Alignment objects for ungapped primary winners (reads whose
         alignment crosses a fragment boundary are omitted)."""
+        alns = self._finalize_ungapped_list(batch, rows, pos, fw, rdlens)
+        return {int(rows[r]): a for r, a in enumerate(alns) if a is not None}
+
+    def _finalize_ungapped_list(self, batch, rows, pos, fw, rdlens
+                                ) -> list:
+        """List-valued variant (rows may repeat a read index): one
+        vectorized pass, an Alignment (or None) per input row."""
         A = self._ungapped_arrays(batch, rows, pos, fw, rdlens)
         mm_rows, mm_cols, win = A["mm_rows"], A["mm_cols"], A["win"]
-        out: dict[int, Alignment] = {}
+        out: list = []
         ptr = 0
         for r in range(rows.size):
             if not A["ok"][r]:
+                out.append(None)
                 continue
-            i = int(rows[r])
             rl, cc5, cc3 = int(rdlens[r]), int(A["c5"][r]), int(A["c3"][r])
             mid = rl - cc5 - cc3
             cigar = ([("S", cc5)] if cc5 else []) + [("M", mid)] \
@@ -922,11 +956,11 @@ class Aligner:
                 md_parts.append("ACGTN"[int(win[r, cpos])])
                 last = cpos
             md_parts.append(str(cc5 + mid - 1 - last))
-            out[i] = Alignment(
+            out.append(Alignment(
                 joined_pos=int(A["astart"][r]), fw=bool(fw[r]),
                 score=int(A["score"][r]), cigar=cigar, nmm=int(A["nmm"][r]),
                 md="".join(md_parts), nm=int(A["nmm"][r]),
-                tidx=int(A["tidx"][r]), toff=int(A["toff"][r]))
+                tidx=int(A["tidx"][r]), toff=int(A["toff"][r])))
         return out
 
     def _ranked_candidates(self, merged, i, min_sc, limit=None):

@@ -80,3 +80,28 @@ def test_repeat_save_load(rep_setup, tmp_path):
     assert len(db2.repeats) == len(db.repeats)
     assert db2.expand(db.repeats[0].name, 0, 50) == \
         db.expand(db.repeats[0].name, 0, 50)
+
+
+def test_repeat_aligner(rep_setup):
+    """RepeatAligner places a repetitive read once on the repeat index and
+    expands to every genomic copy (reference RFM + ht2_repeat_expand)."""
+    from hisat2_tpu.align.pipeline import RepeatAligner
+    from hisat2_tpu.index.fm_index import build_fm_index
+    from hisat2_tpu.io.reads import Read, batchify
+
+    codes, unit, spots, rcspots, ref = rep_setup
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    rep_ref = reference_from_seqs(
+        {r.name: alphabet.decode(r.seq) for r in db.repeats})
+    ra = RepeatAligner(build_fm_index(rep_ref, ftab_k=6), db)
+    # a read from inside the planted repeat unit
+    seq = codes[spots[0] + 20: spots[0] + 120]
+    out = ra.align_repeats(batchify([Read("rp", seq, np.full(100, 40), 0)]))
+    assert out[0] is not None
+    name, off, fw, score, placements = out[0]
+    assert len(placements) >= len(spots)
+    # every placement's window matches the read (fw) or its rc
+    for chr_id, direction, pos in placements:
+        g = ref.joined[pos:pos + 100]
+        if direction == 0 and fw:
+            assert np.array_equal(g, seq)

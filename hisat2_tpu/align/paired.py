@@ -60,10 +60,14 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                 ) -> list[PairResult]:
     o = aligner.opts
     B = len(b1)
-    st1, dp1 = aligner._device_align(b1)
-    st2, dp2 = aligner._device_align(b2)
-    m1 = aligner._merged_host(st1, dp1, B)
-    m2 = aligner._merged_host(st2, dp2, B)
+    if o.seed_mode:
+        m1, _ = aligner.device_align_fused(b1)
+        m2, _ = aligner.device_align_fused(b2)
+    else:
+        st1, dp1 = aligner._device_align(b1)
+        st2, dp2 = aligner._device_align(b2)
+        m1 = aligner._merged_host(st1, dp1, B)
+        m2 = aligner._merged_host(st2, dp2, B)
     if o.spliced:
         n_ss = len(aligner.ssdb)
         aligner._splice_rescue(b1, m1)

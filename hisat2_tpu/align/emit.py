@@ -117,7 +117,10 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
         if i in spl:
             entries += [("spl", c["score"], c["posA"], c["fw"], c)
                         for c in spl[i] if c["score"] >= min_scs[i]]
-            entries.sort(key=lambda e: -e[1])
+            # ties: known-site junctions beat contiguous alignments
+            entries.sort(key=lambda e: (-e[1], 0 if (e[0] == "spl"
+                                                     and e[4]["canon"] == 1)
+                                        else 1))
         entries = entries[: al.opts.khits + 1]
         plans[i] = entries
         for kind, s, p, f, g in entries:

@@ -590,7 +590,23 @@ class Aligner:
         # may hide a penalty-free junction (canonical splice costs only the
         # intron-length term, usually 0)
         perfect = (self.scoring.match_bonus * lens).astype(np.int64)
-        trigger = np.flatnonzero(merged["score"][:, 0] < perfect)
+        trig_mask = merged["score"][:, 0] < perfect
+        # transcriptome-aware: even a perfect contiguous alignment is
+        # re-examined when a KNOWN splice boundary falls inside its span —
+        # the reference prefers the known junction (1bp-anchor cases in
+        # --ss indexes)
+        if len(self.ssdb):
+            kl, kr = self.ssdb.lefts_rights()
+            kr_sorted, _klr = self.ssdb.rights_sorted()
+            p0 = merged["pos"][:, 0].astype(np.int64)
+            span_l = p0 + 1
+            span_r = p0 + lens - 1
+            has_left = (np.searchsorted(kl, span_r)
+                        > np.searchsorted(kl, span_l))
+            has_right = (np.searchsorted(kr_sorted, span_r)
+                         > np.searchsorted(kr_sorted, span_l))
+            trig_mask |= has_left | has_right
+        trigger = np.flatnonzero(trig_mask)
         if trigger.size == 0:
             return
         sc, pos = merged["score"], merged["pos"]
@@ -701,7 +717,8 @@ class Aligner:
                     and c["score"] >= min_sc):
                 self.ssdb.add_novel(pa + c["j"] - 1, pb + c["j"], c["strand"])
         for i in list(spl):
-            spl[i].sort(key=lambda c: -c["score"])
+            spl[i].sort(key=lambda c: (-c["score"],
+                                       0 if c["canon"] == 1 else 1))
 
     def _finalize_spliced(self, i, batch, c: dict, rdlen: int
                           ) -> Alignment | None:
@@ -762,7 +779,11 @@ class Aligner:
         entries = [(s, ("reg", (p, fw, gapped))) for s, p, fw, gapped, _, _
                    in reg]
         entries += [(c["score"], ("spl", c)) for c in spl_cands]
-        entries.sort(key=lambda e: -e[0])
+        # ties: known-splice-site junctions beat contiguous alignments
+        # (transcriptome-aware preference, --ss indexes)
+        entries.sort(key=lambda e: (-e[0], 0 if (e[1][0] == "spl"
+                                                 and e[1][1]["canon"] == 1)
+                                    else 1))
         if not entries or entries[0][0] < min_sc:
             return res
         for s, (kind, data) in entries[: self.opts.khits + 1]:
@@ -814,7 +835,9 @@ class Aligner:
                 results.append(ReadResult(filtered="NS" if lens[i] else "LN"))
                 continue
             if i in spl and (not aligned[i]
-                             or spl[i][0]["score"] > msc[i, 0]):
+                             or spl[i][0]["score"] > msc[i, 0]
+                             or (spl[i][0]["score"] == msc[i, 0]
+                                 and spl[i][0]["canon"] == 1)):
                 results.append(self._select_with_splice(
                     i, batch, merged, spl[i], int(min_scs[i]), int(lens[i])))
                 continue
@@ -1163,17 +1186,22 @@ class Aligner:
 
 
 def _dedup_alns(res: ReadResult, khits: int | None = None) -> None:
-    """Distinct-locus dedup after finalization: two candidate diagonals can
-    converge on one final alignment (indel/SNP shifts), which would
-    otherwise fabricate a secondary and an equal second-best score.
-    Re-derives best/secbest from the surviving distinct alignments."""
-    seen = set()
+    """Redundant-alignment dedup after finalization (reference
+    RedundantAlns, hi_aligner.h:6282): alignments of the same orientation
+    sharing a read-anchor coordinate (start or end of the aligned span)
+    are the same placement — e.g. a spliced alignment vs the contiguous
+    run-through of the same locus. Keeps the best; re-derives best/secbest
+    from the survivors (the demoted twin must not count as second-best)."""
+    starts = set()
+    ends = set()
     out = []
     for a in sorted(res.alns, key=lambda a: -a.score):
-        k = (a.joined_pos, a.fw, tuple(a.cigar))
-        if k in seen:
+        ks = (a.joined_pos, a.fw)
+        ke = (a.joined_pos + a.ref_span, a.fw)
+        if ks in starts or ke in ends:
             continue
-        seen.add(k)
+        starts.add(ks)
+        ends.add(ke)
         out.append(a)
     res.alns = out
     if out:

@@ -282,16 +282,6 @@ def _format_fast(al, batch, rows, F, mfw, tidx, toff):
     return out.raw[:total], ends
 
 
-def _slow_result(al, batch, merged, spl, i, min_sc, rdlen, filt) -> ReadResult:
-    if filt:
-        return ReadResult(filtered="NS" if rdlen else "LN")
-    if i in spl and (merged["score"][i, 0] < min_sc
-                    or spl[i][0]["score"] > merged["score"][i, 0]):
-        return al._select_with_splice(i, batch, merged, spl[i], min_sc, rdlen)
-    cands = al._ranked_candidates(merged, i, min_sc)
-    return al._select(i, batch, cands, min_sc, rdlen)
-
-
 def _format_slow(al, batch, i, res: ReadResult, sc) -> list[str]:
     ref = al.fm.ref
     name = batch.names[i]

@@ -1,0 +1,89 @@
+"""CLI round-trip smoke tests: build -> align -> inspect -> repeat, driven
+through the argparse mains (the way users invoke them)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from hisat2_tpu.utils import alphabet
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 40000).astype(np.uint8)
+    fa = d / "g.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chrC\n")
+        s = alphabet.decode(codes)
+        for i in range(0, len(s), 70):
+            fh.write(s[i:i + 70] + "\n")
+    fq = d / "r.fq"
+    with open(fq, "w") as fh:
+        for i in range(50):
+            p = int(rng.integers(0, 39000))
+            fh.write(f"@c{i}_{p}\n{alphabet.decode(codes[p:p+100])}\n+\n"
+                     f"{'I'*100}\n")
+    snp = d / "g.snp"
+    snp.write_text(f"rs1\tsingle\tchrC\t5000\t"
+                   f"{alphabet.decode([(int(codes[5000])+1)%4])}\n")
+    return d, codes
+
+
+def test_build_align_inspect(workdir, capsys):
+    d, codes = workdir
+    from hisat2_tpu.cli.build import main as build_main
+    from hisat2_tpu.cli.align import main as align_main
+    from hisat2_tpu.cli.inspect import main as inspect_main
+    assert build_main([str(d / "g.fa"), str(d / "idx"), "--quiet"]) == 0
+    out = str(d / "out.sam")
+    assert align_main(["-x", str(d / "idx"), "-U", str(d / "r.fq"),
+                       "-S", out, "--quiet",
+                       "--no-spliced-alignment"]) == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(recs) == 50
+    ok = sum(1 for f in recs
+             if int(f[3]) - 1 == int(f[0].split("_")[1]))
+    assert ok >= 49
+    # inspect: names + summary + reconstruction
+    assert inspect_main([str(d / "idx"), "-n"]) == 0
+    assert "chrC" in capsys.readouterr().out
+    assert inspect_main([str(d / "idx"), "-s"]) == 0
+    assert "Sequence-1" in capsys.readouterr().out
+    assert inspect_main([str(d / "idx")]) == 0
+    fasta = capsys.readouterr().out
+    body = "".join(fasta.splitlines()[1:])
+    assert body == alphabet.decode(codes)
+
+
+def test_build_snp_and_inspect_snp(workdir, capsys):
+    d, codes = workdir
+    from hisat2_tpu.cli.build import main as build_main
+    from hisat2_tpu.cli.inspect import main as inspect_main
+    assert build_main(["--snp", str(d / "g.snp"), str(d / "g.fa"),
+                       str(d / "gidx"), "--quiet"]) == 0
+    assert inspect_main([str(d / "gidx"), "--snp"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("rs1\tsingle\tchrC\t5000")
+
+
+def test_repeat_cli(workdir, capsys):
+    d, codes = workdir
+    from hisat2_tpu.cli.repeat import main as repeat_main
+    # plant repeats first
+    rng = np.random.default_rng(8)
+    codes2 = rng.integers(0, 4, 30000).astype(np.uint8)
+    unit = codes2[100:300].copy()
+    for p in (1000, 4000, 9000, 14000, 20000):
+        codes2[p:p + 200] = unit
+    fa = d / "rep.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chrR\n" + alphabet.decode(codes2) + "\n")
+    assert repeat_main([str(fa), str(d / "rp"), "--repeat-length", "100",
+                        "--repeat-count", "4", "--quiet"]) == 0
+    assert os.path.exists(d / "rp.rep.fa")
+    assert os.path.exists(d / "rp.rep.info")
+    assert os.path.exists(str(d / "rp.rep") + ".npz")

@@ -59,6 +59,8 @@ class AlignerOpts:
     pairs_per_read: int = 8        # junction diagonal-pairs explored
     no_temp_splicesite: bool = False  # disable novel-site reuse
     seed_mode: bool = True         # stride seeds (fast) + segment fallback
+    nofw: bool = False             # --nofw: skip forward orientation
+    norc: bool = False             # --norc: skip reverse-complement
 
 
 @dataclass
@@ -288,13 +290,15 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
 
 @partial(jax.jit, static_argnames=(
     "B", "max_seeds", "locs_per_seg", "top_cands", "min_seg_len", "ftab_k",
-    "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp"))
+    "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
+    "nofw", "norc"))
 def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        minsc_i, minsc_s, gap1,
                        B: int, max_seeds: int, locs_per_seg: int,
                        top_cands: int, min_seg_len: int, ftab_k: int,
                        K2: int, max_mm: int, fb_bucket: int, dp_bucket: int,
-                       dp_pad: int, no_dp: bool):
+                       dp_pad: int, no_dp: bool,
+                       nofw: bool = False, norc: bool = False):
     """The ENTIRE single-end device path in one dispatch: seed candidates,
     segment fallback for failing reads (device-side top-k compaction), DP
     rescue, merge, and primary finalization. One round trip matters: on a
@@ -304,6 +308,10 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
     st = _stage_candidates(idx, sctab, seqs, quals, lens, max_seeds,
                            locs_per_seg, top_cands, min_seg_len, "seeds",
                            ftab_k)
+    if nofw:
+        st["score"] = st["score"].at[:B].set(NEG_INF)
+    if norc:
+        st["score"] = st["score"].at[B:].set(NEG_INF)
     pos, score = st["pos"], st["score"]
     min_scs = jnp.ceil(minsc_i + minsc_s
                        * lens.astype(jnp.float32)).astype(jnp.int32)
@@ -510,7 +518,7 @@ class Aligner:
             B, o.max_seeds, o.locs_per_seg, o.top_cands,
             self.min_seg_len, self.fm.ftab_k, K2, 8,
             min(B, max(32, B // 8)), min(B, max(64, B // 4)),
-            o.dp_pad, o.no_dp)
+            o.dp_pad, o.no_dp, o.nofw, o.norc)
         packed = np.asarray(merged_d)
         merged = dict(score=packed[:, :, 0].astype(np.int64),
                       pos=packed[:, :, 1],

@@ -56,6 +56,23 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--no-head", action="store_true")
     ap.add_argument("--reorder", action="store_true")
     ap.add_argument("--phred64", action="store_true")
+    ap.add_argument("--ignore-quals", action="store_true")
+    ap.add_argument("-5", "--trim5", type=int, default=0,
+                    help="trim <int> bases from 5' end")
+    ap.add_argument("-3", "--trim3", type=int, default=0,
+                    help="trim <int> bases from 3' end")
+    ap.add_argument("-u", "--qupto", type=int, default=None,
+                    help="align only the first <int> reads/pairs")
+    ap.add_argument("-s", "--skip", type=int, default=0,
+                    help="skip the first <int> reads/pairs")
+    ap.add_argument("--nofw", action="store_true",
+                    help="do not align forward version of the read")
+    ap.add_argument("--norc", action="store_true",
+                    help="do not align reverse-complement version")
+    ap.add_argument("-a", "--all", dest="report_all", action="store_true",
+                    help="report all alignments")
+    ap.add_argument("--rg-id", default=None)
+    ap.add_argument("--rg", action="append", default=[])
     ap.add_argument("--un", default=None, help="write unaligned reads here")
     ap.add_argument("--al", default=None, help="write aligned reads here")
     # scoring options (reference function-valued options, simple_func.h)
@@ -147,6 +164,8 @@ def main(argv=None) -> int:
     if kw:
         sc = _dc_replace(sc, **kw)
 
+    if args.report_all:
+        args.khits = 1 << 16
     opts = AlignerOpts(khits=args.khits, minins=args.minins,
                        maxins=args.maxins, fr=args.orient,
                        no_mixed=args.no_mixed,
@@ -154,7 +173,8 @@ def main(argv=None) -> int:
                        spliced=not args.no_spliced_alignment,
                        min_intron=args.min_intronlen,
                        max_intron=args.max_intronlen,
-                       no_temp_splicesite=args.no_temp_splicesite)
+                       no_temp_splicesite=args.no_temp_splicesite,
+                       nofw=args.nofw, norc=args.norc)
     if args.fast:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
     elif args.very_sensitive:
@@ -173,10 +193,15 @@ def main(argv=None) -> int:
                 print(f"  loaded {n} splice sites from {p}", file=sys.stderr)
 
     out = open(args.output, "w") if args.output else sys.stdout
+    rg_line = None
+    if args.rg_id:
+        rg_line = "ID:" + args.rg_id
+        for rg in args.rg:
+            rg_line += "\t" + rg
     writer = samio.SamWriter(
         out, fm.ref.names, [int(x) for x in fm.ref.tlens],
         prog_args=" ".join(argv or sys.argv[1:]),
-        no_head=args.no_head, reorder=args.reorder)
+        rg_line=rg_line, no_head=args.no_head, reorder=args.reorder)
 
     fmt = ("fasta" if args.fasta else "raw" if args.raw
            else "qseq" if args.qseq else "fastq" if args.fastq else None)
@@ -225,7 +250,9 @@ def main(argv=None) -> int:
                        for p in args.unpaired.split(",")]
             stream = itertools.chain(*readers)
         from ..align.emit import align_and_emit
-        for batch in batch_iter(_reindex(stream), args.batch_size):
+        stream = _reindex(stream, args.skip, args.qupto, args.trim5,
+                          args.trim3, args.ignore_quals)
+        for batch in batch_iter(stream, args.batch_size):
             if args.un or args.al:   # needs per-read results
                 results = al.align_batch(batch)
                 merge(results_to_sam(batch, results, al, writer))
@@ -277,9 +304,25 @@ def main(argv=None) -> int:
     return 0
 
 
-def _reindex(stream):
+def _reindex(stream, skip=0, upto=None, trim5=0, trim3=0,
+             ignore_quals=False):
+    """rdid assignment + -s/-u/-5/-3/--ignore-quals preprocessing."""
+    import numpy as np
+    n = 0
     for rdid, r in enumerate(stream):
-        r.rdid = rdid
+        if rdid < skip:
+            continue
+        if upto is not None and n >= upto:
+            return
+        if trim5 or trim3:
+            end = len(r.seq) - trim3
+            r.seq = r.seq[trim5:end]
+            if r.qual is not None:
+                r.qual = r.qual[trim5:end]
+        if ignore_quals and r.qual is not None:
+            r.qual = np.full(len(r.seq), 30, r.qual.dtype)
+        r.rdid = rdid - skip
+        n += 1
         yield r
 
 

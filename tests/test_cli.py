@@ -87,3 +87,21 @@ def test_repeat_cli(workdir, capsys):
     assert os.path.exists(d / "rp.rep.fa")
     assert os.path.exists(d / "rp.rep.info")
     assert os.path.exists(str(d / "rp.rep") + ".npz")
+
+
+def test_flag_surface(workdir):
+    """--nofw/--norc/-u/-s/-5/-3/--rg-id round-trip through the CLI."""
+    d, codes = workdir
+    from hisat2_tpu.cli.align import main as align_main
+    out = str(d / "flags.sam")
+    assert align_main(["-x", str(d / "idx"), "-U", str(d / "r.fq"),
+                       "-S", out, "--quiet", "--no-spliced-alignment",
+                       "--norc", "-u", "10", "-s", "5", "-5", "2", "-3", "3",
+                       "--rg-id", "grp1", "--rg", "SM:sample1"]) == 0
+    lines = open(out).read().splitlines()
+    assert any(l.startswith("@RG\tID:grp1\tSM:sample1") for l in lines)
+    recs = [l.split("\t") for l in lines if not l.startswith("@")]
+    assert len(recs) == 10                       # -u 10 after -s 5
+    for f in recs:
+        assert len(f[9]) == 95 or f[9] == "*"    # trimmed to 95bp
+        assert not (int(f[1]) & 0x10) or f[2] == "*"   # --norc: no rc hits

@@ -42,6 +42,7 @@ from .scoring import Scoring, DEFAULT_SCORING
 class AlignerOpts:
     khits: int = 5                 # -k: max alignments reported per read
     max_seeds: int = 16            # segments used per orientation
+    n_seeds: int = 8               # stride seeds per orientation (seed mode)
     locs_per_seg: int = 8          # SA rows expanded per segment
     top_cands: int = 16            # candidates kept after ungapped ranking
     dp_pad: int = 16               # ref-window padding each side for DP
@@ -289,12 +290,13 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
 
 
 @partial(jax.jit, static_argnames=(
-    "B", "max_seeds", "locs_per_seg", "top_cands", "min_seg_len", "ftab_k",
-    "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
+    "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands", "min_seg_len",
+    "ftab_k", "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
     "nofw", "norc"))
 def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        minsc_i, minsc_s, gap1,
-                       B: int, max_seeds: int, locs_per_seg: int,
+                       B: int, max_seeds: int, n_seeds: int,
+                       locs_per_seg: int,
                        top_cands: int, min_seg_len: int, ftab_k: int,
                        K2: int, max_mm: int, fb_bucket: int, dp_bucket: int,
                        dp_pad: int, no_dp: bool,
@@ -305,7 +307,7 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
     tunneled TPU each dispatch+sync costs ~25ms regardless of work, so the
     pipeline's five phases fuse into one executable with fixed-size
     compaction buckets instead of host-driven shape-changing gathers."""
-    st = _stage_candidates(idx, sctab, seqs, quals, lens, max_seeds,
+    st = _stage_candidates(idx, sctab, seqs, quals, lens, n_seeds,
                            locs_per_seg, top_cands, min_seg_len, "seeds",
                            ftab_k)
     if nofw:
@@ -450,13 +452,14 @@ class Aligner:
         quals = jnp.asarray(batch.quals)
         lens = jnp.asarray(batch.lens)
         seeder = "seeds" if o.seed_mode else "segments"
+        nseeds = o.n_seeds if o.seed_mode else o.max_seeds
         self.metrics.reads += B
         self.metrics.batches += 1
-        self.metrics.seeds += 2 * B * o.max_seeds
+        self.metrics.seeds += 2 * B * nseeds
         self.metrics.candidates += 2 * B * min(3 * o.top_cands,
-                                               o.max_seeds * o.locs_per_seg)
+                                               nseeds * o.locs_per_seg)
         st = _stage_candidates(self.idx, self.sctab, seqs, quals, lens,
-                               o.max_seeds, o.locs_per_seg, o.top_cands,
+                               nseeds, o.locs_per_seg, o.top_cands,
                                self.min_seg_len, seeder, self.fm.ftab_k)
         if o.seed_mode:
             st = self._segment_fallback(batch, st, seqs, quals, lens)
@@ -515,9 +518,9 @@ class Aligner:
             jnp.float32(self.scoring.score_min.S),
             jnp.int32(min(self.scoring.read_gap_open(),
                           self.scoring.ref_gap_open())),
-            B, o.max_seeds, o.locs_per_seg, o.top_cands,
+            B, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
             self.min_seg_len, self.fm.ftab_k, K2, 8,
-            min(B, max(32, B // 8)), min(B, max(64, B // 4)),
+            min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc)
         packed = np.asarray(merged_d)
         merged = dict(score=packed[:, :, 0].astype(np.int64),

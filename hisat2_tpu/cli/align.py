@@ -75,6 +75,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--rg", action="append", default=[])
     ap.add_argument("--un", default=None, help="write unaligned reads here")
     ap.add_argument("--al", default=None, help="write aligned reads here")
+    ap.add_argument("--un-conc", default=None,
+                    help="write pairs that fail to align concordantly")
+    ap.add_argument("--al-conc", default=None,
+                    help="write concordantly-aligned pairs")
     # scoring options (reference function-valued options, simple_func.h)
     ap.add_argument("--score-min", default=None,
                     help="min score function, e.g. L,0,-0.2")
@@ -279,12 +283,12 @@ def main(argv=None) -> int:
             buf2.append(b)
             if len(buf1) == args.batch_size:
                 _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
-                                batchify, align_pairs)
+                                batchify, align_pairs, args)
                 nreads += 2 * len(buf1)
                 buf1, buf2 = [], []
         if buf1:
             _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
-                            batchify, align_pairs)
+                            batchify, align_pairs, args)
             nreads += 2 * len(buf1)
     else:
         print("error: provide -U or both -1 and -2", file=sys.stderr)
@@ -327,13 +331,48 @@ def _reindex(stream, skip=0, upto=None, trim5=0, trim3=0,
 
 
 def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,
-                    align_pairs):
+                    align_pairs, args=None):
     L = max(max(len(r) for r in buf1), max(len(r) for r in buf2))
     L = max(8, -(-L // 8) * 8)
     b1 = batchify(buf1, pad_to=L)
     b2 = batchify(buf2, pad_to=L)
     results = align_pairs(al, b1, b2)
     merge(pairs_to_sam(b1, b2, results, al, writer))
+    if args is not None and (args.un_conc or args.al_conc):
+        _write_conc(args, b1, b2, results)
+
+
+_conc_fhs = {}
+
+
+def _write_conc(args, b1, b2, results):
+    """--un-conc/--al-conc: FASTQ pairs by concordant outcome (the
+    reference Perl wrapper's role). <base>.1/.2 suffix convention."""
+    from ..utils import alphabet
+
+    def fhs(base):
+        if base not in _conc_fhs:
+            if "%" in base:
+                p1, p2 = base.replace("%", "1"), base.replace("%", "2")
+            else:
+                root, dot, ext = base.rpartition(".")
+                if dot:
+                    p1, p2 = f"{root}.1.{ext}", f"{root}.2.{ext}"
+                else:
+                    p1, p2 = base + ".1", base + ".2"
+            _conc_fhs[base] = (open(p1, "w"), open(p2, "w"))
+        return _conc_fhs[base]
+
+    for i, pr in enumerate(results):
+        base = args.al_conc if pr.kind == "concordant" else args.un_conc
+        if not base:
+            continue
+        f1, f2 = fhs(base)
+        for fh, b in ((f1, b1), (f2, b2)):
+            ln = int(b.lens[i])
+            s = alphabet.decode(b.seqs[i, :ln])
+            q = (b.quals[i, :ln].astype("uint8") + 33).tobytes().decode()
+            fh.write(f"@{b.names[i]}\n{s}\n+\n{q}\n")
 
 
 def _print_summary(args, t, nreads, dt):

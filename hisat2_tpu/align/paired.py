@@ -168,7 +168,7 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
     from its anchored partner; a passing score upgrades the pair to
     concordant. Batched: one device DP call over all rescue lanes."""
     import jax.numpy as jnp
-    from ..ops import sw as _sw, rank as _rank
+    from ..ops import sw as _sw
     from .pipeline import _rank_text_window
     o = aligner.opts
     sc = aligner.scoring
@@ -228,10 +228,8 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         jpos = int(wstart) + ref_start
         from .pipeline import Alignment
         span = sum(n for op, n in cigar if op in ("M", "D"))
-        md, nm = None, None
-        from ..io import sam as samio_
-        md, nm = samio_.make_md(rd[k, :rdlen].astype(np.uint8),
-                                window[ref_start:ref_start + span], cigar)
+        md, nm = samio.make_md(rd[k, :rdlen].astype(np.uint8),
+                               window[ref_start:ref_start + span], cigar)
         a_resc = Alignment(joined_pos=jpos, fw=mate_fw, score=int(s2),
                            cigar=cigar, nmm=len(mds), md=md, nm=nm,
                            gap_opens=sum(1 for op, n in cigar

@@ -1,21 +1,23 @@
-"""End-to-end DNA alignment pipeline (unspliced).
+"""End-to-end alignment pipeline.
 
-Equivalent role to the reference's HI_Aligner::go for DNA
-(hi_aligner.h:4048: nextBWT -> partialSearch -> align -> hybridSearch ->
-getGenomeCoords -> extend/DP -> report), re-architected as a fixed sequence
-of batched device stages over a read wavefront:
+Equivalent role to the reference's HI_Aligner::go (hi_aligner.h:4048:
+nextBWT -> partialSearch -> align -> hybridSearch -> getGenomeCoords ->
+extend/DP -> report), re-architected as batched device stages over a read
+wavefront, fused into ONE device dispatch per batch (_stage_align_fused):
 
-  1. both orientations of every read          (2B, L)
-  2. maximal-segment backward search          ops/search.partial_search
-  3. SA-range expansion -> candidate loci     ops/locate.expand_range
-  4. dedup + ungapped verify/score            ops/extend.verify_ungapped
-  5. top-K select per orientation             lax.top_k
-  6. gapped DP rescue for imperfect rows      ops/sw.dp_score_batch
-  7. host: best/secbest merge, CIGAR/MD, MAPQ, SAM fields
+  1. both orientations of every read            (2B, L)
+  2. stride-seed search (ftab + short LF chain)  ops/search.seed_search
+     with maximal-segment fallback for reads the seeds can't place
+  3. SA-range expansion -> candidate loci        ops/locate.expand_range
+  4. dedup + clip-aware ungapped verify/score    ops/extend.verify_ungapped
+  5. top-K select + fw/rc merge                  lax.top_k
+  6. gapped DP rescue (device-side top-k compaction) ops/sw.dp_score_batch
+  7. device finalization of the primary winner (_stage_primary_fin)
+  8. host: secondaries/odd reads, MAPQ, SAM (align/emit.py fast path in
+     native C++; spliced rescue via ops/splice.py in RNA mode)
 
-Stages 1-6 are jit-compiled once per (B, L) shape; the host only sees a few
-small per-read arrays (top candidate positions/scores) plus the text windows
-of the winners.
+Everything jit-compiles once per (B, L) shape; the host sees two small
+packed tensors per batch in the common case.
 """
 
 from __future__ import annotations

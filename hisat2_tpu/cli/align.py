@@ -295,6 +295,10 @@ def main(argv=None) -> int:
         return 1
 
     writer.flush()
+    for _fh1, _fh2 in _conc_fhs.values():
+        _fh1.close()
+        _fh2.close()
+    _conc_fhs.clear()
     if msink:
         msink.close()
     if args.novel_splicesite_outfile:

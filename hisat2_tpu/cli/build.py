@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     ap.add_argument("prefix", help="output index prefix")
     ap.add_argument("--ftabchars", type=int, default=10,
                     help="ftab k-mer length (auto-shrunk for tiny refs)")
+    ap.add_argument("-o", "--offrate", type=int, default=0,
+                    help="sample the SA every 2^<int> values (0 = full SA)")
     ap.add_argument("--snp", default=None, help="SNP file (hisat2 .snp format)")
     ap.add_argument("--haplotype", default=None,
                     help=".haplotype file (phased variant groups)")
@@ -48,7 +50,8 @@ def main(argv=None) -> int:
         fm = build_graph_index(ref, snps, ftab_k=args.ftabchars,
                                haplotypes=haps)
     else:
-        fm = build_fm_index(ref, ftab_k=args.ftabchars)
+        fm = build_fm_index(ref, ftab_k=args.ftabchars,
+                            offrate=args.offrate)
     if args.ss:
         fm.known_ss = _load_ss(args.ss, ref)
         if not args.quiet:

@@ -56,6 +56,13 @@ class FMIndex:
     # transcriptome annotations baked at build time (--ss/--exon; the
     # reference stores these as SPLICESITE/EXON ALTs in .7.ht2)
     known_ss: np.ndarray = None   # (K, 3) int64 [left, right, strand(+1/-1/0)]
+    # sampled-SA mode (--offrate k, reference _offs/offRate semantics,
+    # MANUAL.markdown:2008-2019): rows whose SA value % 2^k == 0 are
+    # marked; lookups walk LF to a marked row. offrate 0 = full SA.
+    offrate: int = 0
+    samp_bits: np.ndarray = None   # (ceil(m/32),) uint32 marked-row bits
+    samp_rank: np.ndarray = None   # (nblk+1,) int32, marked count / 512 rows
+    samp_vals: np.ndarray = None   # (n_marked,) int32 SA values, row order
 
     @property
     def m(self) -> int:
@@ -82,7 +89,14 @@ class FMIndex:
         sides[:, :4] = self.occ[:-1].astype(np.uint32)
         sides[:, 4:] = self.bwt_packed[: nblocks * WORDS_PER_BLOCK].reshape(
             nblocks, WORDS_PER_BLOCK)
+        extra = {}
+        if self.offrate and self.samp_bits is not None:
+            extra = dict(samp_bits=jnp.asarray(self.samp_bits),
+                         samp_rank=jnp.asarray(self.samp_rank),
+                         samp_vals=jnp.asarray(self.samp_vals),
+                         samp_ival=int(1 << self.offrate))
         return dict(
+            **extra,
             sides=jnp.asarray(sides),
             bwt_packed=jnp.asarray(self.bwt_packed),
             text_packed=jnp.asarray(self.text_packed),
@@ -112,9 +126,16 @@ class FMIndex:
             tlens=self.ref.tlens,
             known_ss=(self.known_ss if self.known_ss is not None
                       else np.zeros((0, 3), np.int64)),
+            samp_bits=(self.samp_bits if self.samp_bits is not None
+                       else np.zeros(0, np.uint32)),
+            samp_rank=(self.samp_rank if self.samp_rank is not None
+                       else np.zeros(0, np.int32)),
+            samp_vals=(self.samp_vals if self.samp_vals is not None
+                       else np.zeros(0, np.int32)),
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
-                    ftab_k=self.ftab_k, names=self.ref.names)
+                    ftab_k=self.ftab_k, names=self.ref.names,
+                    offrate=self.offrate)
         with open(prefix + ".meta.json", "w") as fh:
             json.dump(meta, fh)
 
@@ -137,7 +158,11 @@ class FMIndex:
                        bwt_packed=z["bwt_packed"], text_packed=z["text_packed"],
                        occ=z["occ"], ccount=z["ccount"], sa=z["sa"],
                        ftab=z["ftab"],
-                       known_ss=z["known_ss"] if "known_ss" in z else None)
+                       known_ss=z["known_ss"] if "known_ss" in z else None,
+                       offrate=meta.get("offrate", 0),
+                       samp_bits=z["samp_bits"] if "samp_bits" in z else None,
+                       samp_rank=z["samp_rank"] if "samp_rank" in z else None,
+                       samp_vals=z["samp_vals"] if "samp_vals" in z else None)
 
 
 def _pack_to_blocks(codes: np.ndarray) -> np.ndarray:
@@ -161,6 +186,33 @@ def _build_occ(bwt: np.ndarray) -> np.ndarray:
     occ = np.zeros((nblocks + 1, 4), dtype=np.int32)
     np.cumsum(per_block, axis=0, out=occ[1:])
     return occ
+
+
+SAMP_BLOCK = 512  # marked-row rank checkpoint interval (bits)
+
+
+def build_sampled_sa(sa: np.ndarray, offrate: int):
+    """Value-sampled SA (reference offrate semantics): mark rows whose SA
+    value is a multiple of 2^offrate (plus row 0, the sentinel), keep only
+    their values; lookups LF-walk to a marked row."""
+    ival = 1 << offrate
+    m = sa.size
+    marked = (sa % ival == 0)
+    marked[0] = True
+    nw = -(-m // 32)
+    bits = np.zeros(nw * 32, bool)
+    bits[:m] = marked
+    lanes = bits.reshape(nw, 32).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, :]
+    samp_bits = np.bitwise_or.reduce(lanes << shifts, axis=1).astype(np.uint32)
+    nblk = -(-m // SAMP_BLOCK)
+    per_blk = np.zeros(nblk * SAMP_BLOCK, np.int32)
+    per_blk[:m] = marked
+    per_blk = per_blk.reshape(nblk, SAMP_BLOCK).sum(axis=1)
+    samp_rank = np.zeros(nblk + 1, np.int32)
+    np.cumsum(per_blk, out=samp_rank[1:])
+    samp_vals = sa[marked].astype(np.int32)
+    return samp_bits, samp_rank, samp_vals
 
 
 def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
@@ -189,7 +241,8 @@ def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
     return np.stack([top, bot], axis=1).astype(np.int32)
 
 
-def build_fm_index(ref: JoinedReference, ftab_k: int = 10) -> FMIndex:
+def build_fm_index(ref: JoinedReference, ftab_k: int = 10,
+                   offrate: int = 0) -> FMIndex:
     text = ref.joined
     n = int(text.size)
     # keep ftab small relative to the genome (tiny tests use tiny k)
@@ -202,7 +255,7 @@ def build_fm_index(ref: JoinedReference, ftab_k: int = 10) -> FMIndex:
     ccount[0] = 1
     np.cumsum(counts, out=counts)
     ccount[1:] = 1 + counts
-    return FMIndex(
+    fm = FMIndex(
         ref=ref, n=n, zoff=zoff, ftab_k=ftab_k,
         bwt_packed=_pack_to_blocks(bwt),
         text_packed=_pack_to_blocks(text),
@@ -211,6 +264,12 @@ def build_fm_index(ref: JoinedReference, ftab_k: int = 10) -> FMIndex:
         sa=sa.astype(np.int32),
         ftab=_build_ftab(text.astype(np.int64), sa, ftab_k),
     )
+    if offrate > 0:
+        fm.offrate = offrate
+        fm.samp_bits, fm.samp_rank, fm.samp_vals = \
+            build_sampled_sa(sa, offrate)
+        fm.sa = np.zeros(0, np.int32)     # the sample replaces the full SA
+    return fm
 
 
 def build_from_fasta(paths, ftab_k: int = 10) -> FMIndex:

@@ -20,9 +20,50 @@ from . import rank as _rank
 
 def locate_rows(idx: dict, rows: jax.Array) -> jax.Array:
     """SA values for row indices (any shape). Rows out of range are clipped —
-    callers mask with their own validity bits."""
+    callers mask with their own validity bits.
+
+    Full-SA indexes gather directly; sampled-SA indexes (--offrate k,
+    reference walkLeft gfm.h:5658 + _offs semantics) LF-walk each row to
+    the nearest marked row (<= 2^k - 1 fixed steps, masked) and add the
+    walked distance."""
     m = idx["ccount"][4]
-    return idx["sa"][jnp.clip(rows, 0, m - 1)]
+    rows = jnp.clip(rows, 0, m - 1)
+    if "samp_bits" not in idx:
+        return idx["sa"][rows]
+    ival = idx["samp_ival"]          # python int (static under jit)
+
+    def marked(r):
+        w = idx["samp_bits"][r >> 5]
+        return ((w >> (r & 31).astype(jnp.uint32)) & 1) == 1
+
+    def body(_, st):
+        r, steps = st
+        done = marked(r)
+        c = _rank.bwt_char(idx, r)
+        nr = _rank.lf(idx, r, c)
+        return (jnp.where(done, r, nr),
+                steps + jnp.where(done, 0, 1).astype(jnp.int32))
+
+    r0 = rows.astype(jnp.int32)
+    r, steps = lax.fori_loop(0, ival - 1, body,
+                             (r0, jnp.zeros_like(r0)))
+    # rank of marked row r among marked rows: checkpoint + in-block popcount
+    blk = r >> 9
+    base = idx["samp_rank"][blk]
+    w0 = (blk << 4)                                     # 16 words per block
+    wix = w0[..., None] + jnp.arange(16, dtype=jnp.int32)
+    words = idx["samp_bits"][jnp.clip(wix, 0,
+                                      idx["samp_bits"].shape[0] - 1)]
+    within = r - (blk << 9)                             # bits before r
+    nbits = jnp.clip(within[..., None] - 32 * jnp.arange(16, dtype=jnp.int32),
+                     0, 32)
+    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.minimum(
+                         nbits, 31).astype(jnp.uint32)) - 1)
+    cnt = lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
+    srank = base + cnt
+    return idx["samp_vals"][jnp.clip(srank, 0,
+                                     idx["samp_vals"].shape[0] - 1)] + steps
 
 
 def expand_range(idx: dict, top: jax.Array, bot: jax.Array, max_locs: int

@@ -94,3 +94,63 @@ def test_save_load_roundtrip(tmp_path, small_index):
     np.testing.assert_array_equal(fm2.sa, fm.sa)
     np.testing.assert_array_equal(fm2.ftab, fm.ftab)
     assert fm2.ref.names == fm.ref.names
+
+
+class TestSampledSA:
+    """--offrate sampled SA: walk-left locate matches the full SA and the
+    whole pipeline still aligns (reference offrate/_offs semantics)."""
+
+    def test_locate_matches_full(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from hisat2_tpu.index.fm_index import build_fm_index
+        from hisat2_tpu.io.reference import reference_from_seqs
+        from hisat2_tpu.ops import locate as L
+        from hisat2_tpu.utils import alphabet
+        rng = np.random.default_rng(17)
+        codes = rng.integers(0, 4, 5000).astype(np.uint8)
+        ref = reference_from_seqs({"c": alphabet.decode(codes)})
+        full = build_fm_index(ref, ftab_k=5)
+        samp = build_fm_index(ref, ftab_k=5, offrate=4)
+        assert samp.samp_vals.size < full.sa.size // 8
+        rows = jnp.asarray(rng.integers(0, full.m, 300).astype(np.int32))
+        a = np.asarray(L.locate_rows(full.device, rows))
+        b = np.asarray(L.locate_rows(samp.device, rows))
+        assert np.array_equal(a, b)
+
+    def test_pipeline_with_offrate(self, tmp_path):
+        import numpy as np
+        from hisat2_tpu.align.pipeline import Aligner
+        from hisat2_tpu.index.fm_index import build_fm_index, FMIndex
+        from hisat2_tpu.io.reads import Read, batchify
+        from hisat2_tpu.io.reference import reference_from_seqs
+        from hisat2_tpu.utils import alphabet
+        rng = np.random.default_rng(18)
+        codes = rng.integers(0, 4, 30000).astype(np.uint8)
+        ref = reference_from_seqs({"c": alphabet.decode(codes)})
+        fm = build_fm_index(ref, ftab_k=6, offrate=4)
+        fm.save(str(tmp_path / "soff"))
+        fm2 = FMIndex.load(str(tmp_path / "soff"))
+        assert fm2.offrate == 4 and fm2.sa.size == 0
+        al = Aligner(fm2)
+        reads = []
+        truth = []
+        for i in range(30):
+            p = int(rng.integers(0, 29000))
+            s = codes[p:p + 100].copy()
+            s[int(rng.integers(0, 100))] ^= 1
+            reads.append(Read(f"s{i}", s, np.full(100, 40), i))
+            truth.append(p)
+        batch = batchify(reads)
+        results = al.align_batch(batch)
+        # sampled-SA results must equal the full-SA results exactly
+        full = Aligner(build_fm_index(ref, ftab_k=6))
+        results_full = full.align_batch(batch)
+        for r4, r0 in zip(results, results_full):
+            assert r4.aligned == r0.aligned
+            if r4.aligned:
+                assert r4.alns[0].joined_pos == r0.alns[0].joined_pos
+                assert r4.alns[0].cigar == r0.alns[0].cigar
+        ok = sum(1 for r, p in zip(results, truth)
+                 if r.aligned and r.alns[0].joined_pos == p)
+        assert ok >= 27

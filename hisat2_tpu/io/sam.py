@@ -228,8 +228,8 @@ def format_unaligned(name: str, seq_fw_codes, qual_str: str,
         flag |= FLAG_PAIRED | (FLAG_MATE1 if mate1 else FLAG_MATE2)
         if not mate_mapped:
             flag |= FLAG_MATE_UNMAPPED
-        elif not mate_fw:
-            flag |= FLAG_MATE_REVERSE
+        # note: the reference does NOT set 0x20 (mate-reverse) on unmapped
+        # records even when the mapped mate is reverse — matched here
     rname = mate_rname if (paired and mate_mapped) else "*"
     pos = str(mate_pos + 1) if (paired and mate_mapped) else "0"
     opts = []

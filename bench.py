@@ -30,8 +30,8 @@ import numpy as np
 BASELINE_READS_PER_S = 280_700.0
 EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
 
-BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
-NBATCH = int(os.environ.get("BENCH_NBATCH", "5"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+NBATCH = int(os.environ.get("BENCH_NBATCH", "4"))
 RDLEN = 100
 
 

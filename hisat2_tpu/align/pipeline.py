@@ -61,6 +61,8 @@ class AlignerOpts:
     max_intron: int = 500000       # --max-intronlen
     pairs_per_read: int = 8        # junction diagonal-pairs explored
     no_temp_splicesite: bool = False  # disable novel-site reuse
+    dta: bool = False              # assembler-tailored: novel splice sites
+    #                                require longer anchors (reference --dta)
     seed_mode: bool = True         # stride seeds (fast) + segment fallback
     nofw: bool = False             # --nofw: skip forward orientation
     norc: bool = False             # --norc: skip reverse-complement
@@ -716,6 +718,12 @@ class Aligner:
                                  + self.scoring.score_min.S * lens[i]))
             if jsc[k] < min_sc or jstr[k] == 0:
                 continue
+            if o.dta and jcan[k] == 2:
+                # assembler mode: novel canonical junctions need long
+                # anchors on both sides (reference --dta)
+                anchor = min(int(jj[k]), int(lens[i]) - int(jj[k]))
+                if anchor < 14:
+                    continue
             c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=bool(fa),
                      j=int(jj[k]), delta=pb - pa,
                      strand="+" if jstr[k] == 1 else "-", canon=int(jcan[k]))

@@ -178,7 +178,7 @@ def main(argv=None) -> int:
                        min_intron=args.min_intronlen,
                        max_intron=args.max_intronlen,
                        no_temp_splicesite=args.no_temp_splicesite,
-                       nofw=args.nofw, norc=args.norc)
+                       dta=args.dta, nofw=args.nofw, norc=args.norc)
     if args.fast:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
     elif args.very_sensitive:

@@ -57,6 +57,11 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"  {fm.known_ss.shape[0]} splice sites baked into index",
                   file=sys.stderr)
+    elif args.exon:
+        print("warning: --exon without --ss: exons alone don't define "
+              "junctions; pass the .ss file from extract_splice_sites "
+              "(the reference's make_*_tran recipes pass both)",
+              file=sys.stderr)
     fm.save(args.prefix)
     if not args.quiet:
         print(f"  index written to {args.prefix}.npz "

@@ -65,6 +65,8 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     nvalid = (msc >= min_scs[:, None]).sum(axis=1)
 
     fast = aligned & (nvalid == 1) & ~mgap[:, 0]
+    if al.opts.zs_tags and al.overlay is not None:
+        fast[:] = False            # Zs tags come from the per-read path
     if spl:
         fast[np.fromiter(spl.keys(), dtype=np.int64)] = False
 
@@ -302,6 +304,7 @@ def _format_slow(al, batch, i, res: ReadResult, sc) -> list[str]:
             nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
             md=aln.md, nm=aln.nm,
             zs=res.secbest if res.secbest is not None else None,
-            xs_strand=aln.xs_strand, nh=nh, secondary=k > 0)
+            xs_strand=aln.xs_strand, zs_snps=aln.zs_snps,
+            nh=nh, secondary=k > 0)
         lines.append(samio.format_aligned(name, seq, qual, rec))
     return lines

@@ -63,6 +63,9 @@ class AlignerOpts:
     no_temp_splicesite: bool = False  # disable novel-site reuse
     dta: bool = False              # assembler-tailored: novel splice sites
     #                                require longer anchors (reference --dta)
+    zs_tags: bool = False          # emit Zs:Z SNP-edit tags (sam.h:999;
+    #                                the reference binary leaves them off in
+    #                                the configurations golden-tested)
     seed_mode: bool = True         # stride seeds (fast) + segment fallback
     nofw: bool = False             # --nofw: skip forward orientation
     norc: bool = False             # --norc: skip reverse-complement
@@ -84,6 +87,7 @@ class Alignment:
     tidx: int = -1
     toff: int = -1
     xs_strand: str | None = None   # splice strand (XS:A)
+    zs_snps: str | None = None     # SNP edits (Zs:Z, --zs-tags)
 
     @property
     def ref_span(self) -> int:
@@ -1000,11 +1004,15 @@ class Aligner:
                 md_parts.append("ACGTN"[int(win[r, cpos])])
                 last = cpos
             md_parts.append(str(cc5 + mid - 1 - last))
-            out.append(Alignment(
+            a = Alignment(
                 joined_pos=int(A["astart"][r]), fw=bool(fw[r]),
                 score=int(A["score"][r]), cigar=cigar, nmm=int(A["nmm"][r]),
                 md="".join(md_parts), nm=int(A["nmm"][r]),
-                tidx=int(A["tidx"][r]), toff=int(A["toff"][r])))
+                tidx=int(A["tidx"][r]), toff=int(A["toff"][r]))
+            if self.opts.zs_tags:
+                a.zs_snps = self._zs_string(A["rd"][r], int(pos[r]),
+                                            cc5, rl - cc3)
+            out.append(a)
         return out
 
     def _ranked_candidates(self, merged, i, min_sc, limit=None):
@@ -1071,6 +1079,8 @@ class Aligner:
             aln = Alignment(joined_pos=pos + c5, fw=fw, score=sub_score,
                             cigar=cigar, nmm=int(diff.sum()), md=md,
                             nm=int(diff.sum()))
+            if self.opts.zs_tags:
+                aln.zs_snps = self._zs_string(rd, pos, c5, rdlen - c3)
         else:
             aln = self._try_snp_indels(rd, q, pos, rdlen, fw)
             if aln is None:
@@ -1130,6 +1140,29 @@ class Aligner:
                 c += n
             elif op == "N":
                 r += n
+
+    def _zs_string(self, rd: np.ndarray, pos: int, c5: int, e: int
+                   ) -> str | None:
+        """Zs:Z tag for SNP-consistent SNV edits in [c5, e) of an ungapped
+        placement at `pos` (reference format: comma-separated
+        `dist|S|name`, dist = read-offset gap since the previous SNP edit,
+        sam.h:999)."""
+        if self.snps is None or self.overlay is None:
+            return None
+        joined = self.fm.ref.joined
+        parts = []
+        prev = c5 - 1
+        lo = int(np.searchsorted(self.snps.jpos, pos + c5))
+        hi = int(np.searchsorted(self.snps.jpos, pos + e))
+        for si in range(lo, hi):
+            if self.snps.types[si] != 0:
+                continue
+            off = int(self.snps.jpos[si]) - pos
+            if rd[off] == self.snps.alt_codes[si] \
+                    and rd[off] != joined[pos + off]:
+                parts.append(f"{off - prev - 1}|S|{self.snps.names[si]}")
+                prev = off
+        return ",".join(parts) if parts else None
 
     def _overlay_window(self, pos: int, length: int) -> np.ndarray | None:
         if self.overlay is None:
@@ -1300,7 +1333,7 @@ def results_to_sam(batch: ReadBatch, results: list[ReadResult],
                 nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
                 md=aln.md, nm=aln.nm,
                 zs=res.secbest if res.secbest is not None else None,
-                xs_strand=aln.xs_strand,
+                xs_strand=aln.xs_strand, zs_snps=aln.zs_snps,
                 nh=nh, secondary=k > 0)
             lines.append(samio.format_aligned(name, seq, qual, rec))
         writer.emit(int(batch.rdids[i]), lines)

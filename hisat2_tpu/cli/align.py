@@ -51,6 +51,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--novel-splicesite-outfile", default=None)
     ap.add_argument("--novel-splicesite-infile", default=None)
     ap.add_argument("--no-temp-splicesite", action="store_true")
+    ap.add_argument("--zs-tags", action="store_true",
+                    help="emit Zs:Z SNP-edit tags (extension; the "
+                         "reference binary omits them)")
     ap.add_argument("--dta", "--downstream-transcriptome-assembly",
                     action="store_true", dest="dta")
     ap.add_argument("--no-head", action="store_true")
@@ -178,7 +181,8 @@ def main(argv=None) -> int:
                        min_intron=args.min_intronlen,
                        max_intron=args.max_intronlen,
                        no_temp_splicesite=args.no_temp_splicesite,
-                       dta=args.dta, nofw=args.nofw, norc=args.norc)
+                       dta=args.dta, zs_tags=args.zs_tags,
+                       nofw=args.nofw, norc=args.norc)
     if args.fast:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
     elif args.very_sensitive:

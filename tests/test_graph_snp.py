@@ -184,3 +184,17 @@ def test_haplotype_patch(tmp_path):
     ops = [op for op, n in a.cigar]
     assert "D" in ops        # the known deletion appears in the CIGAR
     assert a.score == 0      # everything SNP-consistent -> free
+
+
+def test_zs_tags(snp_setup):
+    """--zs-tags: SNP-consistent edits get Zs:Z annotations."""
+    codes, snps, al0 = snp_setup
+    from hisat2_tpu.align.pipeline import Aligner, AlignerOpts
+    al = Aligner(al0.fm, opts=AlignerOpts(zs_tags=True))
+    svi = 12
+    p = int(snps.jpos[svi])
+    seq = codes[p - 50:p + 50].copy()
+    seq[50] = int(snps.alt_codes[svi])
+    res = al.align_batch(batchify([Read("z", seq, np.full(100, 40), 0)]))[0]
+    assert res.aligned
+    assert res.alns[0].zs_snps == f"50|S|{snps.names[svi]}"

@@ -56,6 +56,51 @@ def _concordant(o1_fw, o1_pos, len1, o2_fw, o2_pos, len2,
     return ok and minins <= frag <= maxins, frag
 
 
+def _concordant_grid(m1, m2, b1, b2, o, scoring):
+    """Vectorized concordance over the full (B, K, K) candidate grid:
+    best combo + second-best distinct-locus total per pair, all NumPy."""
+    s1, s2 = m1["score"], m2["score"]           # (B, K)
+    B, K = s1.shape
+    l1 = b1.lens.astype(np.int64)
+    l2 = b2.lens.astype(np.int64)
+    min1 = np.ceil(scoring.score_min.I + scoring.score_min.S * l1)
+    min2 = np.ceil(scoring.score_min.I + scoring.score_min.S * l2)
+    v1 = s1 >= min1[:, None]
+    v2 = s2 >= min2[:, None]
+    p1 = m1["pos"].astype(np.int64)
+    p2 = m2["pos"].astype(np.int64)
+    f1, f2 = m1["fw"], m2["fw"]
+    P1 = p1[:, :, None]
+    P2 = p2[:, None, :]
+    E1 = l1[:, None, None]
+    E2 = l2[:, None, None]
+    left1 = P1 <= P2
+    up_fw = np.where(left1, f1[:, :, None], f2[:, None, :])
+    dn_fw = np.where(left1, f2[:, None, :], f1[:, :, None])
+    frag = np.maximum(P2 + E2, P1 + E1) - np.minimum(P1, P2)
+    if o.fr == "fr":
+        okdir = up_fw & ~dn_fw
+    elif o.fr == "rf":
+        okdir = ~up_fw & dn_fw
+    else:
+        okdir = f1[:, :, None] == f2[:, None, :]
+    ok = (okdir & (frag >= o.minins) & (frag <= o.maxins)
+          & v1[:, :, None] & v2[:, None, :])
+    total = np.where(ok, s1[:, :, None] + s2[:, None, :],
+                     np.int64(NEG_INF))
+    flat = total.reshape(B, -1)
+    bi = np.argmax(flat, axis=1)
+    best = flat[np.arange(B), bi]
+    has = best > NEG_INF // 2
+    t1, t2 = bi // K, bi % K
+    bp1 = p1[np.arange(B), t1]
+    bp2 = p2[np.arange(B), t2]
+    same = ((p1 == bp1[:, None])[:, :, None]
+            & (p2 == bp2[:, None])[:, None, :]).reshape(B, -1)
+    sec = np.where(same, np.int64(NEG_INF), flat).max(axis=1)
+    return dict(has=has, t1=t1, t2=t2, total=best, sec=sec)
+
+
 def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                 ) -> list[PairResult]:
     o = aligner.opts
@@ -96,27 +141,50 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
         return aligner._finalize(i, batch, c["score"], c["pos"], c["fw"],
                                  c["gapped"], rdlen)
 
+    # ---- vectorized concordance over the full (B, K, K) combo grid ----
+    # (reads with spliced candidates drop to the per-read grid below; the
+    # all-REG common case never runs Python per combo)
+    grid = _concordant_grid(m1, m2, b1, b2, o, aligner.scoring)
+
     out: list[PairResult] = []
     rescue: list[tuple] = []
+    spl1 = m1.get("splice", {})
+    spl2 = m2.get("splice", {})
     for i in range(B):
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         min1 = aligner.scoring.min_score(l1)
         min2 = aligner.scoring.min_score(l2)
-        c1 = mate_cands(m1, b1, i, min1, l1)
-        c2 = mate_cands(m2, b2, i, min2, l2)
+        has_spl = (i in spl1) or (i in spl2)
+
+        if grid is not None and not has_spl:
+            combos = []
+            if grid["has"][i]:
+                t1, t2 = int(grid["t1"][i]), int(grid["t2"][i])
+                mk = lambda m, t, rdlen: dict(
+                    score=int(m["score"][i, t]), pos=int(m["pos"][i, t]),
+                    fw=bool(m["fw"][i, t]), kind="reg",
+                    gapped=bool(m["gapped"][i, t]), extent=rdlen)
+                combos = [(int(grid["total"][i]), mk(m1, t1, l1),
+                           mk(m2, t2, l2))]
+                if grid["sec"][i] > NEG_INF // 2:
+                    combos.append((int(grid["sec"][i]),
+                                   dict(pos=-1), dict(pos=-1)))
+            c1 = c2 = None
+        else:
+            c1 = mate_cands(m1, b1, i, min1, l1)
+            c2 = mate_cands(m2, b2, i, min2, l2)
+            combos = []
+            for x1 in c1:
+                for x2 in c2:
+                    ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
+                                           x2["fw"], x2["pos"], x2["extent"],
+                                           o.minins, o.maxins, o.fr)
+                    if ok:
+                        combos.append((x1["score"] + x2["score"], x1, x2))
+            combos.sort(key=lambda x: -x[0])
 
         pr = PairResult()
-        # ---- concordant search over the combo grid ----
-        combos = []
-        for x1 in c1:
-            for x2 in c2:
-                ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
-                                       x2["fw"], x2["pos"], x2["extent"],
-                                       o.minins, o.maxins, o.fr)
-                if ok:
-                    combos.append((x1["score"] + x2["score"], x1, x2))
         if combos:
-            combos.sort(key=lambda x: -x[0])
             total, w1, w2 = combos[0]
             a1 = finalize(b1, i, w1, l1)
             a2 = finalize(b2, i, w2, l2)
@@ -131,6 +199,9 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                         break
                 out.append(pr)
                 continue
+        if c1 is None:
+            c1 = mate_cands(m1, b1, i, min1, l1)
+            c2 = mate_cands(m2, b2, i, min2, l2)
         # ---- discordant: both mates unique ----
         if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
                 and (len(c1) == 1 or c1[0]["score"] > c1[1]["score"])

@@ -357,7 +357,8 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
     sc = aligner.scoring
     ref = aligner.fm.ref
     stats = dict(pairs=0, conc_uniq=0, conc_multi=0, disc=0,
-                 mixed_al=0, unal=0, mates_al=0)
+                 mixed_al=0, unal=0, mates_al=0,
+                 mate_un=0, mate_uniq=0, mate_multi=0)
 
     def qstr(b, i, ln):
         return (b.quals[i, :ln].astype(np.uint8) + 33).tobytes().decode("ascii")
@@ -452,6 +453,13 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
         for mate1, res, other, seq, q, ln in (
                 (True, r1, r2, seq1, q1, l1), (False, r2, r1, seq2, q2, l2)):
             oa = other.alns[0] if other.aligned else None
+            if not res.aligned:
+                stats["mate_un"] += 1
+            elif len(res.alns) > 1 or (res.secbest is not None
+                                       and res.secbest == res.best):
+                stats["mate_multi"] += 1
+            else:
+                stats["mate_uniq"] += 1
             if res.aligned:
                 stats["mates_al"] += 1
                 a = res.alns[0]

@@ -425,16 +425,34 @@ def _print_summary(args, t, nreads, dt):
             dest.close()
         return
     if "pairs" in t:
+        # exact reference stderr layout (MANUAL.markdown:174-206)
         n = t.get("pairs", 0) or 1
         conc = t.get("conc_uniq", 0) + t.get("conc_multi", 0)
+        nc = t.get("pairs", 0) - conc
+        disc = t.get("disc", 0)
+        nboth = nc - disc
+        mates = 2 * max(nboth, 0) or 1
         w(f"{t.get('pairs',0)} reads; of these:\n")
         w(f"  {t.get('pairs',0)} ({100.0:.2f}%) were paired; of these:\n")
-        w(f"    {t.get('pairs',0)-conc} ({(t.get('pairs',0)-conc)/n*100:.2f}%)"
-          f" aligned concordantly 0 times\n")
+        w(f"    {nc} ({nc/n*100:.2f}%) aligned concordantly 0 times\n")
         w(f"    {t.get('conc_uniq',0)} ({t.get('conc_uniq',0)/n*100:.2f}%)"
           f" aligned concordantly exactly 1 time\n")
         w(f"    {t.get('conc_multi',0)} ({t.get('conc_multi',0)/n*100:.2f}%)"
           f" aligned concordantly >1 times\n")
+        w("    ----\n")
+        w(f"    {nc} pairs aligned concordantly 0 times; of these:\n")
+        w(f"      {disc} ({(disc/nc*100) if nc else 0.0:.2f}%)"
+          f" aligned discordantly 1 time\n")
+        w("    ----\n")
+        w(f"    {nboth} pairs aligned 0 times concordantly or discordantly;"
+          f" of these:\n")
+        w(f"      {2*nboth} mates make up the pairs; of these:\n")
+        w(f"        {t.get('mate_un',0)} ({t.get('mate_un',0)/mates*100:.2f}%)"
+          f" aligned 0 times\n")
+        w(f"        {t.get('mate_uniq',0)} "
+          f"({t.get('mate_uniq',0)/mates*100:.2f}%) aligned exactly 1 time\n")
+        w(f"        {t.get('mate_multi',0)} "
+          f"({t.get('mate_multi',0)/mates*100:.2f}%) aligned >1 times\n")
         denom = 2 * n
         w(f"{t.get('mates_al',0)/denom*100:.2f}% overall alignment rate\n")
     else:

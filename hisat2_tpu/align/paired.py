@@ -132,7 +132,10 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
             if c["score"] >= min_sc:
                 cs.append(dict(score=c["score"], pos=c["posA"], fw=c["fw"],
                                kind="spl", c=c, extent=rdlen + c["delta"]))
-        cs.sort(key=lambda x: -x["score"])
+        # ties: known-site junctions beat contiguous placements
+        cs.sort(key=lambda x: (-x["score"],
+                               0 if (x["kind"] == "spl"
+                                     and x["c"]["canon"] == 1) else 1))
         return cs[:o.top_cands]
 
     def finalize(batch, i, c, rdlen):

@@ -765,6 +765,11 @@ class Aligner:
         mm_pens = self.scoring.mm_pens()
         isn = (rd >= 4) | (win >= 4)
         mm = (rd != win) & ~isn
+        if self.overlay is not None:
+            ovw = np.concatenate([
+                self._overlay_window(c["posA"], j),
+                self._overlay_window(c["posB"] + j, rdlen - j)])
+            mm &= ~((ovw == rd + 1) | (ovw == 15))
         s = np.where(mm, -mm_pens[np.clip(q, 0, 63)], 0)
         s = np.where(isn, -self.scoring.n_pen, s)
         scp = self.scoring.sc_pens()[np.clip(q, 0, 63)].astype(np.int64)

@@ -71,18 +71,23 @@ def junction_score(idx: dict, sctab: dict,
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = ar < rdlens[:, None]
 
-    def pos_scores(win):
+    def pos_scores(win, ov):
         isn = ((rd >= 4) | (win >= 4)) & in_read
         mm = (rd != win) & ~isn & in_read
-        if "snv_packed" in idx:
-            pass  # SNV overlay inside spliced exons: follow-up
+        if ov is not None:   # graph mode: known alt alleles are free
+            mm = mm & ~((ov == rd + 1) | (ov == 15))
         s = -jnp.where(mm, sctab["mm_pens"][q], 0) \
             - jnp.where(isn, sctab["n_pen"], 0) \
             + jnp.where(~mm & ~isn & in_read, sctab["match_bonus"], 0)
         return s
 
-    sA = pos_scores(winA[:, :L])
-    sB = pos_scores(winB)
+    if "snv_packed" in idx:
+        ovA = _rank.nib4_window(idx, posA, L)
+        ovB = _rank.nib4_window(idx, posB, L)
+    else:
+        ovA = ovB = None
+    sA = pos_scores(winA[:, :L], ovA)
+    sB = pos_scores(winB, ovB)
     # clip-aware prefix/suffix (reference allows soft clips at the outer
     # read ends of a spliced alignment too, e.g. 1S98M200N1M):
     #   prefix[j] = max_{c5<=j} sum sA[c5:j] - SCP[c5]  (cummin trick)

@@ -88,6 +88,8 @@ class Alignment:
     toff: int = -1
     xs_strand: str | None = None   # splice strand (XS:A)
     zs_snps: str | None = None     # SNP edits (Zs:Z, --zs-tags)
+    rname_override: str | None = None  # repeat pseudo-reference records
+    nh_override: int | None = None
 
     @property
     def ref_span(self) -> int:
@@ -1333,13 +1335,14 @@ def results_to_sam(batch: ReadBatch, results: list[ReadResult],
         nh = len(res.alns)
         for k, aln in enumerate(res.alns):
             rec = samio.SamAlignment(
-                rname=ref.names[aln.tidx], pos=aln.toff, fw=aln.fw,
+                rname=aln.rname_override or ref.names[aln.tidx],
+                pos=aln.toff, fw=aln.fw,
                 mapq=mq if k == 0 else 255, cigar=aln.cigar, score=aln.score,
                 nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
                 md=aln.md, nm=aln.nm,
                 zs=res.secbest if res.secbest is not None else None,
                 xs_strand=aln.xs_strand, zs_snps=aln.zs_snps,
-                nh=nh, secondary=k > 0)
+                nh=aln.nh_override or nh, secondary=k > 0)
             lines.append(samio.format_aligned(name, seq, qual, rec))
         writer.emit(int(batch.rdids[i]), lines)
     return stats

@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="do not align reverse-complement version")
     ap.add_argument("-a", "--all", dest="report_all", action="store_true",
                     help="report all alignments")
+    ap.add_argument("--repeat", action="store_true",
+                    help="report repetitive reads against the repeat index "
+                         "(<index>.rep.*, built by hisat2-tpu-repeat)")
     ap.add_argument("--rg-id", default=None)
     ap.add_argument("--rg", action="append", default=[])
     ap.add_argument("--un", default=None, help="write unaligned reads here")
@@ -140,6 +143,22 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     fm = FMIndex.load(args.index)
+    rep_aligner = None
+    if args.repeat:
+        import os as _os
+        rep_base = args.index
+        if _os.path.exists(rep_base + ".rep.npz"):
+            from ..align.pipeline import RepeatAligner
+            from ..index.repeats import RepeatDB
+            rep_fm = FMIndex.load(rep_base + ".rep")
+            rep_db = RepeatDB.load(rep_base, fm.ref)
+            rep_aligner = RepeatAligner(rep_fm, rep_db)
+            if not args.quiet:
+                print(f"  repeat index: {len(rep_db.repeats)} repeats",
+                      file=sys.stderr)
+        else:
+            print(f"warning: --repeat but {rep_base}.rep.npz not found",
+                  file=sys.stderr)
     from ..align.scoring import SimpleFunc
     from dataclasses import replace as _dc_replace
     sc = Scoring()
@@ -206,8 +225,16 @@ def main(argv=None) -> int:
         rg_line = "ID:" + args.rg_id
         for rg in args.rg:
             rg_line += "\t" + rg
+    hdr_names = list(fm.ref.names)
+    hdr_lens = [int(x) for x in fm.ref.tlens]
+    if rep_aligner is not None:
+        # repeat pseudo-references join the header (reference printHeader
+        # includes repeat refs, sam.h:446)
+        for rpt in rep_aligner.db.repeats:
+            hdr_names.append(rpt.name)
+            hdr_lens.append(len(rpt))
     writer = samio.SamWriter(
-        out, fm.ref.names, [int(x) for x in fm.ref.tlens],
+        out, hdr_names, hdr_lens,
         prog_args=" ".join(argv or sys.argv[1:]),
         rg_line=rg_line, no_head=args.no_head, reorder=args.reorder)
 
@@ -261,8 +288,10 @@ def main(argv=None) -> int:
         stream = _reindex(stream, args.skip, args.qupto, args.trim5,
                           args.trim3, args.ignore_quals)
         for batch in batch_iter(stream, args.batch_size):
-            if args.un or args.al:   # needs per-read results
+            if args.un or args.al or rep_aligner is not None:
                 results = al.align_batch(batch)
+                if rep_aligner is not None:
+                    _repeat_pass(rep_aligner, batch, results)
                 merge(results_to_sam(batch, results, al, writer))
                 write_unal_al(batch, results)
             else:
@@ -348,6 +377,37 @@ def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,
     merge(pairs_to_sam(b1, b2, results, al, writer))
     if args is not None and (args.un_conc or args.al_conc):
         _write_conc(args, b1, b2, results)
+
+
+def _repeat_pass(rep_aligner, batch, results):
+    """--repeat: reads that multi-map (or fail) in the genome are placed
+    once on the repeat index; a winning repeat placement replaces their
+    genomic records with a repeat-space alignment (reference --repeat,
+    hi_aligner.h:4151+). NH carries the genomic placement count
+    (expandable via api.Handle.repeat_expand)."""
+    from ..io.reads import batchify
+    from ..align.pipeline import Alignment, ReadResult
+    cand = [i for i, r in enumerate(results)
+            if (not r.aligned) or len(r.alns) > 1
+            or (r.secbest is not None and r.secbest == r.best)]
+    if not cand:
+        return
+    sub = batchify([batch.reads[i] for i in cand],
+                   pad_to=batch.seqs.shape[1])
+    rep_out = rep_aligner.align_repeats(sub)
+    for k, i in enumerate(cand):
+        ro = rep_out[k]
+        if ro is None:
+            continue
+        name, off, fw, score, placements = ro
+        if results[i].aligned and score < results[i].best:
+            continue
+        a = Alignment(joined_pos=off, fw=fw, score=score,
+                      cigar=[("M", int(sub.lens[k]))],
+                      md=str(int(sub.lens[k])), tidx=0, toff=off)
+        a.rname_override = name
+        a.nh_override = max(len(placements), 1)
+        results[i] = ReadResult(alns=[a], best=score, secbest=None)
 
 
 _conc_fhs = {}

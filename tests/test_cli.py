@@ -105,3 +105,36 @@ def test_flag_surface(workdir):
     for f in recs:
         assert len(f[9]) == 95 or f[9] == "*"    # trimmed to 95bp
         assert not (int(f[1]) & 0x10) or f[2] == "*"   # --norc: no rc hits
+
+
+def test_repeat_mode_align(workdir, tmp_path):
+    """--repeat: multireads report against the repeat pseudo-reference."""
+    import numpy as np
+    from hisat2_tpu.cli.repeat import main as repeat_main
+    from hisat2_tpu.cli.build import main as build_main
+    from hisat2_tpu.cli.align import main as align_main
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, 40000).astype(np.uint8)
+    unit = codes[200:400].copy()
+    for p in (2000, 8000, 15000, 22000, 30000, 36000):
+        codes[p:p + 200] = unit
+    fa = tmp_path / "rg.fa"
+    fa.write_text(">chrRp\n" + alphabet.decode(codes) + "\n")
+    idx = str(tmp_path / "rgidx")
+    assert build_main([str(fa), idx, "--quiet"]) == 0
+    assert repeat_main([str(fa), idx, "--repeat-length", "100",
+                        "--repeat-count", "4", "--quiet"]) == 0
+    fq = tmp_path / "rg.fq"
+    with open(fq, "w") as fh:
+        # a read from inside the repeat (multi-maps) + a unique read
+        fh.write(f"@rep\n{alphabet.decode(codes[2020:2120])}\n+\n{'I'*100}\n")
+        fh.write(f"@uni\n{alphabet.decode(codes[5000:5100])}\n+\n{'I'*100}\n")
+    out = str(tmp_path / "rg.sam")
+    assert align_main(["-x", idx, "-U", str(fq), "-S", out, "--quiet",
+                       "--no-spliced-alignment", "--repeat"]) == 0
+    recs = {l.split("\t")[0]: l.split("\t") for l in open(out)
+            if not l.startswith("@")}
+    assert recs["rep"][2].startswith("rpt_")       # repeat pseudo-ref
+    assert recs["uni"][2] == "chrRp"               # unique stays genomic
+    hdr = [l for l in open(out) if l.startswith("@SQ")]
+    assert any("SN:rpt_" in l for l in hdr)

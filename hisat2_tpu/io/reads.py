@@ -98,11 +98,14 @@ def read_fasta(path, start_rdid: int = 0) -> Iterator[Read]:
 
 
 def read_tab6(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[tuple[Read, Read]]:
-    """tab6: name1 seq1 qual1 name2 seq2 qual2 per line (reference --12)."""
+    """tab6: name1 seq1 qual1 name2 seq2 qual2 per line; tab5 omits name2
+    (both mates share name1) — reference --12 accepts both."""
     with _open_text(path) as fh:
         rdid = start_rdid
         for line in fh:
             f = line.rstrip("\n").split("\t")
+            if len(f) == 5:          # tab5: shared name
+                f = [f[0], f[1], f[2], f[0], f[3], f[4]]
             if len(f) < 6:
                 continue
             r1 = Read(f[0], alphabet.encode(f[1]), _parse_qual(f[2], phred64), rdid)

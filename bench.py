@@ -6,10 +6,12 @@ Config: bundled-example equivalent (22_20-21M 1Mbp reference slice,
 BASELINE.json config #1. Measures the FULL pipeline: device wavefront
 (search + verify + top-k) plus host finalization and SAM record formatting.
 
-Baseline: reference hisat2-align-s v2.2.3, same host, 4 threads (all cores),
-same reference/read shape: 32,000 reads / 0.114 s = 280,700 reads/s
-(single-thread: 81,218 reads/s). Measured 2026-08-16 on this container; if
-the reference binary is present at $HISAT2_REF_BIN it is re-measured live.
+Baseline: reference hisat2-align-s v2.2.3, 4 threads, same host, same
+reference and read distribution. Re-measured LIVE when the reference
+binary is present (HISAT2_REF_BIN, or the round-1 build at
+/tmp/hisat2_ref_build/hisat2-align-s); otherwise the recorded constant
+(32,000 reads / 0.114 s = 280,700 reads/s, measured 2026-08-16 on this
+container's CPU) is used.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,6 +23,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,8 +32,9 @@ import numpy as np
 
 BASELINE_READS_PER_S = 280_700.0
 EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
+REF_BIN_DEFAULT = "/tmp/hisat2_ref_build/hisat2-align-s"
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 NBATCH = int(os.environ.get("BENCH_NBATCH", "4"))
 RDLEN = 100
 
@@ -54,7 +58,9 @@ def _get_index():
     cache = "/tmp/hisat2_tpu_bench_idx"
     if os.path.exists(cache + ".npz"):
         try:
-            return FMIndex.load(cache)
+            fm = FMIndex.load(cache)
+            if fm.st_k:            # seed-table-bearing index required
+                return fm
         except Exception:
             pass
     if os.path.exists(EXAMPLE_FA):
@@ -71,8 +77,7 @@ def _get_index():
     return fm
 
 
-def _make_reads(fm, n, seed=123):
-    from hisat2_tpu.io.reads import Read, batchify
+def _make_read_arrays(fm, n, seed=123):
     from hisat2_tpu.utils import alphabet
 
     rng = np.random.default_rng(seed)
@@ -83,26 +88,56 @@ def _make_reads(fm, n, seed=123):
     mmask = rng.random(seqs.shape) < 0.01
     seqs[mmask] = (seqs[mmask] + rng.integers(1, 4, size=int(mmask.sum()))) % 4
     rc = rng.random(n) < 0.5
-    reads = []
+    out = np.empty_like(seqs)
     for i in range(n):
-        s = alphabet.revcomp(seqs[i]) if rc[i] else seqs[i]
-        reads.append(Read(f"b{i}", s, np.full(RDLEN, 40, np.int8), i))
+        out[i] = alphabet.revcomp(seqs[i]) if rc[i] else seqs[i]
+    return out
+
+
+def _make_reads(fm, n, seed=123):
+    from hisat2_tpu.io.reads import Read, batchify
+
+    seqs = _make_read_arrays(fm, n, seed)
+    reads = [Read(f"b{i}", seqs[i], np.full(RDLEN, 40, np.int8), i)
+             for i in range(n)]
     return batchify(reads, pad_to=104)
 
 
 def _measure_baseline():
-    """Re-measure reference binary if available; else use the recorded
-    constant."""
-    binpath = os.environ.get("HISAT2_REF_BIN", "")
-    if not binpath or not os.path.exists(binpath):
+    """Run the reference aligner on this host (4 threads) over the same
+    read distribution; fall back to the recorded constant."""
+    binpath = os.environ.get("HISAT2_REF_BIN", REF_BIN_DEFAULT)
+    if not binpath or not os.path.exists(binpath) \
+            or not os.path.exists(EXAMPLE_FA):
         return BASELINE_READS_PER_S
     try:
+        from hisat2_tpu.utils import alphabet
         idx = "/tmp/hisat2_bench_refidx"
+        buildbin = binpath.replace("align", "build")
         if not os.path.exists(idx + ".1.ht2"):
-            subprocess.run([binpath.replace("align", "build"), EXAMPLE_FA, idx],
-                           check=True, capture_output=True)
-        # (left as recorded constant if anything fails)
-        return BASELINE_READS_PER_S
+            if not os.path.exists(buildbin):
+                return BASELINE_READS_PER_S
+            subprocess.run([buildbin, EXAMPLE_FA, idx],
+                           check=True, capture_output=True, timeout=600)
+        from hisat2_tpu.index.fm_index import FMIndex
+        fm = _get_index()
+        n = 32000
+        seqs = _make_read_arrays(fm, n, seed=100)
+        fq = tempfile.NamedTemporaryFile(
+            "w", suffix=".fq", delete=False, dir="/tmp")
+        qual = "I" * RDLEN
+        for i in range(n):
+            fq.write(f"@b{i}\n{alphabet.decode(seqs[i])}\n+\n{qual}\n")
+        fq.close()
+        # warm once (index load), then measure
+        cmd = [binpath, "-x", idx, "-U", fq.name, "-p", "4",
+               "--no-spliced-alignment", "-S", "/dev/null"]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        dt = time.perf_counter() - t0
+        os.unlink(fq.name)
+        return n / dt
     except Exception:
         return BASELINE_READS_PER_S
 
@@ -140,6 +175,7 @@ def main() -> int:
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / base, 4),
+        "baseline_reads_per_sec": round(base, 1),
     }))
     return 0
 

@@ -1,11 +1,14 @@
 """Fused align + SAM emission (single-end fast path).
 
-Unique, ungapped, unspliced reads — the overwhelming majority — skip all
-per-read Python: primary-candidate finalization (clips/score/mismatch
-columns) runs on device (`_stage_primary_fin`), and the native C++ batch
-formatter (`native/samfmt.cpp`) turns the column arrays into SAM lines.
-Only odd reads (multi-mapped, gapped, spliced, filtered,
-fragment-boundary, >8 mismatches) drop to the per-read ReadResult path.
+Ungapped, unspliced reads — including MULTI-mapped ones (real genomes are
+~15-20% repetitive, so multireads must ride the fast path too) — skip all
+per-read Python: the device finalizes the top-k candidates of every read
+(`_stage_fin_rows`: clips/score/mismatch columns), the host selects and
+flattens reportable records with NumPy column ops, and the native C++
+batch formatter (`native/samfmt.cpp` format_se_batch2) turns the column
+arrays into SAM lines — primary + secondary records, NH/ZS/MAPQ included.
+Only odd reads (gapped, spliced, filtered, fragment-boundary, >8
+mismatches, candidate overflow) drop to the per-read ReadResult path.
 Output byte-order matches results_to_sam (read order).
 """
 
@@ -27,6 +30,25 @@ INT32_MIN = np.int32(-(1 << 31))
 MAX_FAST_MM = 8
 
 
+class _MapqCache:
+    """Memoized MAPQ v2: scores are small ints, so per-batch distinct
+    (best, secbest, len, exhausted) tuples number in the dozens."""
+
+    def __init__(self, scoring):
+        self.sc = scoring
+        self.cache: dict[tuple, int] = {}
+
+    def get(self, best: int, secbest, rdlen: int, exhausted: bool) -> int:
+        key = (best, secbest, rdlen, exhausted)
+        v = self.cache.get(key)
+        if v is None:
+            v = _mapq.mapq_v2(best, secbest, self.sc.perfect_score(rdlen),
+                              self.sc.min_score(rdlen), local=self.sc.local,
+                              exhausted=exhausted)
+            self.cache[key] = v
+        return v
+
+
 def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     """Align one SE batch and emit SAM; returns the summary-stats dict."""
     lib = _samfmt()
@@ -37,12 +59,15 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
 
     B = len(batch)
     if al.opts.seed_mode:
-        merged, fin_packed = al.device_align_fused(batch)
+        merged, fin = al.device_align_fused(batch)      # fin (B, KF, D)
     else:
-        import jax.numpy as jnp
         st, dp = al._device_align(batch)
         merged = al._merged_host(st, dp, B)
-        fin_packed = None
+        import jax.numpy as jnp
+        fin = np.asarray(_stage_primary_fin(
+            al.idx, al.sctab, st["seqs2"], st["quals2"], st["lens2"],
+            jnp.asarray(merged["pos"][:, 0].astype(np.int32)),
+            jnp.asarray(merged["fw"][:, 0]), B))[:, None, :]
     if al.opts.spliced:
         n_ss = len(al.ssdb)
         al._splice_rescue(batch, merged)
@@ -60,58 +85,141 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
 
     msc, mpos = merged["score"], merged["pos"]
     mfw, mgap = merged["fw"], merged["gapped"]
+    exh = merged.get("exhausted")
+    if exh is None:
+        exh = np.zeros(B, bool)
     spl = merged.get("splice", {})
+    K2 = msc.shape[1]
+    KF = fin.shape[1]
+    khits = al.opts.khits
     aligned = ~filtered & (msc[:, 0] >= min_scs)
-    nvalid = (msc >= min_scs[:, None]).sum(axis=1)
 
-    fast = aligned & (nvalid == 1) & ~mgap[:, 0]
+    # distinct-placement dedup across the merged top-K2 (same (pos, fw)
+    # can reach the list via seed and DP routes)
+    dup = np.zeros((B, K2), bool)
+    for t in range(1, K2):
+        eq = (mpos[:, :t] == mpos[:, t:t + 1]) & (mfw[:, :t] == mfw[:, t:t + 1])
+        dup[:, t] = eq.any(axis=1)
+    valid = (msc >= min_scs[:, None]) & ~dup
+    nvalid = valid.sum(axis=1)
+    nrep = np.minimum(nvalid, khits)
+
+    # column index of the j-th valid entry per read
+    vrank = np.where(valid, np.cumsum(valid, axis=1) - 1, K2 + 1)
+    KFu = min(KF, khits)
+    sel = np.full((B, KFu), K2, np.int64)
+    for j in range(KFu):
+        hit = vrank == j
+        has = hit.any(axis=1)
+        sel[has, j] = np.argmax(hit[has], axis=1)
+    # 2nd distinct valid column (secbest for MAPQ/ZS, independent of -k)
+    hit2 = vrank == 1
+    sel2 = np.where(hit2.any(axis=1), np.argmax(hit2, axis=1), K2)
+
+    # fast eligibility: every reported record is an ungapped, <=8-mismatch,
+    # fragment-contained finalized candidate within the fin window
+    fast = aligned & (nrep <= KFu)
+    in_rep = (np.arange(KFu)[None, :] < nrep[:, None])
+    selc = np.minimum(sel, K2 - 1)
+    rows_all = np.arange(B)[:, None]
+    fast &= ~(in_rep & (sel >= KF)).any(axis=1)
+    fast &= ~(in_rep & mgap[rows_all, selc]).any(axis=1)
+    F_c5 = np.take_along_axis(fin[:, :, 0], np.minimum(sel, KF - 1), 1)
+    F_c3 = np.take_along_axis(fin[:, :, 1], np.minimum(sel, KF - 1), 1)
+    F_nmm_all = np.take_along_axis(fin[:, :, 4], np.minimum(sel, KF - 1), 1)
+    fast &= ~(in_rep & (F_nmm_all > MAX_FAST_MM)).any(axis=1)
     if al.opts.zs_tags and al.overlay is not None:
         fast[:] = False            # Zs tags come from the per-read path
     if spl:
         fast[np.fromiter(spl.keys(), dtype=np.int64)] = False
 
-    fbuf = b""
-    ends = np.zeros(0, np.int64)
-    fast_idx: dict[int, int] = {}
-    if fast.any():
-        if fin_packed is None:
-            import jax.numpy as jnp
-            fin_packed = np.asarray(_stage_primary_fin(
-                al.idx, al.sctab, st["seqs2"], st["quals2"], st["lens2"],
-                jnp.asarray(mpos[:, 0].astype(np.int32)),
-                jnp.asarray(mfw[:, 0]), B))
-        packed = fin_packed
-        F = dict(c5=packed[:, 0], c3=packed[:, 1], score=packed[:, 2],
-                 nmm=packed[:, 3], nmm_all=packed[:, 4],
-                 mcols=packed[:, 5:5 + MAX_FAST_MM],
-                 mchars=packed[:, 5 + MAX_FAST_MM:5 + 2 * MAX_FAST_MM])
-        fast &= F["nmm_all"] <= MAX_FAST_MM
-        # fragment containment
-        ref = al.fm.ref
-        astart = mpos[:, 0] + F["c5"]
-        span = lens - F["c5"] - F["c3"]
-        f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
-        okf = (f >= 0) & (span > 0)
-        fc = np.clip(f, 0, len(ref.frag_joined) - 1)
-        okf &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
-        fast &= okf
-        rows = np.flatnonzero(fast)
-        if rows.size:
-            tidx = ref.frag_tidx[fc[rows]]
-            toff = ref.frag_toff[fc[rows]] + astart[rows] \
-                - ref.frag_joined[fc[rows]]
-            fbuf, ends = _format_fast(al, batch, rows, F, mfw, tidx, toff)
-            for j, i in enumerate(rows):
-                fast_idx[int(i)] = j
+    # fragment containment of every reported record
+    ref = al.fm.ref
+    rpos = mpos[rows_all, selc]
+    astart = rpos + F_c5
+    span = lens[:, None] - F_c5 - F_c3
+    f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
+    okf = (f >= 0) & (span > 0)
+    fc = np.clip(f, 0, len(ref.frag_joined) - 1)
+    okf &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
+    fast &= ~(in_rep & ~okf).any(axis=1)
 
+    mqc = _MapqCache(sc)
     stats = dict(reads=B, unal=0, uniq=0, multi=0)
-    out_parts: list[tuple] = []
 
-    # ---- slow reads: collect candidates, batch-finalize ungapped ones ----
-    slow = [i for i in range(B) if i not in fast_idx]
+    fbuf = b""
+    read_end = np.zeros(B, np.int64)   # fbuf end offset per fast read
+    frows = np.flatnonzero(fast)
+    if frows.size:
+        # flatten (read, k) -> records
+        nr = nrep[frows]
+        rec_read = np.repeat(frows, nr)                     # global read idx
+        rec_lidx = np.repeat(np.arange(frows.size), nr)     # local fast idx
+        rec_k = np.arange(rec_read.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
+        col = sel[rec_read, rec_k]
+        finc = fin[rec_read, col]
+        c5 = finc[:, 0].astype(np.int32)
+        c3 = finc[:, 1].astype(np.int32)
+        nmm = finc[:, 3].astype(np.int32)
+        nmm_all = finc[:, 4].astype(np.int32)
+        score = msc[rec_read, col].astype(np.int32)
+        fw = mfw[rec_read, col]
+        pos = mpos[rec_read, col]
+        mid = (lens[rec_read] - c5 - c3).astype(np.int32)
+        astart_r = astart[rec_read, rec_k]
+        fc_r = fc[rec_read, rec_k]
+        tidx = ref.frag_tidx[fc_r].astype(np.int32)
+        toff = (ref.frag_toff[fc_r] + astart_r
+                - ref.frag_joined[fc_r])
+        flag = (np.where(fw, 0, 16) | np.where(rec_k > 0, 256, 0)
+                ).astype(np.int32)
+        nh = np.repeat(nr, nr).astype(np.int32)
+        # best/secbest per read -> MAPQ (primary) / 255 (secondary), ZS
+        has_sec = nvalid[frows] >= 2
+        best = msc[frows, 0]
+        sec_col = np.minimum(sel2[frows], K2 - 1)
+        secbest = np.where(has_sec, msc[frows, sec_col], INT32_MIN)
+        # MAPQ: the reference's exhausted flag is never set in hisat2
+        # (hisat2.cpp:3259,3461 init false, never assigned true), so the
+        # 60 fast path (unique.h:212) fails only on an equal-scoring
+        # second-best; only those need the table (vectorized fast path +
+        # memoized scalar calls for the rare rest)
+        mapq_read = np.full(frows.size, 60, np.int32)
+        need_tab = has_sec & (secbest == best)
+        for j in np.flatnonzero(need_tab):
+            mapq_read[j] = mqc.get(int(best[j]), int(secbest[j]),
+                                   int(lens[frows][j]), False)
+        mapq = np.where(rec_k == 0, mapq_read[rec_lidx], 255).astype(np.int32)
+        zs = np.where(has_sec[rec_lidx], secbest[rec_lidx].astype(np.int64),
+                      int(INT32_MIN)).astype(np.int32)
+
+        # mismatch (col, refchar) pairs from the device kernel
+        mc = finc[:, 5:5 + MAX_FAST_MM].astype(np.int32)
+        mch = finc[:, 5 + MAX_FAST_MM:5 + 2 * MAX_FAST_MM].astype(np.int64)
+        cnt = nmm_all.astype(np.int64)
+        mm_off = np.zeros(rec_read.size + 1, np.int64)
+        np.cumsum(cnt, out=mm_off[1:])
+        selm = np.arange(MAX_FAST_MM)[None, :] < cnt[:, None]
+        mm_cols2 = (mc[selm] - np.repeat(c5, cnt)).astype(np.int32)
+        mm_ref2 = np.ascontiguousarray(_DEC_ASCII[np.clip(mch[selm], 0, 4)])
+
+        fbuf, rec_ends = _format_records(
+            al, batch, frows, rec_read, flag, tidx, toff, mapq, c5, mid, c3,
+            score, nmm, zs, nh, mm_cols2, mm_ref2, mm_off)
+        last_rec = np.cumsum(nr) - 1
+        read_end[frows] = rec_ends[last_rec]
+
+        stats["uniq"] += int((nvalid[frows] == 1).sum())
+        stats["multi"] += int((nvalid[frows] >= 2).sum())
+
+    # ---- slow reads ----
+    slow = np.flatnonzero(~fast)
+    slow_out: dict[int, list] = {}
     plans: dict[int, list] = {}
     ug_items: list[tuple[int, int, bool]] = []
     for i in slow:
+        i = int(i)
         if filtered[i]:
             continue
         entries = [("reg", s, p, f, g) for s, p, f, g, _, _
@@ -138,13 +246,8 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
             lookup[(i, p, f)] = a
 
     from .pipeline import _dedup_alns
-    for i in range(B):
-        j = fast_idx.get(i)
-        if j is not None:
-            stats["uniq"] += 1
-            s = int(ends[j - 1]) if j > 0 else 0
-            out_parts.append(("f", s, int(ends[j])))
-            continue
+    for i in slow:
+        i = int(i)
         if filtered[i]:
             res = ReadResult(filtered="NS" if lens[i] else "LN")
         else:
@@ -176,28 +279,29 @@ def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
             stats["multi"] += 1
         else:
             stats["uniq"] += 1
-        out_parts.append(("s", lines))
+        slow_out[i] = lines
 
-    # emit, merging contiguous fast slices
+    # ---- emit in read order: contiguous fast slices + slow interleave ----
     w = writer.out.write
-    run_s = run_e = None
-    for part in out_parts:
-        if part[0] == "f":
-            if run_s is None:
-                run_s, run_e = part[1], part[2]
-            elif part[1] == run_e:
-                run_e = part[2]
-            else:
-                w(fbuf[run_s:run_e].decode("ascii"))
-                run_s, run_e = part[1], part[2]
-        else:
-            if run_s is not None:
-                w(fbuf[run_s:run_e].decode("ascii"))
-                run_s = None
-            for ln in part[1]:
-                w(ln)
-    if run_s is not None:
-        w(fbuf[run_s:run_e].decode("ascii"))
+    if not slow_out:
+        if fbuf:
+            w(fbuf.decode("ascii"))
+        return stats
+    text = fbuf.decode("ascii") if fbuf else ""
+    # prefix-max of fast end offsets: fast output before read i ends at
+    # last_end[i - 1] (read_end is monotone over fast reads)
+    last_end = np.maximum.accumulate(np.where(fast, read_end, 0))
+    prev_end = 0
+    for i in sorted(slow_out):
+        if text and i > 0:
+            end = int(last_end[i - 1])
+            if end > prev_end:
+                w(text[prev_end:end])
+                prev_end = end
+        for ln in slow_out[i]:
+            w(ln)
+    if text and prev_end < len(text):
+        w(text[prev_end:])
     return stats
 
 
@@ -209,78 +313,72 @@ def _samfmt():
         return None
 
 
-def _format_fast(al, batch, rows, F, mfw, tidx, toff):
-    """Column arrays -> native formatter. rows: read indices on the fast
-    path; F: device finalization arrays (full B); tidx/toff per row."""
-    N = rows.size
+def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
+                    c5, mid, c3, score, nmm, zs, nh,
+                    mm_cols, mm_ref, mm_off):
+    """Column arrays -> native formatter. frows: fast read indices (name/
+    seq data is per read); rec_*: per-record arrays with read indices."""
     ref = al.fm.ref
-    lens = batch.lens.astype(np.int64)[rows]
-    fw = mfw[rows, 0]
-    flag = np.where(fw, 0, 16).astype(np.int32)
-    rname = tidx.astype(np.int32)
-    pos1 = (toff + 1).astype(np.int32)
-    mapq = np.full(N, 60, np.int32)     # unique & not exhausted -> 60
-    c5 = F["c5"][rows].astype(np.int32)
-    c3 = F["c3"][rows].astype(np.int32)
-    mid = (lens - c5 - c3).astype(np.int32)
-    score = F["score"][rows].astype(np.int32)
-    nmm = F["nmm"][rows].astype(np.int32)
-    zs = np.full(N, INT32_MIN, np.int32)
-    nh = np.ones(N, np.int32)
+    Nf = frows.size
+    lens = batch.lens.astype(np.int64)[frows]
 
-    # names
-    name_parts = [batch.names[int(i)].encode("ascii")[:255] for i in rows]
-    name_off = np.zeros(N + 1, np.int64)
-    np.cumsum([len(x) for x in name_parts], out=name_off[1:])
+    # per-read name buffer
+    name_parts = [batch.names[int(i)].encode("ascii")[:255] for i in frows]
+    name_lens = np.fromiter((len(x) for x in name_parts), np.int64, Nf)
+    name_off = np.zeros(Nf + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
     name_buf = np.frombuffer(b"".join(name_parts), np.uint8)
 
-    # oriented SEQ/QUAL: decode raw reads to ASCII, flip rc rows
-    raw = batch.seqs[rows]
-    ar = np.arange(raw.shape[1])
+    # per-read SEQ/QUAL in both orientations (packed by true length)
+    raw = batch.seqs[frows]
+    Lp = raw.shape[1]
+    ar = np.arange(Lp)
     in_read = ar[None, :] < lens[:, None]
-    seq_ascii = _DEC_ASCII[np.clip(raw, 0, 4)]
-    qual_ascii = (np.clip(batch.quals[rows], 0, 93) + 33).astype(np.uint8)
-    rc_rows = np.flatnonzero(~fw)
-    if rc_rows.size:
-        rcidx = np.clip(lens[rc_rows, None] - 1 - ar[None, :], 0,
-                        raw.shape[1] - 1)
-        seq_ascii[rc_rows] = _COMP_ASCII[
-            np.take_along_axis(seq_ascii[rc_rows], rcidx, 1)]
-        qual_ascii[rc_rows] = np.take_along_axis(qual_ascii[rc_rows], rcidx, 1)
-    seq_buf = np.ascontiguousarray(seq_ascii[in_read])
-    qual_buf = np.ascontiguousarray(qual_ascii[in_read])
-    seq_off = np.zeros(N + 1, np.int64)
+    seq_f = _DEC_ASCII[np.clip(raw, 0, 4)]
+    qual_f = (np.clip(batch.quals[frows], 0, 93) + 33).astype(np.uint8)
+    rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
+    seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
+    qual_r = np.take_along_axis(qual_f, rcidx, 1)
+    seq_off = np.zeros(Nf + 1, np.int64)
     np.cumsum(lens, out=seq_off[1:])
+    sf = np.ascontiguousarray(seq_f[in_read])
+    qf = np.ascontiguousarray(qual_f[in_read])
+    sr = np.ascontiguousarray(seq_r[in_read])
+    qr = np.ascontiguousarray(qual_r[in_read])
 
-    # mismatch (col, refchar) pairs from the device kernel
-    mc = F["mcols"][rows]                       # (N, max_mm)
-    mch = F["mchars"][rows]
-    cnt = F["nmm_all"][rows].astype(np.int64)
-    mm_off = np.zeros(N + 1, np.int64)
-    np.cumsum(cnt, out=mm_off[1:])
-    sel = np.arange(mc.shape[1])[None, :] < cnt[:, None]
-    mm_cols2 = (mc[sel] - np.repeat(c5, cnt)).astype(np.int32)
-    mm_ref2 = np.ascontiguousarray(_DEC_ASCII[np.clip(mch[sel], 0, 4)])
+    # map global read idx -> local fast idx for the C indirection
+    l_of = np.zeros(int(frows.max()) + 1 if Nf else 1, np.int64)
+    l_of[frows] = np.arange(Nf)
+    read_of = l_of[rec_read].astype(np.int32)
 
     # reference names
     rn_parts = [n.encode("ascii") for n in ref.names]
     rn_off = np.zeros(len(rn_parts) + 1, np.int64)
     np.cumsum([len(x) for x in rn_parts], out=rn_off[1:])
     rn_buf = np.frombuffer(b"".join(rn_parts), np.uint8)
+    rn_lens = np.diff(rn_off)
+
+    # exact-ish capacity from true lengths (no heuristic; ADVICE r1 #1)
+    nrec = rec_read.size
+    per_rec = (210 + name_lens[read_of] + rn_lens[tidx]
+               + 2 * lens[read_of] + 12 * np.diff(mm_off))
+    cap = int(per_rec.sum()) + 1024
 
     import ctypes
-    cap = int(N * (320 + int(lens.max()) * 2) + 1024)
-    out = ctypes.create_string_buffer(cap)
-    ends = np.zeros(N, np.int64)
     lib = _samfmt()
-    total = lib.format_se_batch(
-        np.int32(N), flag, rname, pos1, mapq, c5, mid, c3,
-        score, nmm, nmm, zs, nh,
+    out = ctypes.create_string_buffer(cap)
+    ends = np.zeros(nrec, np.int64)
+    total = lib.format_se_batch2(
+        np.int32(nrec), read_of, flag,
+        np.ascontiguousarray(tidx.astype(np.int32)),
+        np.ascontiguousarray((toff + 1).astype(np.int32)),
+        mapq, c5, mid, c3, score, nmm, nmm, zs, nh,
         np.ascontiguousarray(name_buf), name_off,
-        seq_buf, qual_buf, seq_off,
-        mm_cols2, mm_ref2, mm_off,
+        sf, qf, sr, qr, seq_off,
+        np.ascontiguousarray(mm_cols), mm_ref, mm_off,
         np.ascontiguousarray(rn_buf), rn_off,
-        out, ends)
+        out, np.int64(cap), ends)
+    assert total >= 0, "SAM buffer overflow despite exact sizing"
     return out.raw[:total], ends
 
 
@@ -293,18 +391,24 @@ def _format_slow(al, batch, i, res: ReadResult, sc) -> list[str]:
             ).tobytes().decode("ascii")
     if not res.aligned:
         return [samio.format_unaligned(name, seq, qual, yf=res.filtered)]
+    # exhausted deliberately not passed: the reference's exhaustive[] flag
+    # is initialized false and never set (hisat2.cpp:3259,3461), so its
+    # MAPQ 60 fast path (unique.h:212) only fails on equal second-best
     mq = _mapq.mapq_v2(res.best, res.secbest, sc.perfect_score(rdlen),
                        sc.min_score(rdlen), local=sc.local)
     nh = len(res.alns)
     lines = []
     for k, aln in enumerate(res.alns):
         rec = samio.SamAlignment(
-            rname=ref.names[aln.tidx], pos=aln.toff, fw=aln.fw,
+            rname=(aln.rname_override if aln.rname_override is not None
+                   else ref.names[aln.tidx]),
+            pos=aln.toff, fw=aln.fw,
             mapq=mq if k == 0 else 255, cigar=aln.cigar, score=aln.score,
             nmm=aln.nmm, gap_opens=aln.gap_opens, gap_exts=aln.gap_exts,
             md=aln.md, nm=aln.nm,
             zs=res.secbest if res.secbest is not None else None,
             xs_strand=aln.xs_strand, zs_snps=aln.zs_snps,
-            nh=nh, secondary=k > 0)
+            nh=(aln.nh_override if aln.nh_override is not None else nh),
+            secondary=k > 0)
         lines.append(samio.format_aligned(name, seq, qual, rec))
     return lines

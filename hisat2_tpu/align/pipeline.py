@@ -40,6 +40,12 @@ from . import mapq as _mapq
 from .scoring import Scoring, DEFAULT_SCORING
 
 
+# dense re-seed width for the table fallback: offsets 0,4,8,... cover a
+# 100bp read end to end (the sensitive pass for reads whose stride seeds
+# all carry errors)
+FB_TABLE_SEEDS = 24
+
+
 @dataclass
 class AlignerOpts:
     khits: int = 5                 # -k: max alignments reported per read
@@ -114,18 +120,28 @@ class ReadResult:
 # ---------------------------------------------------------------------------
 
 def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
-    """(B, L) -> (2B, L): rows [0:B) forward, [B:2B) reverse-complement."""
+    """(B, L) -> (2B, L): rows [0:B) forward, [B:2B) reverse-complement.
+
+    The per-row reversal is a static flip (free relayout) + per-row
+    left-shift by (L - len) done as ONE row-slice gather — B gather lanes —
+    instead of a (B, L) minor-axis take_along_axis (B*L lanes; measured
+    ~70ms at B=8K before this rewrite, ~1ms after)."""
     B, L = seqs.shape
+    lens = lens.astype(jnp.int32)
     pos = jnp.arange(L, dtype=jnp.int32)
-    rev = lens[:, None] - 1 - pos[None, :]
-    ok = rev >= 0
-    gat = jnp.clip(rev, 0, L - 1)
-    rc = jnp.where(ok, jnp.take_along_axis(seqs.astype(jnp.int32), gat, 1), 4)
+    in_read = pos[None, :] < lens[:, None]
+    s = jnp.where(in_read, jnp.minimum(seqs.astype(jnp.int32), 4), 4)
+    q = jnp.where(in_read, quals.astype(jnp.int32), 0)
     comp = jnp.array([3, 2, 1, 0, 4], jnp.int32)
-    rc = comp[jnp.clip(rc, 0, 4)]
-    rq = jnp.where(ok, jnp.take_along_axis(quals.astype(jnp.int32), gat, 1), 0)
-    return (jnp.concatenate([seqs.astype(jnp.int32), rc]),
-            jnp.concatenate([quals.astype(jnp.int32), rq]),
+    rev = comp[s[:, ::-1]]
+    revq = q[:, ::-1]
+    dbl = jnp.concatenate([rev, jnp.full((B, L), 4, jnp.int32)], axis=1)
+    dblq = jnp.concatenate([revq, jnp.zeros((B, L), jnp.int32)], axis=1)
+    sh = L - lens
+    slice_row = jax.vmap(lambda row, st: lax.dynamic_slice(row, (st,), (L,)))
+    rc = slice_row(dbl, sh)
+    rq = slice_row(dblq, sh)
+    return (jnp.concatenate([s, rc]), jnp.concatenate([q, rq]),
             jnp.concatenate([lens, lens]))
 
 
@@ -149,20 +165,36 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     seqs2, quals2, lens2 = _with_revcomp(seqs, quals, lens)
     R, L = seqs2.shape
 
-    if seeder == "seeds":
-        hits = _search.seed_search(idx, seqs2, lens2, seed_len=22,
-                                   n_seeds=max_seeds, ftab_k=ftab_k)
+    if seeder in ("table", "table_dense"):
+        # direct-address kmer table: positions in two gather rounds, no LF
+        # chain (ops/search.table_lookup)
+        th = _search.table_lookup(
+            idx, seqs2, lens2, n_seeds=max_seeds, locs_per_seg=locs_per_seg,
+            stride=(4 if seeder == "table_dense" else 0))
+        locs, lvalid = th["locs"], th["lvalid"]
+        seed_off = th["off"]
+        exhausted = th["exhausted"]
     else:
-        hits = _search.partial_search(idx, seqs2, lens2, max_hits=max_seeds)
-    # candidate start = SA[row] - segment read-offset
-    locs, lvalid = _locate.expand_range(idx, hits["top"], hits["bot"],
-                                        locs_per_seg)        # (R, S, locs)
-    seg_ok = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
-              < hits["n"][:, None])                          # (R, S)
-    # anchor length floor: the reference's _minK = ceil(log4 |genome|)
-    # (hi_aligner.h:3979) — shorter matches occur by chance everywhere and
-    # only waste candidate budget
-    seg_ok &= hits["len"] >= min_seg_len
+        if seeder == "seeds":
+            hits = _search.seed_search(idx, seqs2, lens2, seed_len=22,
+                                       n_seeds=max_seeds, ftab_k=ftab_k)
+        else:
+            hits = _search.partial_search(idx, seqs2, lens2,
+                                          max_hits=max_seeds)
+        # candidate start = SA[row] - segment read-offset
+        locs, lvalid = _locate.expand_range(idx, hits["top"], hits["bot"],
+                                            locs_per_seg)    # (R, S, locs)
+        seg_ok = (jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+                  < hits["n"][:, None])                      # (R, S)
+        # anchor length floor: the reference's _minK = ceil(log4 |genome|)
+        # (hi_aligner.h:3979) — shorter matches occur by chance everywhere
+        # and only waste candidate budget
+        seg_ok &= hits["len"] >= min_seg_len
+        seed_off = hits["off"]
+        lvalid = lvalid & seg_ok[:, :, None]
+        width = hits["bot"] - hits["top"]
+        exhausted = jnp.all(jnp.where(seg_ok, width <= locs_per_seg, True),
+                            axis=1)
     if "patch_start" in idx and idx["patch_start"].shape[0] > 0:
         # graph mode: seed occurrences inside variant patch fragments map
         # back to primary-text coordinates (with the indel shift when the
@@ -180,12 +212,9 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
         tlocs = idx["patch_ref"][pi] + o + shift
         locs = jnp.where(inpatch, tlocs, locs)
 
-    cand = locs - hits["off"][:, :, None]
-    valid = lvalid & seg_ok[:, :, None]
+    cand = locs - seed_off[:, :, None]
     cand = cand.reshape(R, -1)
-    valid = valid.reshape(R, -1)
-    width = hits["bot"] - hits["top"]
-    exhausted = jnp.all(jnp.where(seg_ok, width <= locs_per_seg, True), axis=1)
+    valid = lvalid.reshape(R, -1)
 
     # dedup identical positions (sort asc; invalid -> +inf sentinel), then
     # compact: only the first `verify_cands` distinct loci are verified —
@@ -245,15 +274,26 @@ def _rank_text_window(idx, start, length):
 @partial(jax.jit, static_argnames=("B", "max_mm"))
 def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
                        ppos, pfw, B: int, max_mm: int = 8):
-    """Device finalization of the primary ungapped candidate per read:
+    """Device finalization of the primary ungapped candidate per read."""
+    read_of = jnp.arange(B, dtype=jnp.int32)
+    return _stage_fin_rows(idx, sctab, seqs2, quals2, lens2, ppos, pfw,
+                           read_of, B, max_mm)
+
+
+def _stage_fin_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
+                    ppos, pfw, read_of, B: int, max_mm: int = 8):
+    """Device finalization of one ungapped candidate per output row:
     optimal clips (max-subarray), score, penalized-mismatch count, and the
     first max_mm (col, refchar) mismatch pairs for MD construction — so
-    the host fast path only touches O(B) scalars, not (B, L) matrices."""
+    the host fast path only touches O(rows) scalars, not (rows, L)
+    matrices. ppos/pfw/read_of are (N,) with read_of the read index in
+    [0, B) each row finalizes (the multimap fast path passes each read's
+    top-k candidates as k rows)."""
     L = seqs2.shape[1]
-    rowidx = jnp.arange(B, dtype=jnp.int32) + jnp.where(pfw, 0, B)
+    rowidx = read_of + jnp.where(pfw, 0, B)
     rd = seqs2[rowidx]
     q = jnp.clip(quals2[rowidx], 0, 63)
-    ln = lens2[:B]
+    ln = lens2[read_of]
     win = _rank_text_window(idx, ppos, L)
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = ar < ln[:, None]
@@ -272,7 +312,8 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
     s = s + jnp.where(~mm_sc & ~isn & in_read, sctab["match_bonus"], 0)
     scp = jnp.where(in_read, sctab["sc_pens"][q], 0)
     g = s + scp
-    P = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+    N = rd.shape[0]
+    P = jnp.concatenate([jnp.zeros((N, 1), jnp.int32),
                          jnp.cumsum(g, axis=1)], axis=1)
     ends = P[:, 1:] - lax.cummin(P, axis=1)[:, :-1]
     ends_m = jnp.where(in_read, ends, NEG_INF)
@@ -302,7 +343,7 @@ def _stage_primary_fin(idx: dict, sctab: dict, seqs2, quals2, lens2,
 @partial(jax.jit, static_argnames=(
     "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands", "min_seg_len",
     "ftab_k", "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
-    "nofw", "norc"))
+    "nofw", "norc", "seeder", "fb_seeder", "KF"))
 def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        minsc_i, minsc_s, gap1,
                        B: int, max_seeds: int, n_seeds: int,
@@ -310,7 +351,9 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        top_cands: int, min_seg_len: int, ftab_k: int,
                        K2: int, max_mm: int, fb_bucket: int, dp_bucket: int,
                        dp_pad: int, no_dp: bool,
-                       nofw: bool = False, norc: bool = False):
+                       nofw: bool = False, norc: bool = False,
+                       seeder: str = "seeds", fb_seeder: str = "segments",
+                       KF: int = 1):
     """The ENTIRE single-end device path in one dispatch: seed candidates,
     segment fallback for failing reads (device-side top-k compaction), DP
     rescue, merge, and primary finalization. One round trip matters: on a
@@ -318,7 +361,7 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
     pipeline's five phases fuse into one executable with fixed-size
     compaction buckets instead of host-driven shape-changing gathers."""
     st = _stage_candidates(idx, sctab, seqs, quals, lens, n_seeds,
-                           locs_per_seg, top_cands, min_seg_len, "seeds",
+                           locs_per_seg, top_cands, min_seg_len, seeder,
                            ftab_k)
     if nofw:
         st["score"] = st["score"].at[:B].set(NEG_INF)
@@ -334,14 +377,17 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
         key = jnp.where(read_best < min_scs, -read_best, NEG_INF)
         val, sel = lax.top_k(key, fb_bucket)
         selmask = val > NEG_INF // 2
+        fb_seeds = FB_TABLE_SEEDS if fb_seeder == "table_dense" else max_seeds
         st2 = _stage_candidates(idx, sctab, seqs[sel], quals[sel], lens[sel],
-                                max_seeds, locs_per_seg, top_cands,
-                                min_seg_len, "segments", ftab_k)
+                                fb_seeds, locs_per_seg, top_cands,
+                                min_seg_len, fb_seeder, ftab_k)
         rows = jnp.concatenate([sel, sel + B])
         m2 = jnp.concatenate([selmask, selmask])
         for k in ("pos", "score", "nmm"):
             new = jnp.where(m2[:, None], st2[k], st[k][rows])
             st[k] = st[k].at[rows].set(new)
+        new_exh = jnp.where(m2, st2["exhausted"], st["exhausted"][rows])
+        st["exhausted"] = st["exhausted"].at[rows].set(new_exh)
         pos, score = st["pos"], st["score"]
         row_best = score.max(axis=1)
         read_best = jnp.maximum(row_best[:B], row_best[B:])
@@ -360,11 +406,17 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                          ).at[rows, :Tdp].set(dpv)
 
     merged = _stage_merge(pos, score, dp_sc, B, K2)
-    ppos = merged[:, 0, 1]
-    pfw = (merged[:, 0, 2] & 1) == 1
-    fin = _stage_primary_fin(idx, sctab, st["seqs2"], st["quals2"],
-                             st["lens2"], ppos, pfw, B, max_mm)
-    return merged, fin
+    # finalize the top-KF candidates of every read in one flattened pass
+    # (multimapped reads ride the native fast path too, k records each)
+    KF2 = max(1, min(KF, K2))
+    fpos = merged[:, :KF2, 1].reshape(-1)
+    ffw = ((merged[:, :KF2, 2] & 1) == 1).reshape(-1)
+    read_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), KF2)
+    fin = _stage_fin_rows(idx, sctab, st["seqs2"], st["quals2"],
+                          st["lens2"], fpos, ffw, read_of, B, max_mm)
+    fin = fin.reshape(B, KF2, -1)
+    exh = st["exhausted"][:B] & st["exhausted"][B:]
+    return merged, fin, exh
 
 
 @partial(jax.jit, static_argnames=("B", "K2"))
@@ -428,6 +480,14 @@ class Aligner:
         self.opts = opts or AlignerOpts()
         self.idx = fm.device
         self.sctab = scoring.device_tables()
+        # seeder choice: direct-address kmer table when the index carries
+        # one (two gather rounds, no LF chain); FM stride seeds otherwise;
+        # the sensitive fallback re-seeds failing reads densely
+        if getattr(fm, "st_k", 0) and "st_starts" in self.idx:
+            self.seeder, self.fb_seeder = "table", "table_dense"
+        else:
+            self.seeder = "seeds" if self.opts.seed_mode else "segments"
+            self.fb_seeder = "segments"
         # reference _minK: minimum anchor = ceil(log4 |genome|), >= 8
         self.min_seg_len = max(8, int(np.ceil(np.log(max(fm.n, 4))
                                               / np.log(4))))
@@ -461,8 +521,8 @@ class Aligner:
         seqs = jnp.asarray(batch.seqs)
         quals = jnp.asarray(batch.quals)
         lens = jnp.asarray(batch.lens)
-        seeder = "seeds" if o.seed_mode else "segments"
-        nseeds = o.n_seeds if o.seed_mode else o.max_seeds
+        seeder = self.seeder
+        nseeds = o.n_seeds if seeder in ("seeds", "table") else o.max_seeds
         self.metrics.reads += B
         self.metrics.batches += 1
         self.metrics.seeds += 2 * B * nseeds
@@ -520,7 +580,7 @@ class Aligner:
         self.metrics.batches += 1
         self.metrics.seeds += 2 * B * o.max_seeds
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
-        merged_d, fin_d = _stage_align_fused(
+        merged_d, fin_d, exh_d = _stage_align_fused(
             self.idx, self.sctab,
             jnp.asarray(batch.seqs), jnp.asarray(batch.quals),
             jnp.asarray(batch.lens),
@@ -531,12 +591,14 @@ class Aligner:
             B, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
             self.min_seg_len, self.fm.ftab_k, K2, 8,
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
-            o.dp_pad, o.no_dp, o.nofw, o.norc)
+            o.dp_pad, o.no_dp, o.nofw, o.norc,
+            self.seeder, self.fb_seeder, max(1, min(o.khits, K2)))
         packed = np.asarray(merged_d)
         merged = dict(score=packed[:, :, 0].astype(np.int64),
                       pos=packed[:, :, 1],
                       fw=(packed[:, :, 2] & 1).astype(bool),
-                      gapped=(packed[:, :, 2] & 2) > 0)
+                      gapped=(packed[:, :, 2] & 2) > 0,
+                      exhausted=np.asarray(exh_d))
         return merged, np.asarray(fin_d)
 
     def _segment_fallback(self, batch, st, seqs, quals, lens):
@@ -558,10 +620,12 @@ class Aligner:
         self.metrics.fallback_reads += int(need.size)
         need_p = np.pad(need, (0, bucket - need.size))   # fixed shape
         ridx = jnp.asarray(need_p, jnp.int32)
+        fb_seeds = (FB_TABLE_SEEDS if self.fb_seeder == "table_dense"
+                    else o.max_seeds)
         st2 = _stage_candidates(
             self.idx, self.sctab, seqs[ridx], quals[ridx], lens[ridx],
-            o.max_seeds, o.locs_per_seg, o.top_cands,
-            self.min_seg_len, "segments", self.fm.ftab_k)
+            fb_seeds, o.locs_per_seg, o.top_cands,
+            self.min_seg_len, self.fb_seeder, self.fm.ftab_k)
         rows = jnp.concatenate([ridx, ridx + B])
         Bs = need_p.size
         out = dict(st)

@@ -63,6 +63,12 @@ class FMIndex:
     samp_bits: np.ndarray = None   # (ceil(m/32),) uint32 marked-row bits
     samp_rank: np.ndarray = None   # (nblk+1,) int32, marked count / 512 rows
     samp_vals: np.ndarray = None   # (n_marked,) int32 SA values, row order
+    # direct-address seed table (TPU-first seeding; index/seed_table.py):
+    # kmer code -> contiguous slice of sorted positions. Replaces the LF
+    # chain + SA walk on the hot path with two gather rounds.
+    st_starts: np.ndarray = None   # (4^st_k + 1,) int32
+    st_pos: np.ndarray = None      # (n_kmers + pad,) int32
+    st_k: int = 0
 
     @property
     def m(self) -> int:
@@ -95,6 +101,18 @@ class FMIndex:
                          samp_rank=jnp.asarray(self.samp_rank),
                          samp_vals=jnp.asarray(self.samp_vals),
                          samp_ival=int(1 << self.offrate))
+        if self.st_k and self.st_starts is not None:
+            extra.update(st_starts=jnp.asarray(self.st_starts),
+                         st_pos=jnp.asarray(self.st_pos),
+                         st_k=int(self.st_k))
+        # (nr, 16)-word row view of the packed text (+1 zero row so a
+        # 2-row slice at the last row stays in bounds): lets window
+        # fetches cost ONE gather lane each (ops/rank.gather_rows2)
+        tp = self.text_packed
+        nr = -(-tp.size // 16)
+        trows = np.zeros((nr + 1, 16), np.uint32)
+        trows.reshape(-1)[:tp.size] = tp
+        extra["text_rows"] = jnp.asarray(trows)
         return dict(
             **extra,
             sides=jnp.asarray(sides),
@@ -132,10 +150,14 @@ class FMIndex:
                        else np.zeros(0, np.int32)),
             samp_vals=(self.samp_vals if self.samp_vals is not None
                        else np.zeros(0, np.int32)),
+            st_starts=(self.st_starts if self.st_starts is not None
+                       else np.zeros(0, np.int32)),
+            st_pos=(self.st_pos if self.st_pos is not None
+                    else np.zeros(0, np.int32)),
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
                     ftab_k=self.ftab_k, names=self.ref.names,
-                    offrate=self.offrate)
+                    offrate=self.offrate, st_k=self.st_k)
         with open(prefix + ".meta.json", "w") as fh:
             json.dump(meta, fh)
 
@@ -162,7 +184,12 @@ class FMIndex:
                        offrate=meta.get("offrate", 0),
                        samp_bits=z["samp_bits"] if "samp_bits" in z else None,
                        samp_rank=z["samp_rank"] if "samp_rank" in z else None,
-                       samp_vals=z["samp_vals"] if "samp_vals" in z else None)
+                       samp_vals=z["samp_vals"] if "samp_vals" in z else None,
+                       st_k=meta.get("st_k", 0),
+                       st_starts=(z["st_starts"] if "st_starts" in z
+                                  and z["st_starts"].size else None),
+                       st_pos=(z["st_pos"] if "st_pos" in z
+                               and z["st_pos"].size else None))
 
 
 def _pack_to_blocks(codes: np.ndarray) -> np.ndarray:
@@ -242,7 +269,7 @@ def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
 
 
 def build_fm_index(ref: JoinedReference, ftab_k: int = 10,
-                   offrate: int = 0) -> FMIndex:
+                   offrate: int = 0, seed_table: bool = True) -> FMIndex:
     text = ref.joined
     n = int(text.size)
     # keep ftab small relative to the genome (tiny tests use tiny k)
@@ -269,6 +296,9 @@ def build_fm_index(ref: JoinedReference, ftab_k: int = 10,
         fm.samp_bits, fm.samp_rank, fm.samp_vals = \
             build_sampled_sa(sa, offrate)
         fm.sa = np.zeros(0, np.int32)     # the sample replaces the full SA
+    if seed_table:
+        from .seed_table import build_seed_table
+        fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(text)
     return fm
 
 

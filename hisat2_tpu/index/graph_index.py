@@ -66,6 +66,10 @@ class GraphFMIndex(FMIndex):
         import jax.numpy as jnp
         d = FMIndex.device.func(self)          # re-run base builder
         packed = _pack4(self.snv_overlay)
+        nrn = -(-packed.size // 32)
+        srows = np.zeros((nrn + 1, 32), np.uint32)
+        srows.reshape(-1)[:packed.size] = packed
+        d["snv_rows"] = jnp.asarray(srows)
         d.update(
             primary_n=jnp.int32(self.primary_n),
             patch_start=jnp.asarray(self.patch_start.astype(np.int32)),
@@ -98,10 +102,14 @@ class GraphFMIndex(FMIndex):
             snp_ins=np.asarray([alphabet.decode(x) for x in s.ins_seqs]),
             known_ss=(self.known_ss if self.known_ss is not None
                       else np.zeros((0, 3), np.int64)),
+            st_starts=(self.st_starts if self.st_starts is not None
+                       else np.zeros(0, np.int32)),
+            st_pos=(self.st_pos if self.st_pos is not None
+                    else np.zeros(0, np.int32)),
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
                     ftab_k=self.ftab_k, names=self.ref.names,
-                    graph=True, primary_n=self.primary_n)
+                    graph=True, primary_n=self.primary_n, st_k=self.st_k)
         with open(prefix + ".meta.json", "w") as fh:
             json.dump(meta, fh)
 
@@ -128,7 +136,12 @@ class GraphFMIndex(FMIndex):
             patch_start=z["patch_start"], patch_ref=z["patch_ref"],
             patch_vpos=z["patch_vpos"], patch_shift=z["patch_shift"],
             patch_len=z["patch_len"], snv_overlay=z["snv_overlay"],
-            known_ss=z["known_ss"] if "known_ss" in z else None)
+            known_ss=z["known_ss"] if "known_ss" in z else None,
+            st_k=meta.get("st_k", 0),
+            st_starts=(z["st_starts"] if "st_starts" in z
+                       and z["st_starts"].size else None),
+            st_pos=(z["st_pos"] if "st_pos" in z
+                    and z["st_pos"].size else None))
 
 
 def _pack4(overlay: np.ndarray) -> np.ndarray:
@@ -247,4 +260,5 @@ def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
         patch_vpos=np.asarray(p_vpos, np.int32),
         patch_shift=np.asarray(p_shift, np.int32),
         patch_len=np.asarray(p_len, np.int32),
-        snv_overlay=overlay)
+        snv_overlay=overlay,
+        st_starts=base.st_starts, st_pos=base.st_pos, st_k=base.st_k)

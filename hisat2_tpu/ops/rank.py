@@ -88,6 +88,43 @@ def lf_step_interval(idx: dict, top: jax.Array, bot: jax.Array,
     return base + r[0], base + r[1]
 
 
+def gather_slices(arr: jax.Array, starts: jax.Array, size: int) -> jax.Array:
+    """Contiguous (size,)-slices of a 1-D array at per-lane starts: one
+    gather with slice_sizes=(size,) — a single gather LANE per slice.
+    Measured on TPU: XLA gather cost is per-lane (~40-90M lanes/s), nearly
+    independent of slice width, so wide slices are ~free while per-element
+    index arithmetic costs a lane per element. Starts clamp to
+    [0, N - size]; callers mask out-of-range results."""
+    shape = starts.shape
+    flat = starts.reshape(-1).astype(jnp.int32)
+    out = jax.vmap(lambda s: lax.dynamic_slice(arr, (s,), (size,)))(flat)
+    return out.reshape(*shape, size)
+
+
+def gather_rows2(rows: jax.Array, r: jax.Array) -> jax.Array:
+    """(2, W)-row slices of a 2-D array at per-lane row index r -> flattened
+    (..., 2*W). One gather lane per query."""
+    W = rows.shape[1]
+    shape = r.shape
+    flat = jnp.clip(r.reshape(-1).astype(jnp.int32), 0, rows.shape[0] - 2)
+    out = jax.vmap(lambda i: lax.dynamic_slice(rows, (i, 0), (2, W)))(flat)
+    return out.reshape(*shape, 2 * W)
+
+
+def _shift_words(w: jax.Array, ws: jax.Array, keep: int) -> jax.Array:
+    """w (..., NW) uint32; per-lane left-shift of the word axis by ws
+    (0 <= ws < NW), returning the first `keep` words — log-step static
+    slicing instead of a per-element minor-axis gather."""
+    NW = w.shape[-1]
+    b = 1
+    while b < NW:
+        shifted = jnp.concatenate(
+            [w[..., b:], jnp.zeros_like(w[..., :b])], axis=-1)
+        w = jnp.where((ws[..., None] & b) != 0, shifted, w)
+        b <<= 1
+    return w[..., :keep]
+
+
 def packed_char(packed: jax.Array, pos: jax.Array) -> jax.Array:
     """Symbol at position pos of a 2-bit packed array (BWT or text)."""
     word = packed[pos >> 4]
@@ -105,8 +142,12 @@ def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     cs = jnp.clip(start, 0, None)
     base = cs >> 3
     sh = (4 * (cs & 7)).astype(jnp.uint32)
-    widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
-    words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]
+    if "snv_rows" in idx and length <= 256:
+        w64 = gather_rows2(idx["snv_rows"], cs >> 8)        # (..., 64)
+        words = _shift_words(w64, base & 31, nw + 1)
+    else:
+        widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
+        words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]
     lo = words[..., :nw] >> sh[..., None]
     hi = jnp.where(sh[..., None] == 0, jnp.uint32(0),
                    words[..., 1:] << (jnp.uint32(32) - sh)[..., None])
@@ -129,10 +170,11 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     outside [0, n) come back as 4 (N). start: (...,) int32; result (..., length).
     BitPairReference::getStretch equivalent (reference.h:108).
 
-    HBM-friendly: gathers the ceil(length/16)+1 consecutive uint32 words
-    covering each window (one small contiguous gather per lane) and unpacks
-    /aligns locally on the VPU — ~13x fewer HBM gathers than per-position
-    word lookups, which dominated the verify stage.
+    HBM-friendly: for windows up to 256 chars (every aligner window), ONE
+    gather lane fetches the two consecutive 16-word rows covering the
+    window from a (nr, 16) row view of the packed text; word alignment is
+    log-step shifting on the VPU (`_shift_words`). Larger windows fall
+    back to a per-word gather.
     """
     start = start.astype(jnp.int32)
     nw = (length + 15) // 16
@@ -140,8 +182,12 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     cs = jnp.clip(start, 0, None)
     base = cs >> 4                                          # first word
     sh = (2 * (cs & 15)).astype(jnp.uint32)                 # bit offset
-    widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
-    words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]  # (..., nw+1)
+    if "text_rows" in idx and length <= 256:
+        w32 = gather_rows2(idx["text_rows"], cs >> 8)       # (..., 32)
+        words = _shift_words(w32, base & 15, nw + 1)
+    else:
+        widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
+        words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]  # (..., nw+1)
     # align to the window start entirely with per-lane shifts (no gather):
     # aligned[w] = words[w] >> sh | words[w+1] << (32-sh)
     lo = words[..., :nw] >> sh[..., None]

@@ -137,6 +137,68 @@ def partial_search(idx: dict, seqs: jax.Array, lens: jax.Array,
     return dict(top=h_top, bot=h_bot, off=h_off, len=h_len, n=nh)
 
 
+from .rank import gather_slices
+
+
+@partial(jax.jit, static_argnames=("n_seeds", "locs_per_seg", "stride"))
+def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
+                 n_seeds: int = 8, locs_per_seg: int = 8,
+                 stride: int = 0):
+    """Seed via the direct-address k-mer table (index/seed_table.py).
+
+    Replaces seed_search + expand_range (the reference's partialSearch +
+    GroupWalk chain) with TWO dependent gather rounds: bucket bounds at the
+    seed's kmer code, then one contiguous position slice per seed. Seed
+    kmer codes for EVERY read offset are computed in-register by kt
+    shifted multiply-adds (no gather), then the n_seeds stride offsets are
+    selected along the (small, static) read axis.
+
+    stride > 0: fixed-stride offsets (0, stride, 2*stride, ...) for the
+    dense/sensitive pass; stride == 0: n_seeds offsets spread evenly over
+    [0, len - kt].
+
+    Returns dict: locs (R, S, locs_per_seg) int32 kmer-start positions,
+    lvalid (same shape) bool, off (R, S) int32 read offsets, and
+    exhausted (R,) bool — True when no bucket overflowed locs_per_seg.
+    """
+    R, L = seqs.shape
+    # kt from the (static) table shape: |st_starts| = 4^kt + 1. (idx dict
+    # values are traced under jit, so the int in the dict can't be used.)
+    import math
+    kt = round(math.log(idx["st_starts"].shape[0] - 1, 4))
+    lens = lens.astype(jnp.int32)
+    c = jnp.minimum(seqs.astype(jnp.int32), 3)
+    isn = (seqs >= 4).astype(jnp.int32)
+    # rolling kt-mer codes + N-in-window flags for every read offset
+    codes = jnp.zeros((R, L), jnp.int32)
+    nn = jnp.zeros((R, L), jnp.int32)
+    for j in range(kt):
+        w = 4 ** (kt - 1 - j)
+        if j == 0:
+            codes = codes + c * w
+            nn = nn + isn
+        else:
+            codes = codes + jnp.pad(c[:, j:], ((0, 0), (0, j))) * w
+            nn = nn + jnp.pad(isn[:, j:], ((0, 0), (0, j)))
+    span = jnp.maximum(lens - kt, 0)
+    s_ix = jnp.arange(n_seeds, dtype=jnp.int32)
+    if stride > 0:
+        offs = jnp.minimum(s_ix[None, :] * stride, span[:, None])
+    else:
+        offs = (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1)
+    code_sel = jnp.take_along_axis(codes, offs, 1)          # (R, S)
+    n_sel = jnp.take_along_axis(nn, offs, 1) > 0
+    usable = (lens >= kt)[:, None] & ~n_sel
+    bounds = gather_slices(idx["st_starts"], code_sel, 2)   # (R, S, 2)
+    s0, s1 = bounds[..., 0], bounds[..., 1]
+    cnt = s1 - s0
+    locs = gather_slices(idx["st_pos"], s0, locs_per_seg)   # (R, S, locs)
+    lvalid = (jnp.arange(locs_per_seg, dtype=jnp.int32)[None, None, :]
+              < cnt[..., None]) & usable[..., None]
+    exhausted = jnp.all(jnp.where(usable, cnt <= locs_per_seg, True), axis=1)
+    return dict(locs=locs, lvalid=lvalid, off=offs, exhausted=exhausted)
+
+
 @partial(jax.jit, static_argnames=("seed_len", "n_seeds", "ftab_k"))
 def seed_search(idx: dict, seqs: jax.Array, lens: jax.Array,
                 seed_len: int = 22, n_seeds: int = 8, ftab_k: int = 10):

@@ -19,7 +19,7 @@ import numpy as np
 from ..io.reads import ReadBatch
 from ..io import sam as samio
 from . import mapq as _mapq
-from .pipeline import Aligner, ReadResult, _stage_primary_fin
+from .pipeline import Aligner, ReadResult, _stage_primary_fin, NEG_INF
 
 _DEC_ASCII = np.frombuffer(b"ACGTN", dtype=np.uint8)
 # ASCII complement table for reverse-complementing SEQ strings directly
@@ -38,13 +38,16 @@ class _MapqCache:
         self.sc = scoring
         self.cache: dict[tuple, int] = {}
 
-    def get(self, best: int, secbest, rdlen: int, exhausted: bool) -> int:
-        key = (best, secbest, rdlen, exhausted)
+    def get(self, best: int, secbest, rdlen, exhausted: bool,
+            perfect: int | None = None, minsc: int | None = None) -> int:
+        if perfect is None:
+            perfect = self.sc.perfect_score(rdlen)
+            minsc = self.sc.min_score(rdlen)
+        key = (best, secbest, perfect, minsc, exhausted)
         v = self.cache.get(key)
         if v is None:
-            v = _mapq.mapq_v2(best, secbest, self.sc.perfect_score(rdlen),
-                              self.sc.min_score(rdlen), local=self.sc.local,
-                              exhausted=exhausted)
+            v = _mapq.mapq_v2(best, secbest, perfect, minsc,
+                              local=self.sc.local, exhausted=exhausted)
             self.cache[key] = v
         return v
 
@@ -311,6 +314,407 @@ def _samfmt():
         return samfmt_lib()
     except Exception:
         return None
+
+
+def align_and_emit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch,
+                      writer) -> dict:
+    """Fused paired-end align + SAM emission.
+
+    One device dispatch (paired.stage_pe_fused: both mates' cores + the
+    concordance grid + record finalization), then a vectorized host fast
+    path for concordant pairs — including -k secondary pairs — through the
+    native formatter. Discordant / mixed / rescued / spliced pairs reuse
+    the per-pair ladder (paired._pair_result_one). Output order matches
+    pairs_to_sam (pair order, mate1 then mate2 per reported pair)."""
+    from . import paired as _paired
+
+    lib = _samfmt()
+    o = al.opts
+    B = len(b1)
+    if lib is None or not o.seed_mode:
+        res = _paired.align_pairs(al, b1, b2)
+        return _paired.pairs_to_sam(b1, b2, res, al, writer)
+
+    sc = al.scoring
+    khits = o.khits
+    KP = max(8, khits + 3)
+    m1, m2, pt, finp1, finp2, sfin1, sfin2 = _paired.stage_pe_fused(
+        al, b1, b2, KP=KP, KF=1)
+    if o.spliced:
+        n_ss = len(al.ssdb)
+        al._splice_rescue(b1, m1)
+        al._splice_rescue(b2, m2)
+        if len(al.ssdb) != n_ss:
+            al._splice_rescue(b1, m1)
+            al._splice_rescue(b2, m2)
+    spl_pairs = set(m1.get("splice", {})) | set(m2.get("splice", {}))
+
+    l1 = b1.lens.astype(np.int64)
+    l2 = b2.lens.astype(np.int64)
+    total = pt[:, :, 0].astype(np.int64)
+    t1 = pt[:, :, 1].astype(np.int64)
+    t2 = pt[:, :, 2].astype(np.int64)
+    KPr = total.shape[1]
+    valid = total > NEG_INF_HALF
+    has_conc = valid[:, 0]
+
+    rows = np.arange(B)[:, None]
+    cp1 = m1["pos"][rows, t1]
+    cp2 = m2["pos"][rows, t2]
+    cf1 = m1["fw"][rows, t1]
+    cf2 = m2["fw"][rows, t2]
+    cg1 = m1["gapped"][rows, t1]
+    cg2 = m2["gapped"][rows, t2]
+    cs1 = m1["score"][rows, t1].astype(np.int64)
+    cs2 = m2["score"][rows, t2].astype(np.int64)
+
+    # distinct-placement dedup across combos
+    dup = np.zeros((B, KPr), bool)
+    for k in range(1, KPr):
+        eq = ((cp1[:, :k] == cp1[:, k:k + 1]) & (cf1[:, :k] == cf1[:, k:k + 1])
+              & (cp2[:, :k] == cp2[:, k:k + 1])
+              & (cf2[:, :k] == cf2[:, k:k + 1]))
+        dup[:, k] = eq.any(axis=1)
+    pvalid = valid & ~dup
+    nvalid = pvalid.sum(axis=1)
+    nrep = np.minimum(nvalid, khits)
+    vrank = np.where(pvalid, np.cumsum(pvalid, axis=1) - 1, KPr + 1)
+    KFu = min(KPr, khits)
+    sel = np.full((B, KFu), KPr, np.int64)
+    for j in range(KFu):
+        hit = vrank == j
+        has = hit.any(axis=1)
+        sel[has, j] = np.argmax(hit[has], axis=1)
+    hit2 = vrank == 1
+    sec_total = np.where(hit2.any(axis=1),
+                         total[np.arange(B), np.argmax(hit2, axis=1)],
+                         np.int64(NEG_INF))
+
+    # fast eligibility
+    selc = np.minimum(sel, KPr - 1)
+    in_rep = np.arange(KFu)[None, :] < nrep[:, None]
+    F1 = {n: np.take_along_axis(finp1[:, :, c], selc, 1)
+          for n, c in (("c5", 0), ("c3", 1), ("nmm", 3), ("nmm_all", 4))}
+    F2 = {n: np.take_along_axis(finp2[:, :, c], selc, 1)
+          for n, c in (("c5", 0), ("c3", 1), ("nmm", 3), ("nmm_all", 4))}
+    fast = has_conc.copy()
+    fast &= ~(in_rep & (np.take_along_axis(cg1, selc, 1)
+                        | np.take_along_axis(cg2, selc, 1))).any(axis=1)
+    fast &= ~(in_rep & ((F1["nmm_all"] > MAX_FAST_MM)
+                        | (F2["nmm_all"] > MAX_FAST_MM))).any(axis=1)
+    if len(al.ssdb):
+        fast[:] = False        # TLEN intron adjustment -> per-pair path
+    if spl_pairs:
+        fast[np.fromiter(spl_pairs, dtype=np.int64)] = False
+
+    # fragment containment + coordinates for every reported record
+    ref = al.fm.ref
+    ok1, fc1, ast1 = _contain(ref, np.take_along_axis(cp1, selc, 1),
+                              F1["c5"], F1["c3"], l1)
+    ok2, fc2, ast2 = _contain(ref, np.take_along_axis(cp2, selc, 1),
+                              F2["c5"], F2["c3"], l2)
+    tidx1 = ref.frag_tidx[fc1]
+    tidx2 = ref.frag_tidx[fc2]
+    fast &= ~(in_rep & ~(ok1 & ok2 & (tidx1 == tidx2))).any(axis=1)
+
+    stats = _paired.new_pair_stats()
+    mqc = _MapqCache(sc)
+
+    fbuf = b""
+    pair_end = np.zeros(B, np.int64)
+    frows = np.flatnonzero(fast)
+    if frows.size:
+        nr = nrep[frows]
+        rec_pair = np.repeat(frows, nr)                 # one per combo
+        rec_k = np.arange(rec_pair.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
+        col = sel[rec_pair, rec_k]
+
+        toff1 = (ref.frag_toff[fc1] + ast1 - ref.frag_joined[fc1]
+                 )[rec_pair, rec_k]
+        toff2 = (ref.frag_toff[fc2] + ast2 - ref.frag_joined[fc2]
+                 )[rec_pair, rec_k]
+        cc51 = F1["c5"][rec_pair, rec_k]
+        cc31 = F1["c3"][rec_pair, rec_k]
+        cc52 = F2["c5"][rec_pair, rec_k]
+        cc32 = F2["c3"][rec_pair, rec_k]
+        mid1 = l1[rec_pair] - cc51 - cc31
+        mid2 = l2[rec_pair] - cc52 - cc32
+        fw1 = cf1[rec_pair, col]
+        fw2 = cf2[rec_pair, col]
+        # TLEN over the unclipped fragment
+        left = np.minimum(toff1 - cc51, toff2 - cc52)
+        right = np.maximum(toff1 + mid1 + cc31, toff2 + mid2 + cc32)
+        tl = right - left
+        tl1 = np.where(toff1 <= toff2, tl, -tl)
+        # MAPQ per pair
+        bt = total[frows, 0]
+        st2_ = sec_total[frows]
+        hs = st2_ > NEG_INF_HALF
+        need_tab = hs & (st2_ == bt)
+        mapq_pair = np.full(frows.size, 60, np.int32)
+        for j in np.flatnonzero(need_tab):
+            i = frows[j]
+            mapq_pair[j] = mqc.get(
+                int(bt[j]), int(st2_[j]), None, False,
+                perfect=sc.perfect_score(int(l1[i]))
+                + sc.perfect_score(int(l2[i])),
+                minsc=sc.min_score(int(l1[i])) + sc.min_score(int(l2[i])))
+        pairloc = np.zeros(int(frows.max()) + 1, np.int64)
+        pairloc[frows] = np.arange(frows.size)
+        mq_rec = np.where(rec_k == 0, mapq_pair[pairloc[rec_pair]],
+                          255).astype(np.int32)
+
+        nrec = rec_pair.size
+        flag1 = (1 | 64 | 2 | np.where(fw1, 0, 16) | np.where(fw2, 0, 32)
+                 | np.where(rec_k > 0, 256, 0)).astype(np.int32)
+        flag2 = (1 | 128 | 2 | np.where(fw2, 0, 16) | np.where(fw1, 0, 32)
+                 | np.where(rec_k > 0, 256, 0)).astype(np.int32)
+        nh = np.repeat(nr, nr).astype(np.int32)
+
+        def mate_mm(finp, cc5):
+            finc = finp[rec_pair, col]
+            mc = finc[:, 5:5 + MAX_FAST_MM].astype(np.int32)
+            mch = finc[:, 5 + MAX_FAST_MM:].astype(np.int64)
+            cnt = finc[:, 4].astype(np.int64)
+            off = np.zeros(nrec + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            selm = np.arange(MAX_FAST_MM)[None, :] < cnt[:, None]
+            cols = (mc[selm] - np.repeat(cc5, cnt)).astype(np.int32)
+            refs = np.ascontiguousarray(
+                _DEC_ASCII[np.clip(mch[selm], 0, 4)])
+            return cols, refs, off, cnt
+
+        mm1 = mate_mm(finp1, cc51)
+        mm2 = mate_mm(finp2, cc52)
+
+        # interleave mate1/mate2 records: 2*nrec records total
+        def ilv(a1, a2):
+            out = np.empty(2 * nrec, a1.dtype)
+            out[0::2] = a1
+            out[1::2] = a2
+            return out
+
+        iread = ilv(rec_pair.astype(np.int32) * 2,
+                    rec_pair.astype(np.int32) * 2 + 1)
+        iflag = ilv(flag1, flag2)
+        irname = ilv(tidx1[rec_pair, rec_k].astype(np.int32),
+                     tidx2[rec_pair, rec_k].astype(np.int32))
+        ipos = ilv((toff1 + 1).astype(np.int32), (toff2 + 1).astype(np.int32))
+        ipnext = ilv((toff2 + 1).astype(np.int32), (toff1 + 1).astype(np.int32))
+        itlen = ilv(tl1.astype(np.int32), (-tl1).astype(np.int32))
+        ic5 = ilv(cc51.astype(np.int32), cc52.astype(np.int32))
+        ic3 = ilv(cc31.astype(np.int32), cc32.astype(np.int32))
+        imid = ilv(mid1.astype(np.int32), mid2.astype(np.int32))
+        iscore = ilv(cs1[rec_pair, col].astype(np.int32),
+                     cs2[rec_pair, col].astype(np.int32))
+        inmm = ilv(F1["nmm"][rec_pair, rec_k].astype(np.int32),
+                   F2["nmm"][rec_pair, rec_k].astype(np.int32))
+        imapq = ilv(mq_rec, mq_rec)
+        inh = ilv(nh, nh)
+        izs = np.full(2 * nrec, INT32_MIN, np.int32)
+        iyt = np.full(2 * nrec, 1, np.int32)        # CP
+        immoff = np.zeros(2 * nrec + 1, np.int64)
+        immoff[1::2] = mm1[3]
+        immoff[2::2] = mm2[3]
+        np.cumsum(immoff, out=immoff)
+        immcols, immref = _interleave_runs(mm1, mm2, nrec)
+
+        fbuf, rec_ends = _format_pe_records(
+            al, b1, b2, frows, iread, iflag, irname, ipos, imapq,
+            ic5, imid, ic3, ipnext, itlen, iyt, iscore, inmm, izs, inh,
+            immcols, immref, immoff)
+        last_rec = 2 * np.cumsum(nr) - 1
+        pair_end[frows] = rec_ends[last_rec]
+
+        stats["pairs"] += int(frows.size)
+        stats["mates_al"] += 2 * int(frows.size)
+        multi = nvalid[frows] >= 2
+        stats["conc_multi"] += int(multi.sum())
+        stats["conc_uniq"] += int((~multi).sum())
+
+    # ---- slow pairs ----
+    slow = np.flatnonzero(~fast)
+    slow_out: dict[int, list] = {}
+    if slow.size:
+        grid = _paired._grid_from_pairtop(pt, m1, m2)
+
+        def mate_cands(m, batch, i, min_sc, rdlen):
+            cs = []
+            for s, p, fw, gapped, *_ in al._ranked_candidates(
+                    m, i, min_sc, limit=o.top_cands):
+                cs.append(dict(score=s, pos=p, fw=fw, kind="reg",
+                               gapped=gapped, extent=rdlen))
+            for c in m.get("splice", {}).get(i, []):
+                if c["score"] >= min_sc:
+                    cs.append(dict(score=c["score"], pos=c["posA"],
+                                   fw=c["fw"], kind="spl", c=c,
+                                   extent=rdlen + c["delta"]))
+            cs.sort(key=lambda x: (-x["score"],
+                                   0 if (x["kind"] == "spl"
+                                         and x["c"]["canon"] == 1) else 1))
+            return cs[:o.top_cands]
+
+        def finalize(batch, i, c, rdlen):
+            if c["kind"] == "spl":
+                return al._finalize_spliced(i, batch, c["c"], rdlen)
+            return al._finalize(i, batch, c["score"], c["pos"], c["fw"],
+                                c["gapped"], rdlen)
+
+        rescue: list[tuple] = []
+        prs: dict[int, object] = {}
+        for i in slow:
+            i = int(i)
+            prs[i] = _paired._pair_result_one(
+                al, i, b1, b2, m1, m2, grid, mate_cands, finalize, rescue)
+        if rescue:
+            _paired._rescue_mates(al, b1, b2, prs, rescue, finalize)
+        for i, pr in prs.items():
+            slow_out[i] = _paired.pair_lines(al, b1, b2, i, pr, stats)
+
+    # ---- emit in pair order ----
+    w = writer.out.write
+    if not slow_out:
+        if fbuf:
+            w(fbuf.decode("ascii"))
+        return stats
+    text = fbuf.decode("ascii") if fbuf else ""
+    last_end = np.maximum.accumulate(np.where(fast, pair_end, 0))
+    prev_end = 0
+    for i in sorted(slow_out):
+        if text and i > 0:
+            end = int(last_end[i - 1])
+            if end > prev_end:
+                w(text[prev_end:end])
+                prev_end = end
+        for ln in slow_out[i]:
+            w(ln)
+    if text and prev_end < len(text):
+        w(text[prev_end:])
+    return stats
+
+
+NEG_INF_HALF = -(1 << 29)
+
+
+def _contain(ref, pos, c5, c3, lens):
+    astart = pos + c5
+    span = lens[:, None] - c5 - c3
+    f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
+    ok = (f >= 0) & (span > 0)
+    fc = np.clip(f, 0, len(ref.frag_joined) - 1)
+    ok &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
+    return ok, fc, astart
+
+
+def _interleave_runs(src1, src2, nrec):
+    """Interleave per-record variable-length (cols, refs) runs of two
+    parallel record streams into mate1/mate2 alternating order."""
+    cols1, refs1, off1, cnt1 = src1
+    cols2, refs2, off2, cnt2 = src2
+    n1 = cols1.size
+    n2 = cols2.size
+    out_cols = np.empty(n1 + n2, np.int32)
+    out_refs = np.empty(n1 + n2, np.uint8)
+    # output start offset of each mate-1 run: off1[i] + off2[i]
+    # (everything from earlier records of both streams precedes it)
+    start1 = off1[:-1] + off2[:-1]
+    start2 = off1[1:] + off2[:-1]
+    idx1 = np.repeat(start1 - off1[:-1], cnt1) + np.arange(n1)
+    idx2 = np.repeat(start2 - off2[:-1], cnt2) + np.arange(n2)
+    out_cols[idx1] = cols1
+    out_refs[idx1] = refs1
+    out_cols[idx2] = cols2
+    out_refs[idx2] = refs2
+    return out_cols, np.ascontiguousarray(out_refs)
+
+
+def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
+                       c5, mid, c3, pnext, tlen, yt, score, nmm, zs, nh,
+                       mm_cols, mm_ref, mm_off):
+    """Per-read name/seq buffers hold mate1 and mate2 of each fast pair as
+    consecutive rows (read_of = 2*local_pair + mate)."""
+    ref = al.fm.ref
+    Nf = frows.size
+    lens = np.empty(2 * Nf, np.int64)
+    lens[0::2] = b1.lens.astype(np.int64)[frows]
+    lens[1::2] = b2.lens.astype(np.int64)[frows]
+
+    name_parts = []
+    for i in frows:
+        nm = b1.names[int(i)].encode("ascii")[:255]
+        name_parts.append(nm)
+        name_parts.append(nm)
+    name_lens = np.fromiter((len(x) for x in name_parts), np.int64, 2 * Nf)
+    name_off = np.zeros(2 * Nf + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
+    name_buf = np.frombuffer(b"".join(name_parts), np.uint8)
+
+    Lp = max(b1.seqs.shape[1], b2.seqs.shape[1])
+
+    def pad_to(x, L):
+        if x.shape[1] == L:
+            return x
+        return np.pad(x, ((0, 0), (0, L - x.shape[1])))
+
+    raw = np.empty((2 * Nf, Lp), b1.seqs.dtype)
+    raw[0::2] = pad_to(b1.seqs, Lp)[frows]
+    raw[1::2] = pad_to(b2.seqs, Lp)[frows]
+    quals = np.empty((2 * Nf, Lp), b1.quals.dtype)
+    quals[0::2] = pad_to(b1.quals, Lp)[frows]
+    quals[1::2] = pad_to(b2.quals, Lp)[frows]
+
+    ar = np.arange(Lp)
+    in_read = ar[None, :] < lens[:, None]
+    seq_f = _DEC_ASCII[np.clip(raw, 0, 4)]
+    qual_f = (np.clip(quals, 0, 93) + 33).astype(np.uint8)
+    rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
+    seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
+    qual_r = np.take_along_axis(qual_f, rcidx, 1)
+    seq_off = np.zeros(2 * Nf + 1, np.int64)
+    np.cumsum(lens, out=seq_off[1:])
+    sf = np.ascontiguousarray(seq_f[in_read])
+    qf = np.ascontiguousarray(qual_f[in_read])
+    sr = np.ascontiguousarray(seq_r[in_read])
+    qr = np.ascontiguousarray(qual_r[in_read])
+
+    # read_of currently = 2*global_pair + mate; remap to local row
+    l_of = np.zeros(2 * (int(frows.max()) + 1) if Nf else 2, np.int64)
+    l_of[2 * frows] = 2 * np.arange(Nf)
+    l_of[2 * frows + 1] = 2 * np.arange(Nf) + 1
+    read_local = l_of[read_of].astype(np.int32)
+
+    rn_parts = [n.encode("ascii") for n in ref.names]
+    rn_off = np.zeros(len(rn_parts) + 1, np.int64)
+    np.cumsum([len(x) for x in rn_parts], out=rn_off[1:])
+    rn_buf = np.frombuffer(b"".join(rn_parts), np.uint8)
+    rn_lens = np.diff(rn_off)
+
+    nrec = read_of.size
+    per_rec = (240 + name_lens[read_local] + rn_lens[rname]
+               + 2 * lens[read_local] + 12 * np.diff(mm_off))
+    cap = int(per_rec.sum()) + 1024
+
+    import ctypes
+    lib = _samfmt()
+    out = ctypes.create_string_buffer(cap)
+    ends = np.zeros(nrec, np.int64)
+    total = lib.format_pe_batch(
+        np.int32(nrec), read_local, np.ascontiguousarray(flag),
+        np.ascontiguousarray(rname), np.ascontiguousarray(pos1),
+        np.ascontiguousarray(mapq), np.ascontiguousarray(c5),
+        np.ascontiguousarray(mid), np.ascontiguousarray(c3),
+        np.ascontiguousarray(pnext), np.ascontiguousarray(tlen),
+        np.ascontiguousarray(yt), np.ascontiguousarray(score),
+        np.ascontiguousarray(nmm), np.ascontiguousarray(nmm),
+        np.ascontiguousarray(zs), np.ascontiguousarray(nh),
+        np.ascontiguousarray(name_buf), name_off,
+        sf, qf, sr, qr, seq_off,
+        np.ascontiguousarray(mm_cols), mm_ref, mm_off,
+        np.ascontiguousarray(rn_buf), rn_off,
+        out, np.int64(cap), ends)
+    assert total >= 0, "PE SAM buffer overflow despite exact sizing"
+    return out.raw[:total], ends
 
 
 def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,

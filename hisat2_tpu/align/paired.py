@@ -13,6 +13,7 @@ DP, which lands here in a later phase).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 
@@ -20,6 +21,165 @@ from ..io.reads import ReadBatch
 from ..io import sam as samio
 from . import mapq as _mapq
 from .pipeline import Aligner, Alignment, ReadResult, NEG_INF
+
+
+# ---------------------------------------------------------------------------
+# Fused PE device stage
+# ---------------------------------------------------------------------------
+
+def _pe_static(o, scoring, B, K2):
+    """Shared static-arg tuple for _stage_pe_fused."""
+    return dict(
+        B=B, max_seeds=o.max_seeds, n_seeds=o.n_seeds,
+        locs_per_seg=o.locs_per_seg, top_cands=o.top_cands,
+        K2=K2, fb_bucket=min(B, max(32, B // 8)),
+        dp_bucket=min(B, max(64, B // 8)), dp_pad=o.dp_pad, no_dp=o.no_dp,
+        nofw=o.nofw, norc=o.norc)
+
+
+def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
+                         minsc_i, minsc_s, gap1, minins, maxins,
+                         B, max_seeds, n_seeds, locs_per_seg, top_cands,
+                         min_seg_len, ftab_k, K2, KP, KF, max_mm,
+                         fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
+                         seeder, fb_seeder, sc_const, fr_mode):
+    """Both mates' SE cores + the (B, K2, K2) concordance grid + record
+    finalization, ONE device dispatch (reference worker pairing loop,
+    hi_aligner.h:4088 pairReads + pe.h policy, recast as a dense grid).
+
+    Returns packed tensors:
+      m1, m2      (B, K2, 3)  per-mate merged candidates [score, pos, flags]
+      pair_top    (B, KP, 3)  top concordant combos [total, t1, t2]
+      finp1/finp2 (B, KP, D)  finalization of each combo's mate records
+      sfin1/sfin2 (B, KF, D)  per-mate SE finalization (mixed fallback)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from .pipeline import _se_core, _stage_fin_rows
+
+    m1, st1 = _se_core(idx, sctab, s1, q1, l1, minsc_i, minsc_s, gap1,
+                       B, max_seeds, n_seeds, locs_per_seg, top_cands,
+                       min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
+                       dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
+                       sc_const)
+    m2, st2 = _se_core(idx, sctab, s2, q2, l2, minsc_i, minsc_s, gap1,
+                       B, max_seeds, n_seeds, locs_per_seg, top_cands,
+                       min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
+                       dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
+                       sc_const)
+
+    sc1, p1 = m1[:, :, 0], m1[:, :, 1]
+    sc2, p2 = m2[:, :, 0], m2[:, :, 1]
+    fw1 = (m1[:, :, 2] & 1) == 1
+    fw2 = (m2[:, :, 2] & 1) == 1
+    l1f = l1.astype(jnp.float32)
+    l2f = l2.astype(jnp.float32)
+    min1 = jnp.ceil(minsc_i + minsc_s * l1f).astype(jnp.int32)
+    min2 = jnp.ceil(minsc_i + minsc_s * l2f).astype(jnp.int32)
+    v1 = sc1 >= min1[:, None]
+    v2 = sc2 >= min2[:, None]
+
+    P1 = p1[:, :, None]
+    P2 = p2[:, None, :]
+    E1 = l1.astype(jnp.int32)[:, None, None]
+    E2 = l2.astype(jnp.int32)[:, None, None]
+    left1 = P1 <= P2
+    F1 = fw1[:, :, None]
+    F2 = fw2[:, None, :]
+    up_fw = jnp.where(left1, F1, F2)
+    dn_fw = jnp.where(left1, F2, F1)
+    frag = jnp.maximum(P2 + E2, P1 + E1) - jnp.minimum(P1, P2)
+    if fr_mode == "fr":
+        okdir = up_fw & ~dn_fw
+    elif fr_mode == "rf":
+        okdir = ~up_fw & dn_fw
+    else:
+        okdir = F1 == F2
+    ok = (okdir & (frag >= minins) & (frag <= maxins)
+          & v1[:, :, None] & v2[:, None, :])
+    total = jnp.where(ok, sc1[:, :, None] + sc2[:, None, :],
+                      jnp.int32(NEG_INF))
+    flat = total.reshape(B, -1)
+    KP2 = min(KP, flat.shape[1])
+    ptop, pidx = lax.top_k(flat, KP2)                    # (B, KP)
+    t1 = (pidx // K2).astype(jnp.int32)
+    t2 = (pidx % K2).astype(jnp.int32)
+    pair_top = jnp.stack([ptop, t1, t2], axis=2)
+
+    # finalize both mates of each top combo
+    reads = jnp.repeat(jnp.arange(B, dtype=jnp.int32), KP2)
+    g1 = jnp.take_along_axis(p1, t1, 1).reshape(-1)
+    g2 = jnp.take_along_axis(p2, t2, 1).reshape(-1)
+    gf1 = jnp.take_along_axis(fw1, t1, 1).reshape(-1)
+    gf2 = jnp.take_along_axis(fw2, t2, 1).reshape(-1)
+    finp1 = _stage_fin_rows(idx, sctab, st1["seqs2"], st1["quals2"],
+                            st1["lens2"], g1, gf1, reads, B, max_mm
+                            ).reshape(B, KP2, -1)
+    finp2 = _stage_fin_rows(idx, sctab, st2["seqs2"], st2["quals2"],
+                            st2["lens2"], g2, gf2, reads, B, max_mm
+                            ).reshape(B, KP2, -1)
+
+    # per-mate SE finalization for the mixed fallback
+    KF2 = max(1, min(KF, K2))
+    readsK = jnp.repeat(jnp.arange(B, dtype=jnp.int32), KF2)
+    sfin1 = _stage_fin_rows(
+        idx, sctab, st1["seqs2"], st1["quals2"], st1["lens2"],
+        m1[:, :KF2, 1].reshape(-1),
+        ((m1[:, :KF2, 2] & 1) == 1).reshape(-1), readsK, B, max_mm
+        ).reshape(B, KF2, -1)
+    sfin2 = _stage_fin_rows(
+        idx, sctab, st2["seqs2"], st2["quals2"], st2["lens2"],
+        m2[:, :KF2, 1].reshape(-1),
+        ((m2[:, :KF2, 2] & 1) == 1).reshape(-1), readsK, B, max_mm
+        ).reshape(B, KF2, -1)
+    return m1, m2, pair_top, finp1, finp2, sfin1, sfin2
+
+
+_stage_pe_fused = None  # populated lazily (jit with many static args)
+
+
+def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
+                   KP: int, KF: int):
+    """Host wrapper: one fused PE dispatch, numpy outputs."""
+    global _stage_pe_fused
+    import jax
+    import jax.numpy as jnp
+    if _stage_pe_fused is None:
+        _stage_pe_fused = jax.jit(
+            _stage_pe_fused_impl,
+            static_argnames=(
+                "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
+                "min_seg_len", "ftab_k", "K2", "KP", "KF", "max_mm",
+                "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
+                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode"))
+    o = aligner.opts
+    B = len(b1)
+    K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+    sc = aligner.scoring
+    out = _stage_pe_fused(
+        aligner.idx, aligner.sctab,
+        jnp.asarray(b1.seqs), jnp.asarray(b1.quals), jnp.asarray(b1.lens),
+        jnp.asarray(b2.seqs), jnp.asarray(b2.quals), jnp.asarray(b2.lens),
+        jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
+        jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
+        jnp.int32(o.minins), jnp.int32(o.maxins),
+        B=B, max_seeds=o.max_seeds, n_seeds=o.n_seeds,
+        locs_per_seg=o.locs_per_seg, top_cands=o.top_cands,
+        min_seg_len=aligner.min_seg_len, ftab_k=aligner.fm.ftab_k,
+        K2=K2, KP=KP, KF=KF, max_mm=8,
+        fb_bucket=min(B, max(32, B // 8)),
+        dp_bucket=min(B, max(64, B // 8)),
+        dp_pad=o.dp_pad, no_dp=o.no_dp, nofw=o.nofw, norc=o.norc,
+        seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
+        sc_const=aligner.sc_const, fr_mode=o.fr)
+    m1p, m2p, pair_top, finp1, finp2, sfin1, sfin2 = map(np.asarray, out)
+
+    def unpack(m):
+        return dict(score=m[:, :, 0].astype(np.int64), pos=m[:, :, 1],
+                    fw=(m[:, :, 2] & 1).astype(bool),
+                    gapped=(m[:, :, 2] & 2) > 0)
+    return (unpack(m1p), unpack(m2p), pair_top, finp1, finp2, sfin1, sfin2)
 
 
 @dataclass
@@ -32,6 +192,8 @@ class PairResult:
     secbest: int | None = None
     res1: ReadResult | None = None  # per-mate fallbacks (mixed mode)
     res2: ReadResult | None = None
+    # secondary concordant pairs (-k > 1): [(total, aln1, aln2), ...]
+    alt_pairs: list = field(default_factory=list)
 
 
 def _concordant(o1_fw, o1_pos, len1, o2_fw, o2_pos, len2,
@@ -101,13 +263,37 @@ def _concordant_grid(m1, m2, b1, b2, o, scoring):
     return dict(has=has, t1=t1, t2=t2, total=best, sec=sec)
 
 
+def _grid_from_pairtop(pair_top, m1, m2):
+    """Best + second-best-distinct concordant combo from the device's
+    top-KP list (same contract as _concordant_grid), plus the full top-KP
+    combo columns for -k secondary pair reporting."""
+    B, KP, _ = pair_top.shape
+    total = pair_top[:, :, 0].astype(np.int64)
+    t1 = pair_top[:, :, 1].astype(np.int64)
+    t2 = pair_top[:, :, 2].astype(np.int64)
+    has = total[:, 0] > NEG_INF // 2
+    bp1 = m1["pos"][np.arange(B), t1[:, 0]]
+    bp2 = m2["pos"][np.arange(B), t2[:, 0]]
+    ap1 = np.take_along_axis(m1["pos"], t1, 1)
+    ap2 = np.take_along_axis(m2["pos"], t2, 1)
+    distinct = ((ap1 != bp1[:, None]) | (ap2 != bp2[:, None])) \
+        & (total > NEG_INF // 2)
+    distinct[:, 0] = False
+    any_d = distinct.any(axis=1)
+    firstd = np.argmax(distinct, axis=1)
+    sec = np.where(any_d, total[np.arange(B), firstd], np.int64(NEG_INF))
+    return dict(has=has, t1=t1[:, 0], t2=t2[:, 0], total=total[:, 0],
+                sec=sec, t1s=t1, t2s=t2, totals=total)
+
+
 def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
                 ) -> list[PairResult]:
     o = aligner.opts
     B = len(b1)
+    pair_top = None
     if o.seed_mode:
-        m1, _ = aligner.device_align_fused(b1)
-        m2, _ = aligner.device_align_fused(b2)
+        m1, m2, pair_top, _f1, _f2, _s1, _s2 = stage_pe_fused(
+            aligner, b1, b2, KP=max(8, o.khits + 3), KF=1)
     else:
         st1, dp1 = aligner._device_align(b1)
         st2, dp2 = aligner._device_align(b2)
@@ -147,93 +333,124 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
     # ---- vectorized concordance over the full (B, K, K) combo grid ----
     # (reads with spliced candidates drop to the per-read grid below; the
     # all-REG common case never runs Python per combo)
-    grid = _concordant_grid(m1, m2, b1, b2, o, aligner.scoring)
+    if pair_top is not None:
+        grid = _grid_from_pairtop(pair_top, m1, m2)
+    else:
+        grid = _concordant_grid(m1, m2, b1, b2, o, aligner.scoring)
 
     out: list[PairResult] = []
     rescue: list[tuple] = []
+    for i in range(B):
+        out.append(_pair_result_one(aligner, i, b1, b2, m1, m2, grid,
+                                    mate_cands, finalize, rescue))
+    if rescue:
+        _rescue_mates(aligner, b1, b2, dict(enumerate(out)), rescue,
+                      finalize)
+    return out
+
+
+def _pair_result_one(aligner, i, b1, b2, m1, m2, grid, mate_cands,
+                     finalize, rescue) -> PairResult:
+    """Concordant -> discordant -> mixed resolution for one pair (the
+    reference's finishRead fallback ladder, aln_sink.h:1939). Appends a
+    (i, mate, candidate) tuple to `rescue` when one mate anchors alone."""
+    o = aligner.opts
     spl1 = m1.get("splice", {})
     spl2 = m2.get("splice", {})
-    for i in range(B):
-        l1, l2 = int(b1.lens[i]), int(b2.lens[i])
-        min1 = aligner.scoring.min_score(l1)
-        min2 = aligner.scoring.min_score(l2)
-        has_spl = (i in spl1) or (i in spl2)
+    l1, l2 = int(b1.lens[i]), int(b2.lens[i])
+    min1 = aligner.scoring.min_score(l1)
+    min2 = aligner.scoring.min_score(l2)
+    has_spl = (i in spl1) or (i in spl2)
 
-        if grid is not None and not has_spl:
-            combos = []
-            if grid["has"][i]:
+    if grid is not None and not has_spl:
+        combos = []
+        if grid["has"][i]:
+            mk = lambda m, t, rdlen: dict(
+                score=int(m["score"][i, t]), pos=int(m["pos"][i, t]),
+                fw=bool(m["fw"][i, t]), kind="reg",
+                gapped=bool(m["gapped"][i, t]), extent=rdlen)
+            if "t1s" in grid:
+                for k in range(grid["totals"].shape[1]):
+                    tk = int(grid["totals"][i, k])
+                    if tk <= NEG_INF // 2:
+                        break
+                    combos.append((tk, mk(m1, int(grid["t1s"][i, k]), l1),
+                                   mk(m2, int(grid["t2s"][i, k]), l2)))
+            else:
                 t1, t2 = int(grid["t1"][i]), int(grid["t2"][i])
-                mk = lambda m, t, rdlen: dict(
-                    score=int(m["score"][i, t]), pos=int(m["pos"][i, t]),
-                    fw=bool(m["fw"][i, t]), kind="reg",
-                    gapped=bool(m["gapped"][i, t]), extent=rdlen)
                 combos = [(int(grid["total"][i]), mk(m1, t1, l1),
                            mk(m2, t2, l2))]
                 if grid["sec"][i] > NEG_INF // 2:
                     combos.append((int(grid["sec"][i]),
                                    dict(pos=-1), dict(pos=-1)))
-            c1 = c2 = None
-        else:
-            c1 = mate_cands(m1, b1, i, min1, l1)
-            c2 = mate_cands(m2, b2, i, min2, l2)
-            combos = []
-            for x1 in c1:
-                for x2 in c2:
-                    ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
-                                           x2["fw"], x2["pos"], x2["extent"],
-                                           o.minins, o.maxins, o.fr)
-                    if ok:
-                        combos.append((x1["score"] + x2["score"], x1, x2))
-            combos.sort(key=lambda x: -x[0])
+        c1 = c2 = None
+    else:
+        c1 = mate_cands(m1, b1, i, min1, l1)
+        c2 = mate_cands(m2, b2, i, min2, l2)
+        combos = []
+        for x1 in c1:
+            for x2 in c2:
+                ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
+                                       x2["fw"], x2["pos"], x2["extent"],
+                                       o.minins, o.maxins, o.fr)
+                if ok:
+                    combos.append((x1["score"] + x2["score"], x1, x2))
+        combos.sort(key=lambda x: -x[0])
 
-        pr = PairResult()
-        if combos:
-            total, w1, w2 = combos[0]
-            a1 = finalize(b1, i, w1, l1)
-            a2 = finalize(b2, i, w2, l2)
-            if a1 is not None and a2 is not None and a1.tidx == a2.tidx:
-                pr.kind = "concordant"
-                pr.aln1, pr.aln2 = a1, a2
-                pr.best = total
-                # second-best distinct concordant pair
-                for t, x1, x2 in combos[1:]:
-                    if (x1["pos"], x2["pos"]) != (w1["pos"], w2["pos"]):
-                        pr.secbest = t
-                        break
-                out.append(pr)
-                continue
-        if c1 is None:
-            c1 = mate_cands(m1, b1, i, min1, l1)
-            c2 = mate_cands(m2, b2, i, min2, l2)
-        # ---- discordant: both mates unique ----
-        if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
-                and (len(c1) == 1 or c1[0]["score"] > c1[1]["score"])
-                and (len(c2) == 1 or c2[0]["score"] > c2[1]["score"])):
-            a1 = finalize(b1, i, c1[0], l1)
-            a2 = finalize(b2, i, c2[0], l2)
-            if a1 is not None and a2 is not None:
-                pr.kind = "discordant"
-                pr.aln1, pr.aln2 = a1, a2
-                pr.best = c1[0]["score"] + c2[0]["score"]
-                out.append(pr)
-                continue
-        # ---- mate rescue candidates: one mate anchored, other missing ----
-        if c1 and not c2:
-            rescue.append((i, 1, c1[0]))
-        elif c2 and not c1:
-            rescue.append((i, 2, c2[0]))
-        # ---- mixed: report mates individually ----
-        if not o.no_mixed:
-            pr.kind = "mixed"
-            pr.res1 = _mate_result(aligner, b1, i, c1, min1, l1, finalize)
-            pr.res2 = _mate_result(aligner, b2, i, c2, min2, l2, finalize)
-            if not pr.res1.aligned and not pr.res2.aligned:
-                pr.kind = "unal"
-        out.append(pr)
-
-    if rescue:
-        _rescue_mates(aligner, b1, b2, out, rescue, finalize)
-    return out
+    pr = PairResult()
+    if combos:
+        total, w1, w2 = combos[0]
+        a1 = finalize(b1, i, w1, l1)
+        a2 = finalize(b2, i, w2, l2)
+        if a1 is not None and a2 is not None and a1.tidx == a2.tidx:
+            pr.kind = "concordant"
+            pr.aln1, pr.aln2 = a1, a2
+            pr.best = total
+            # distinct secondary concordant pairs (-k; reference reports
+            # up to khits concordant combos, aln_sink.h selection)
+            seen = {(w1["pos"], w1.get("fw"), w2["pos"], w2.get("fw"))}
+            for t, x1, x2 in combos[1:]:
+                key = (x1["pos"], x1.get("fw"), x2["pos"], x2.get("fw"))
+                if key in seen:
+                    continue
+                seen.add(key)
+                if pr.secbest is None:
+                    pr.secbest = t
+                if (len(pr.alt_pairs) + 1 < o.khits and "fw" in x1
+                        and "fw" in x2):
+                    s1 = finalize(b1, i, x1, l1)
+                    s2 = finalize(b2, i, x2, l2)
+                    if (s1 is not None and s2 is not None
+                            and s1.tidx == s2.tidx):
+                        pr.alt_pairs.append((t, s1, s2))
+            return pr
+    if c1 is None:
+        c1 = mate_cands(m1, b1, i, min1, l1)
+        c2 = mate_cands(m2, b2, i, min2, l2)
+    # ---- discordant: both mates unique ----
+    if (not o.no_discordant and len(c1) >= 1 and len(c2) >= 1
+            and (len(c1) == 1 or c1[0]["score"] > c1[1]["score"])
+            and (len(c2) == 1 or c2[0]["score"] > c2[1]["score"])):
+        a1 = finalize(b1, i, c1[0], l1)
+        a2 = finalize(b2, i, c2[0], l2)
+        if a1 is not None and a2 is not None:
+            pr.kind = "discordant"
+            pr.aln1, pr.aln2 = a1, a2
+            pr.best = c1[0]["score"] + c2[0]["score"]
+            return pr
+    # ---- mate rescue candidates: one mate anchored, other missing ----
+    if c1 and not c2:
+        rescue.append((i, 1, c1[0]))
+    elif c2 and not c1:
+        rescue.append((i, 2, c2[0]))
+    # ---- mixed: report mates individually ----
+    if not o.no_mixed:
+        pr.kind = "mixed"
+        pr.res1 = _mate_result(aligner, b1, i, c1, min1, l1, finalize)
+        pr.res2 = _mate_result(aligner, b2, i, c2, min2, l2, finalize)
+        if not pr.res1.aligned and not pr.res2.aligned:
+            pr.kind = "unal"
+    return pr
 
 
 def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
@@ -357,93 +574,114 @@ def _mate_result(aligner, batch, i, cands, min_sc, rdlen, finalize
 
 def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                  aligner: Aligner, writer: samio.SamWriter) -> dict:
+    stats = new_pair_stats()
+    for i, pr in enumerate(results):
+        lines = pair_lines(aligner, b1, b2, i, pr, stats)
+        writer.emit(int(b1.rdids[i]), lines)
+    return stats
+
+
+def new_pair_stats() -> dict:
+    return dict(pairs=0, conc_uniq=0, conc_multi=0, disc=0,
+                mixed_al=0, unal=0, mates_al=0,
+                mate_un=0, mate_uniq=0, mate_multi=0)
+
+
+def pair_lines(aligner: Aligner, b1: ReadBatch, b2: ReadBatch, i: int,
+               pr: PairResult, stats: dict) -> list[str]:
+    """SAM lines for one resolved pair (+ summary-stat updates) — the
+    per-pair body shared by pairs_to_sam and the fused emit's slow path."""
     sc = aligner.scoring
     ref = aligner.fm.ref
-    stats = dict(pairs=0, conc_uniq=0, conc_multi=0, disc=0,
-                 mixed_al=0, unal=0, mates_al=0,
-                 mate_un=0, mate_uniq=0, mate_multi=0)
 
     def qstr(b, i, ln):
         return (b.quals[i, :ln].astype(np.uint8) + 33).tobytes().decode("ascii")
 
-    for i, pr in enumerate(results):
+    if True:
         stats["pairs"] += 1
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         name = b1.names[i]
         seq1, seq2 = b1.seqs[i, :l1], b2.seqs[i, :l2]
         q1, q2 = qstr(b1, i, l1), qstr(b2, i, l2)
-        rdid = int(b1.rdids[i])
 
         if pr.kind in ("concordant", "discordant"):
             conc = pr.kind == "concordant"
             if conc:
-                if pr.secbest is not None and pr.secbest == pr.best:
+                # >1 times: ANY second distinct concordant pair exists
+                # (reference counts distinct concordant alignments, not
+                # only score ties — aln_sink.h nconcord semantics)
+                if pr.secbest is not None:
                     stats["conc_multi"] += 1
                 else:
                     stats["conc_uniq"] += 1
             else:
                 stats["disc"] += 1
-            a1, a2 = pr.aln1, pr.aln2
             perfect = sc.perfect_score(l1) + sc.perfect_score(l2)
             minsc = sc.min_score(l1) + sc.min_score(l2)
             mq = _mapq.mapq_v2(pr.best, pr.secbest, perfect, minsc,
                                local=sc.local)
-            # TLEN spans the *unclipped* fragment (reference setMateParams
-            # includes soft-clipped bases in the template length)
-            def clips(a):
-                c5 = a.cigar[0][1] if a.cigar and a.cigar[0][0] == "S" else 0
-                c3 = a.cigar[-1][1] if a.cigar and a.cigar[-1][0] == "S" else 0
-                return c5, c3
-            c15, c13 = clips(a1)
-            c25, c23 = clips(a2)
-            left = min(a1.toff - c15, a2.toff - c25)
-            right = max(a1.toff + a1.ref_span + c13, a2.toff + a2.ref_span + c23)
-            # template-length adjustment: introns don't count toward TLEN
-            # (reference setMateParams with templateLenAdjustment; shared
-            # splice sites between mates count once)
-            introns = set()
-            for a in (a1, a2):
-                r = a.toff
-                for op, n in a.cigar:
-                    if op == "N":
-                        introns.add((r, n))
-                    if op in ("M", "D", "N", "=", "X"):
-                        r += n
-            # known/discovered introns between the mates also shrink TLEN
-            # (reference setMateParams consults SpliceSiteDB for the gap)
-            inner_l = min(a1.toff + a1.ref_span, a2.toff + a2.ref_span)
-            inner_r = max(a1.toff, a2.toff)
-            if inner_r > inner_l and len(aligner.ssdb):
-                kl, kr = aligner.ssdb.lefts_rights()
-                jl = aligner.fm.ref.text_to_joined(a1.tidx, inner_l)
-                if jl is not None:
-                    goff = inner_l - jl   # joined = text - goff on this frag
-                    lo = np.searchsorted(kl, inner_l - goff)
-                    hi = np.searchsorted(kl, inner_r - goff)
-                    for si in range(lo, hi):
-                        if kr[si] <= inner_r - goff:
-                            introns.add((int(kl[si]) + goff + 1,
-                                         int(kr[si] - kl[si] - 1)))
-            tl = right - left - sum(n for _, n in introns)
-            t1 = tl if a1.toff <= a2.toff else -tl
             yt = "CP" if conc else "DP"
+            nh = 1 + len(pr.alt_pairs)
+
+            def tlen_of(a1, a2):
+                # TLEN spans the *unclipped* fragment (reference
+                # setMateParams includes soft-clipped bases); introns —
+                # aligned or known, between the mates — don't count
+                # (templateLenAdjustment via SpliceSiteDB)
+                def clips(a):
+                    c5 = a.cigar[0][1] if a.cigar and a.cigar[0][0] == "S" else 0
+                    c3 = a.cigar[-1][1] if a.cigar and a.cigar[-1][0] == "S" else 0
+                    return c5, c3
+                c15, c13 = clips(a1)
+                c25, c23 = clips(a2)
+                left = min(a1.toff - c15, a2.toff - c25)
+                right = max(a1.toff + a1.ref_span + c13,
+                            a2.toff + a2.ref_span + c23)
+                introns = set()
+                for a in (a1, a2):
+                    r = a.toff
+                    for op, n in a.cigar:
+                        if op == "N":
+                            introns.add((r, n))
+                        if op in ("M", "D", "N", "=", "X"):
+                            r += n
+                inner_l = min(a1.toff + a1.ref_span, a2.toff + a2.ref_span)
+                inner_r = max(a1.toff, a2.toff)
+                if inner_r > inner_l and len(aligner.ssdb):
+                    kl, kr = aligner.ssdb.lefts_rights()
+                    jl = aligner.fm.ref.text_to_joined(a1.tidx, inner_l)
+                    if jl is not None:
+                        goff = inner_l - jl
+                        lo = np.searchsorted(kl, inner_l - goff)
+                        hi = np.searchsorted(kl, inner_r - goff)
+                        for si in range(lo, hi):
+                            if kr[si] <= inner_r - goff:
+                                introns.add((int(kl[si]) + goff + 1,
+                                             int(kr[si] - kl[si] - 1)))
+                tl = right - left - sum(n for _, n in introns)
+                return tl if a1.toff <= a2.toff else -tl
+
             lines = []
-            for mate1, a, other, t, seq, q in (
-                    (True, a1, a2, t1, seq1, q1),
-                    (False, a2, a1, -t1, seq2, q2)):
-                rec = samio.SamAlignment(
-                    rname=ref.names[a.tidx], pos=a.toff, fw=a.fw, mapq=mq,
-                    cigar=a.cigar, score=a.score, nmm=a.nmm,
-                    gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
-                    nm=a.nm, yt=yt, nh=1, paired=True, mate1=mate1,
-                    xs_strand=a.xs_strand,
-                    proper_pair=conc, mate_mapped=True,
-                    mate_rname=ref.names[other.tidx], mate_pos=other.toff,
-                    mate_fw=other.fw, tlen=t)
-                lines.append(samio.format_aligned(name, seq, q, rec))
+            for k, (a1, a2) in enumerate(
+                    [(pr.aln1, pr.aln2)] + [(x1, x2) for _t, x1, x2
+                                            in pr.alt_pairs]):
+                t1 = tlen_of(a1, a2)
+                for mate1, a, other, t, seq, q in (
+                        (True, a1, a2, t1, seq1, q1),
+                        (False, a2, a1, -t1, seq2, q2)):
+                    rec = samio.SamAlignment(
+                        rname=ref.names[a.tidx], pos=a.toff, fw=a.fw,
+                        mapq=mq if k == 0 else 255,
+                        cigar=a.cigar, score=a.score, nmm=a.nmm,
+                        gap_opens=a.gap_opens, gap_exts=a.gap_exts, md=a.md,
+                        nm=a.nm, yt=yt, nh=nh, paired=True, mate1=mate1,
+                        xs_strand=a.xs_strand, secondary=k > 0,
+                        proper_pair=conc, mate_mapped=True,
+                        mate_rname=ref.names[other.tidx], mate_pos=other.toff,
+                        mate_fw=other.fw, tlen=t)
+                    lines.append(samio.format_aligned(name, seq, q, rec))
             stats["mates_al"] += 2
-            writer.emit(rdid, lines)
-            continue
+            return lines
 
         # mixed / unal
         r1 = pr.res1 or ReadResult()
@@ -489,5 +727,4 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                     mate_pos=oa.toff if oa else 0,
                     mate_fw=oa.fw if oa else True,
                     yt="UP", yf=res.filtered))
-        writer.emit(rdid, lines)
-    return stats
+        return lines

@@ -132,15 +132,15 @@ def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
     in_read = pos[None, :] < lens[:, None]
     s = jnp.where(in_read, jnp.minimum(seqs.astype(jnp.int32), 4), 4)
     q = jnp.where(in_read, quals.astype(jnp.int32), 0)
-    comp = jnp.array([3, 2, 1, 0, 4], jnp.int32)
-    rev = comp[s[:, ::-1]]
+    sr = s[:, ::-1]
+    rev = jnp.where(sr < 4, 3 - sr, 4)   # complement, no table gather
     revq = q[:, ::-1]
+    from ..ops.rank import _shift_words
     dbl = jnp.concatenate([rev, jnp.full((B, L), 4, jnp.int32)], axis=1)
     dblq = jnp.concatenate([revq, jnp.zeros((B, L), jnp.int32)], axis=1)
     sh = L - lens
-    slice_row = jax.vmap(lambda row, st: lax.dynamic_slice(row, (st,), (L,)))
-    rc = slice_row(dbl, sh)
-    rq = slice_row(dblq, sh)
+    rc = _shift_words(dbl, sh, L)
+    rq = _shift_words(dblq, sh, L)
     return (jnp.concatenate([s, rc]), jnp.concatenate([q, rq]),
             jnp.concatenate([lens, lens]))
 
@@ -241,11 +241,16 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
                 seqs2=seqs2, quals2=quals2, lens2=lens2)
 
 
-@partial(jax.jit, static_argnames=("dp_pad",))
+@partial(jax.jit, static_argnames=("dp_pad", "sc_const"))
 def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
-              pos_top, dp_rows, dp_pad: int):
+              pos_top, dp_rows, dp_pad: int, sc_const=None):
     """Stage 6: gapped DP scores for the top candidates of (pre-compacted)
-    rows. pos_top (R', T); dp_rows (R',) bool mask. Returns (R', T) scores."""
+    rows. pos_top (R', T); dp_rows (R',) bool mask. Returns (R', T) scores.
+
+    sc_const: static (match_bonus, n_pen, rd_open, rd_ext, rf_open,
+    rf_ext) tuple — when given and running on TPU, the DP uses the Pallas
+    kernel (ops/dp_pallas.py: one launch, no per-row scan overhead);
+    otherwise the XLA lax.scan kernel (ops/sw.py)."""
     R, L = seqs2.shape
     T = pos_top.shape[1]
     W = L + 2 * dp_pad
@@ -259,7 +264,24 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
     rd = jnp.repeat(seqs2, T, axis=0)
     q = jnp.repeat(quals2, T, axis=0)
     rl = jnp.repeat(lens2, T)
-    score = _sw.dp_score_batch(sctab, rd, q, rl, ref, ov).reshape(R, T)
+    use_pallas = (sc_const is not None and ov is None
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from ..ops.dp_pallas import dp_score_pallas
+        qc = jnp.clip(q, 0, 63)
+        in_read = (jnp.arange(L, dtype=jnp.int32)[None, :] < rl[:, None])
+        from .scoring import mm_pen_of, sc_pen_of
+        pen = mm_pen_of(sctab, qc)
+        scp = jnp.where(in_read, sc_pen_of(sctab, qc), 0)
+        scp_cum = jnp.concatenate(
+            [jnp.zeros((rd.shape[0], 1), jnp.int32),
+             jnp.cumsum(scp, axis=1)], axis=1)
+        mb, npen, ro, re, fo, fe = sc_const
+        score = dp_score_pallas(
+            rd, pen, rl, ref, scp_cum, match_bonus=mb, n_pen=npen,
+            rd_open=ro, rd_ext=re, rf_open=fo, rf_ext=fe).reshape(R, T)
+    else:
+        score = _sw.dp_score_batch(sctab, rd, q, rl, ref, ov).reshape(R, T)
     # sentinel (invalid) candidates must stay invalid: their all-N windows
     # would otherwise "score" better than real but poor placements
     ok = dp_rows[:, None] & (pos_top < (1 << 30) - (1 << 20)) & (pos_top >= 0)
@@ -306,11 +328,12 @@ def _stage_fin_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
         snp_free = mm & ((ov == rd + 1) | (ov == 15))
     else:
         snp_free = jnp.zeros_like(mm)
+    from .scoring import mm_pen_of, sc_pen_of
     mm_sc = mm & ~snp_free
-    s = jnp.where(mm_sc, -sctab["mm_pens"][q], 0)
+    s = jnp.where(mm_sc, -mm_pen_of(sctab, q), 0)
     s = jnp.where(isn, -sctab["n_pen"], s)
     s = s + jnp.where(~mm_sc & ~isn & in_read, sctab["match_bonus"], 0)
-    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)
+    scp = jnp.where(in_read, sc_pen_of(sctab, q), 0)
     g = s + scp
     N = rd.shape[0]
     P = jnp.concatenate([jnp.zeros((N, 1), jnp.int32),
@@ -343,7 +366,7 @@ def _stage_fin_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
 @partial(jax.jit, static_argnames=(
     "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands", "min_seg_len",
     "ftab_k", "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
-    "nofw", "norc", "seeder", "fb_seeder", "KF"))
+    "nofw", "norc", "seeder", "fb_seeder", "KF", "sc_const"))
 def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        minsc_i, minsc_s, gap1,
                        B: int, max_seeds: int, n_seeds: int,
@@ -353,13 +376,124 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        dp_pad: int, no_dp: bool,
                        nofw: bool = False, norc: bool = False,
                        seeder: str = "seeds", fb_seeder: str = "segments",
-                       KF: int = 1):
+                       KF: int = 1, sc_const=None):
     """The ENTIRE single-end device path in one dispatch: seed candidates,
     segment fallback for failing reads (device-side top-k compaction), DP
     rescue, merge, and primary finalization. One round trip matters: on a
     tunneled TPU each dispatch+sync costs ~25ms regardless of work, so the
     pipeline's five phases fuse into one executable with fixed-size
     compaction buckets instead of host-driven shape-changing gathers."""
+    merged, st = _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s,
+                          gap1, B, max_seeds, n_seeds, locs_per_seg,
+                          top_cands, min_seg_len, ftab_k, K2, fb_bucket,
+                          dp_bucket, dp_pad, no_dp, nofw, norc, seeder,
+                          fb_seeder, sc_const)
+    # finalize the top-KF candidates of every read in one flattened pass
+    # (multimapped reads ride the native fast path too, k records each)
+    KF2 = max(1, min(KF, K2))
+    fpos = merged[:, :KF2, 1].reshape(-1)
+    ffw = ((merged[:, :KF2, 2] & 1) == 1).reshape(-1)
+    read_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), KF2)
+    fin = _stage_fin_rows(idx, sctab, st["seqs2"], st["quals2"],
+                          st["lens2"], fpos, ffw, read_of, B, max_mm)
+    fin = fin.reshape(B, KF2, -1)
+    exh = st["exhausted"][:B] & st["exhausted"][B:]
+    return merged, fin, exh
+
+
+def _unpack_reads(seq_words, n_words, quals, qual_const, lens, L: int):
+    """Device-side unpack of the transfer-packed read batch
+    (io/reads.ReadBatch.packed): 2-bit codes + N bitmask (+ optional
+    per-base quals; constant-qual batches send none). Pure VPU shifts."""
+    B = seq_words.shape[0]
+    sh = 2 * jnp.arange(16, dtype=jnp.uint32)
+    chars = ((seq_words[:, :, None] >> sh) & jnp.uint32(3)).astype(jnp.int32)
+    seqs = chars.reshape(B, -1)[:, :L]
+    shn = jnp.arange(32, dtype=jnp.uint32)
+    nb = (n_words[:, :, None] >> shn) & jnp.uint32(1)
+    isn = nb.astype(jnp.int32).reshape(B, -1)[:, :L] == 1
+    seqs = jnp.where(isn, 4, seqs)
+    if quals is None:
+        q = jnp.broadcast_to(qual_const.astype(jnp.int32), (B, L))
+    else:
+        q = quals.astype(jnp.int32)
+    return seqs, q
+
+
+# fastpack layout: int16 lanes per read —
+#   [0] nvalid  [1] best  [2] secbest (-32768 = none)
+#   [3] flags: fw0 | gapped0<<1 | fw1<<2 | gapped1<<3 | exhausted<<4
+#   per report k in {0, 1} at base 4 + 12*k:
+#     [+0] pos lo16  [+1] pos hi16  [+2] c5  [+3] c3
+#     [+4] nmm  [+5] nmm_all  [+6..11] 6 x (mmcol << 3 | refchar)
+FASTPACK_MM = 6
+FASTPACK_W = 4 + 2 * (6 + FASTPACK_MM)
+
+
+def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int):
+    """Compress everything the host fast path needs into 2 bytes x
+    FASTPACK_W per read (device->host runs at ~30MB/s with ~27ms per
+    sync over the tunnel, so the per-read payload budget is the
+    throughput ceiling). Device-side distinct-placement dedup + top-2
+    report selection replaces the host-side NumPy selection."""
+    sc = merged[:, :, 0]
+    pos = merged[:, :, 1]
+    fl = merged[:, :, 2]
+    fw = (fl & 1) == 1
+    valid = sc >= minsc[:, None]
+    dup = jnp.zeros((B, K2), bool)
+    for t in range(1, K2):
+        eq = (pos[:, :t] == pos[:, t:t + 1]) & (fw[:, :t] == fw[:, t:t + 1])
+        dup = dup.at[:, t].set(eq.any(axis=1))
+    pvalid = valid & ~dup
+    nvalid = pvalid.sum(axis=1).astype(jnp.int32)
+    vrank = jnp.where(pvalid, jnp.cumsum(pvalid, axis=1) - 1, K2 + 1)
+    sel1 = jnp.argmax(vrank == 1, axis=1).astype(jnp.int32)
+    has2 = nvalid >= 2
+    best = sc[:, 0]
+    secb = jnp.where(has2, jnp.take_along_axis(sc, sel1[:, None], 1)[:, 0],
+                     jnp.int32(-32768))
+    ridx = jnp.arange(B, dtype=jnp.int32)
+    p0, f0, g0 = pos[:, 0], fw[:, 0], (fl[:, 0] & 2) > 0
+    p1 = pos[ridx, sel1]
+    f1 = fw[ridx, sel1]
+    g1 = (fl[ridx, sel1] & 2) > 0
+    exh = st["exhausted"][:B] & st["exhausted"][B:]
+    flags = (f0.astype(jnp.int32) | (g0.astype(jnp.int32) << 1)
+             | (f1.astype(jnp.int32) << 2) | (g1.astype(jnp.int32) << 3)
+             | (exh.astype(jnp.int32) << 4))
+
+    fin = _stage_fin_rows(
+        idx, sctab, st["seqs2"], st["quals2"], st["lens2"],
+        jnp.concatenate([p0, p1]), jnp.concatenate([f0, f1]),
+        jnp.concatenate([ridx, ridx]), B, FASTPACK_MM)
+    D = fin.shape[1]
+    fin = fin.reshape(2, B, D)
+
+    def rep(k, p):
+        f = fin[k]
+        mm = f[:, 5:5 + FASTPACK_MM]
+        mch = f[:, 5 + FASTPACK_MM:]
+        mmp = jnp.clip(mm, 0, 4095) << 3 | jnp.clip(mch, 0, 7)
+        return [p & 0xFFFF, (p >> 16) & 0xFFFF,
+                f[:, 0], f[:, 1], f[:, 2:3].clip(-32768, 32767)[:, 0] * 0
+                + f[:, 3], f[:, 4]] + [mmp[:, j]
+                                       for j in range(FASTPACK_MM)]
+
+    cols = ([nvalid, jnp.clip(best, -32768, 32767),
+             jnp.clip(secb, -32768, 32767), flags]
+            + rep(0, p0) + rep(1, p1))
+    out = jnp.stack(cols, axis=1).astype(jnp.int16)
+    return out
+
+
+def _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s, gap1,
+             B, max_seeds, n_seeds, locs_per_seg, top_cands, min_seg_len,
+             ftab_k, K2, fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
+             seeder, fb_seeder, sc_const):
+    """Candidates + sensitive fallback + DP rescue + fw/rc merge for one
+    read batch: the shared device core of the SE and PE fused paths.
+    Returns (merged (B, K2, 3) packed [score, pos, flags], st dict)."""
     st = _stage_candidates(idx, sctab, seqs, quals, lens, n_seeds,
                            locs_per_seg, top_cands, min_seg_len, seeder,
                            ftab_k)
@@ -401,22 +535,13 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
         m2 = jnp.concatenate([selmask, selmask])
         Tdp = min(2, pos.shape[1])
         dpv = _stage_dp(idx, sctab, st["seqs2"][rows], st["quals2"][rows],
-                        st["lens2"][rows], pos[rows, :Tdp], m2, dp_pad)
+                        st["lens2"][rows], pos[rows, :Tdp], m2, dp_pad,
+                        sc_const)
         dp_sc = jnp.full(score.shape, NEG_INF, jnp.int32
                          ).at[rows, :Tdp].set(dpv)
 
     merged = _stage_merge(pos, score, dp_sc, B, K2)
-    # finalize the top-KF candidates of every read in one flattened pass
-    # (multimapped reads ride the native fast path too, k records each)
-    KF2 = max(1, min(KF, K2))
-    fpos = merged[:, :KF2, 1].reshape(-1)
-    ffw = ((merged[:, :KF2, 2] & 1) == 1).reshape(-1)
-    read_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), KF2)
-    fin = _stage_fin_rows(idx, sctab, st["seqs2"], st["quals2"],
-                          st["lens2"], fpos, ffw, read_of, B, max_mm)
-    fin = fin.reshape(B, KF2, -1)
-    exh = st["exhausted"][:B] & st["exhausted"][B:]
-    return merged, fin, exh
+    return merged, st
 
 
 @partial(jax.jit, static_argnames=("B", "K2"))
@@ -491,6 +616,12 @@ class Aligner:
         # reference _minK: minimum anchor = ceil(log4 |genome|), >= 8
         self.min_seg_len = max(8, int(np.ceil(np.log(max(fm.n, 4))
                                               / np.log(4))))
+        # static scoring constants for the Pallas DP kernel
+        self.sc_const = (int(scoring.match_bonus), int(scoring.n_pen),
+                         int(scoring.read_gap_open()),
+                         int(scoring.read_gap_extend()),
+                         int(scoring.ref_gap_open()),
+                         int(scoring.ref_gap_extend()))
         # graph-index extras (SNP-aware scoring)
         self.overlay = getattr(fm, "snv_overlay", None)
         if self.overlay is not None and self.overlay.size == 0:
@@ -564,7 +695,7 @@ class Aligner:
                     self.idx, self.sctab,
                     st["seqs2"][ridx], st["quals2"][ridx], st["lens2"][ridx],
                     st["pos"][ridx, :Tdp],
-                    jnp.ones(rows_p.size, bool), o.dp_pad)
+                    jnp.ones(rows_p.size, bool), o.dp_pad, self.sc_const)
                 # scatter back on device — the full grid never leaves HBM
                 dp_sc = jnp.full(st["score"].shape, NEG_INF, jnp.int32)
                 dp_sc = dp_sc.at[jnp.asarray(rows, jnp.int32), :Tdp].set(
@@ -592,7 +723,8 @@ class Aligner:
             self.min_seg_len, self.fm.ftab_k, K2, 8,
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
-            self.seeder, self.fb_seeder, max(1, min(o.khits, K2)))
+            self.seeder, self.fb_seeder, max(1, min(o.khits, K2)),
+            self.sc_const)
         packed = np.asarray(merged_d)
         merged = dict(score=packed[:, :, 0].astype(np.int64),
                       pos=packed[:, :, 1],

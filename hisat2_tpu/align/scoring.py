@@ -141,11 +141,35 @@ class Scoring:
         return int(self.n_ceil(rdlen))
 
     def device_tables(self):
-        """Small arrays consumed by batched kernels."""
+        """Small arrays + ramp parameters consumed by batched kernels.
+
+        The per-quality tables are linear ramps (scoring.h:117-128); device
+        kernels evaluate the ramp ARITHMETICALLY (mm_pen_of/sc_pen_of)
+        because a 64-entry table lookup is a per-element gather on TPU
+        (~80M lanes/s — it dominated the verify stage). The integer form
+        is checked against the reference's float-truncation table here so
+        kernel scores stay bit-identical."""
         import jax.numpy as jnp
+        q = np.minimum(np.arange(64), 40)
+        mm_formula = self.mm_pen_min + \
+            (q * (self.mm_pen_max - self.mm_pen_min)) // 40
+        assert (mm_formula == self.mm_pens()).all(), \
+            "integer ramp diverges from reference table (mm)"
+        sc_const = (1 << 20) if self.no_softclip else None
+        if sc_const is None:
+            sc_formula = self.sc_pen_min + \
+                (q * (self.sc_pen_max - self.sc_pen_min)) // 40
+            assert (sc_formula == self.sc_pens()).all(), \
+                "integer ramp diverges from reference table (sc)"
         return dict(
             mm_pens=jnp.asarray(self.mm_pens()),
             sc_pens=jnp.asarray(self.sc_pens()),
+            mm_min=jnp.int32(self.mm_pen_min),
+            mm_delta=jnp.int32(self.mm_pen_max - self.mm_pen_min),
+            sc_min=jnp.int32((1 << 20) if self.no_softclip
+                             else self.sc_pen_min),
+            sc_delta=jnp.int32(0 if self.no_softclip
+                               else self.sc_pen_max - self.sc_pen_min),
             n_pen=jnp.int32(self.n_pen),
             match_bonus=jnp.int32(self.match_bonus),
             rd_open=jnp.int32(self.read_gap_open()),
@@ -153,6 +177,21 @@ class Scoring:
             rf_open=jnp.int32(self.ref_gap_open()),
             rf_ext=jnp.int32(self.ref_gap_extend()),
         )
+
+
+def mm_pen_of(sctab, q):
+    """Qual-scaled mismatch penalty, arithmetic ramp (== mm_pens[q] for
+    q clipped to [0, 63]); q int32 array, any shape."""
+    import jax.numpy as jnp
+    qq = jnp.clip(q, 0, 40)
+    return sctab["mm_min"] + (qq * sctab["mm_delta"]) // 40
+
+
+def sc_pen_of(sctab, q):
+    """Qual-scaled soft-clip penalty, arithmetic ramp (== sc_pens[q])."""
+    import jax.numpy as jnp
+    qq = jnp.clip(q, 0, 40)
+    return sctab["sc_min"] + (qq * sctab["sc_delta"]) // 40
 
 
 DEFAULT_SCORING = Scoring()

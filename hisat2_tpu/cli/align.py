@@ -309,7 +309,10 @@ def main(argv=None) -> int:
                                 for p in args.m2.split(",")])
         buf1, buf2 = [], []
         rdid = 0
-        for a, b in zip(r1s, r2s):
+        # -s/-u count pairs; -5/-3/--ignore-quals apply to both mates
+        pairs = _reindex_pairs(zip(r1s, r2s), args.skip, args.qupto,
+                               args.trim5, args.trim3, args.ignore_quals)
+        for a, b in pairs:
             a.rdid = b.rdid = rdid
             rdid += 1
             buf1.append(a)
@@ -367,16 +370,43 @@ def _reindex(stream, skip=0, upto=None, trim5=0, trim3=0,
         yield r
 
 
+def _reindex_pairs(pair_stream, skip=0, upto=None, trim5=0, trim3=0,
+                   ignore_quals=False):
+    """-s/-u/-5/-3/--ignore-quals preprocessing for paired input (counts
+    are per PAIR; trims apply to both mates — hisat2.cpp option
+    semantics; round-1 only applied these to -U input)."""
+    import numpy as np
+    n = 0
+    for pid, (a, b) in enumerate(pair_stream):
+        if pid < skip:
+            continue
+        if upto is not None and n >= upto:
+            return
+        for r in (a, b):
+            if trim5 or trim3:
+                end = len(r.seq) - trim3
+                r.seq = r.seq[trim5:end]
+                if r.qual is not None:
+                    r.qual = r.qual[trim5:end]
+            if ignore_quals and r.qual is not None:
+                r.qual = np.full(len(r.seq), 30, r.qual.dtype)
+        n += 1
+        yield a, b
+
+
 def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,
                     align_pairs, args=None):
     L = max(max(len(r) for r in buf1), max(len(r) for r in buf2))
     L = max(8, -(-L // 8) * 8)
     b1 = batchify(buf1, pad_to=L)
     b2 = batchify(buf2, pad_to=L)
-    results = align_pairs(al, b1, b2)
-    merge(pairs_to_sam(b1, b2, results, al, writer))
     if args is not None and (args.un_conc or args.al_conc):
+        results = align_pairs(al, b1, b2)
+        merge(pairs_to_sam(b1, b2, results, al, writer))
         _write_conc(args, b1, b2, results)
+    else:
+        from ..align.emit import align_and_emit_pe
+        merge(align_and_emit_pe(al, b1, b2, writer))
 
 
 def _repeat_pass(rep_aligner, batch, results):

@@ -102,8 +102,14 @@ class FMIndex:
                          samp_vals=jnp.asarray(self.samp_vals),
                          samp_ival=int(1 << self.offrate))
         if self.st_k and self.st_starts is not None:
+            # positions in a (nr, 32) row view: window fetches are two
+            # whole-row gathers + a VPU shift (ops/rank.gather_slices)
+            sp = self.st_pos
+            nrp = -(-sp.size // 32)
+            sp_rows = np.zeros((nrp + 1, 32), np.int32)
+            sp_rows.reshape(-1)[:sp.size] = sp
             extra.update(st_starts=jnp.asarray(self.st_starts),
-                         st_pos=jnp.asarray(self.st_pos),
+                         st_pos_rows=jnp.asarray(sp_rows),
                          st_k=int(self.st_k))
         # (nr, 16)-word row view of the packed text (+1 zero row so a
         # 2-row slice at the last row stays in bounds): lets window

@@ -187,6 +187,41 @@ class ReadBatch:
     def __len__(self) -> int:
         return int(self.lens.size)
 
+    def packed(self):
+        """Transfer-packed form: (seq_words, n_words, quals_or_None,
+        qual_const, lens).
+
+        Host<->device moves through the tunnel run at only tens of MB/s
+        with ~27ms per sync, so batch bytes are precious: sequences travel
+        2-bit packed with a separate N bitmask (3 bits/base more compact
+        than the uint8 codes), and a constant-quality batch (FASTA input,
+        simulated reads) sends NO per-base qualities at all. The device
+        unpack is a handful of VPU shift/mask ops
+        (pipeline._unpack_reads)."""
+        B, L = self.seqs.shape
+        Lw = -(-L // 16)
+        codes = np.minimum(self.seqs, 3).astype(np.uint32)
+        pad16 = Lw * 16 - L
+        if pad16:
+            codes = np.pad(codes, ((0, 0), (0, pad16)))
+        sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+        seq_words = np.bitwise_or.reduce(
+            codes.reshape(B, Lw, 16) << sh, axis=2).astype(np.uint32)
+        Ln = -(-L // 32)
+        isn = (self.seqs >= 4).astype(np.uint32)
+        pad32 = Ln * 32 - L
+        if pad32:
+            isn = np.pad(isn, ((0, 0), (0, pad32)))
+        shn = np.arange(32, dtype=np.uint32)[None, None, :]
+        n_words = np.bitwise_or.reduce(
+            isn.reshape(B, Ln, 32) << shn, axis=2).astype(np.uint32)
+        in_read = np.arange(L)[None, :] < self.lens[:, None]
+        qv = self.quals[in_read]
+        if qv.size == 0 or (qv == qv[0]).all():
+            return seq_words, n_words, None, int(qv[0]) if qv.size else 40, \
+                self.lens
+        return seq_words, n_words, self.quals, -1, self.lens
+
 
 def batchify(reads: Sequence[Read], max_len: int | None = None,
              pad_to: int | None = None, default_qual: int = 40) -> ReadBatch:

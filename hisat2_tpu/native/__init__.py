@@ -67,6 +67,19 @@ def samfmt_lib() -> ctypes.CDLL | None:
             i32, u8, i64,                # mm cols/ref/off
             u8, i64,                     # refname buf/off
             ctypes.c_char_p, i64]        # out, rec_ends
+        lib.format_pe_batch.restype = ctypes.c_int64
+        lib.format_pe_batch.argtypes = [
+            ctypes.c_int32,
+            i32, i32,                    # read_of flag
+            i32, i32, i32,               # rname pos1 mapq
+            i32, i32, i32,               # c5 mid c3
+            i32, i32, i32,               # pnext tlen yt_code
+            i32, i32, i32, i32, i32,     # score nmm nm zs nh
+            u8, i64,                     # name buf/off (per read)
+            u8, u8, u8, u8, i64,         # seq_f qual_f seq_r qual_r off
+            i32, u8, i64,                # mm cols/ref/off (per record)
+            u8, i64,                     # refname buf/off
+            ctypes.c_char_p, ctypes.c_int64, i64]  # out, cap, rec_ends
         lib.format_se_batch2.restype = ctypes.c_int64
         lib.format_se_batch2.argtypes = [
             ctypes.c_int32,

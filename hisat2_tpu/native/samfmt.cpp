@@ -103,6 +103,78 @@ int64_t format_se_batch(
     return p - out;
 }
 
+// Paired records: same column layout as format_se_batch2 plus mate
+// fields (RNEXT is always "=", PNEXT/TLEN given) and a YT:Z code
+// (0 UU, 1 CP, 2 DP, 3 UP). ZS slot doubles for the unpaired-mate path.
+int64_t format_pe_batch(
+    int32_t nrec,
+    const int32_t* read_of, const int32_t* flag,
+    const int32_t* rname_idx, const int32_t* pos1, const int32_t* mapq,
+    const int32_t* c5, const int32_t* mid, const int32_t* c3,
+    const int32_t* pnext1, const int32_t* tlen, const int32_t* yt_code,
+    const int32_t* score, const int32_t* nmm, const int32_t* nm,
+    const int32_t* zs, const int32_t* nh,
+    const uint8_t* name_buf, const int64_t* name_off,
+    const uint8_t* seq_f, const uint8_t* qual_f,
+    const uint8_t* seq_r, const uint8_t* qual_r, const int64_t* seq_off,
+    const int32_t* mm_cols, const uint8_t* mm_ref, const int64_t* mm_off,
+    const uint8_t* refname_buf, const int64_t* refname_off,
+    char* out, int64_t cap, int64_t* rec_ends)
+{
+    static const char* yts[4] = {"UU", "CP", "DP", "UP"};
+    char* p = out;
+    for (int32_t i = 0; i < nrec; i++) {
+        int32_t rd = read_of[i];
+        int name_len = (int)(name_off[rd + 1] - name_off[rd]);
+        int seq_len = (int)(seq_off[rd + 1] - seq_off[rd]);
+        int32_t r = rname_idx[i];
+        int rn_len = (int)(refname_off[r + 1] - refname_off[r]);
+        int64_t n_mm = mm_off[i + 1] - mm_off[i];
+        int64_t worst = 230 + name_len + rn_len + 2 * (int64_t)seq_len
+                        + 12 * n_mm;
+        if ((p - out) + worst > cap) return -1 - (int64_t)i;
+        p = put_str(p, (const char*)(name_buf + name_off[rd]), name_len);
+        *p++ = '\t';
+        p = put_int(p, flag[i]); *p++ = '\t';
+        p = put_str(p, (const char*)(refname_buf + refname_off[r]), rn_len);
+        *p++ = '\t';
+        p = put_int(p, pos1[i]); *p++ = '\t';
+        p = put_int(p, mapq[i]); *p++ = '\t';
+        if (c5[i]) { p = put_int(p, c5[i]); *p++ = 'S'; }
+        p = put_int(p, mid[i]); *p++ = 'M';
+        if (c3[i]) { p = put_int(p, c3[i]); *p++ = 'S'; }
+        p = put_str(p, "\t=\t", 3);
+        p = put_int(p, pnext1[i]); *p++ = '\t';
+        p = put_int(p, tlen[i]); *p++ = '\t';
+        const uint8_t* sq = (flag[i] & 16) ? seq_r : seq_f;
+        const uint8_t* ql = (flag[i] & 16) ? qual_r : qual_f;
+        p = put_str(p, (const char*)(sq + seq_off[rd]), seq_len);
+        *p++ = '\t';
+        p = put_str(p, (const char*)(ql + seq_off[rd]), seq_len);
+        p = put_tag_i(p, "AS", score[i]);
+        if (zs[i] != INT32_MIN) p = put_tag_i(p, "ZS", zs[i]);
+        p = put_str(p, "\tXN:i:0", 7);
+        p = put_tag_i(p, "XM", nmm[i]);
+        p = put_str(p, "\tXO:i:0\tXG:i:0", 14);
+        p = put_tag_i(p, "NM", nm[i]);
+        p = put_str(p, "\tMD:Z:", 6);
+        int64_t m0 = mm_off[i], m1 = mm_off[i + 1];
+        int32_t last = -1;
+        for (int64_t m = m0; m < m1; m++) {
+            p = put_int(p, mm_cols[m] - last - 1);
+            *p++ = (char)mm_ref[m];
+            last = mm_cols[m];
+        }
+        p = put_int(p, mid[i] - 1 - last);
+        p = put_str(p, "\tYT:Z:", 6);
+        p = put_str(p, yts[yt_code[i] & 3], 2);
+        p = put_tag_i(p, "NH", nh[i]);
+        *p++ = '\n';
+        rec_ends[i] = p - out;
+    }
+    return p - out;
+}
+
 // Format nrec SE records, possibly several per read (-k multi-mapping
 // fast path). Per-record arrays are indexed by record; name/seq data is
 // per READ via read_of[] indirection, with both orientations of SEQ/QUAL

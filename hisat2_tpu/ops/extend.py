@@ -75,7 +75,8 @@ def verify_ungapped(idx: dict, sctab: dict,
         mm = mm & ~snp_free
         mtch = mtch | snp_free
 
-    mm_pen = sctab["mm_pens"][q.clip(0, 63)]   # (B, 1, L)
+    from ..align.scoring import mm_pen_of, sc_pen_of
+    mm_pen = mm_pen_of(sctab, q)               # (B, 1, L) arithmetic ramp
     s = (jnp.where(mtch, sctab["match_bonus"], 0)
          - jnp.where(mm, mm_pen, 0)
          - jnp.where(isn, sctab["n_pen"], 0))  # per-position score (B, K, L)
@@ -85,7 +86,7 @@ def verify_ungapped(idx: dict, sctab: dict,
     #   score = max_{c5,c3} sum_{i in [c5, len-c3)} s(i) - sum_clipped scp(i)
     # = max-subarray of g(i) = s(i) + scp(i), minus total clip penalty —
     # one cumsum + cummax along the read axis, no search loop.
-    scp = jnp.where(in_read, sctab["sc_pens"][q.clip(0, 63)], 0)
+    scp = jnp.where(in_read, sc_pen_of(sctab, q), 0)
     g = s + scp                                # (B, K, L) via broadcast
     P = jnp.cumsum(g, axis=2)                  # P[k] = prefix sum incl. k
     minP = jnp.minimum(0, lax.cummin(P, axis=2))

@@ -88,27 +88,31 @@ def lf_step_interval(idx: dict, top: jax.Array, bot: jax.Array,
     return base + r[0], base + r[1]
 
 
-def gather_slices(arr: jax.Array, starts: jax.Array, size: int) -> jax.Array:
-    """Contiguous (size,)-slices of a 1-D array at per-lane starts: one
-    gather with slice_sizes=(size,) — a single gather LANE per slice.
-    Measured on TPU: XLA gather cost is per-lane (~40-90M lanes/s), nearly
-    independent of slice width, so wide slices are ~free while per-element
-    index arithmetic costs a lane per element. Starts clamp to
-    [0, N - size]; callers mask out-of-range results."""
-    shape = starts.shape
-    flat = starts.reshape(-1).astype(jnp.int32)
-    out = jax.vmap(lambda s: lax.dynamic_slice(arr, (s,), (size,)))(flat)
-    return out.reshape(*shape, size)
+def gather_slices(arr2d: jax.Array, starts: jax.Array, size: int,
+                  starts2: jax.Array | None = None) -> jax.Array:
+    """Contiguous (size,)-windows of a row-blocked 1-D array at per-lane
+    element offsets.
+
+    arr2d is the array viewed as (nrows, RW) with RW a power of two
+    >= size (callers pre-reshape once at index build). Each window is
+    fetched as TWO whole-row gathers (rows r, r+1) — plain major-axis
+    gathers run at ~90M lanes/s on TPU while gathers with slice_sizes or
+    vmapped dynamic_slice fall off the fast path — then aligned to the
+    element offset with a log-step shift cascade on the VPU
+    (`_shift_words`)."""
+    RW = arr2d.shape[1]
+    r = (starts // RW).astype(jnp.int32)
+    w = jnp.concatenate([arr2d[r], arr2d[jnp.minimum(r + 1,
+                                                     arr2d.shape[0] - 1)]],
+                        axis=-1)
+    return _shift_words(w, (starts % RW).astype(jnp.int32), size)
 
 
 def gather_rows2(rows: jax.Array, r: jax.Array) -> jax.Array:
-    """(2, W)-row slices of a 2-D array at per-lane row index r -> flattened
-    (..., 2*W). One gather lane per query."""
-    W = rows.shape[1]
-    shape = r.shape
-    flat = jnp.clip(r.reshape(-1).astype(jnp.int32), 0, rows.shape[0] - 2)
-    out = jax.vmap(lambda i: lax.dynamic_slice(rows, (i, 0), (2, W)))(flat)
-    return out.reshape(*shape, 2 * W)
+    """Rows r and r+1 of a 2-D array, concatenated -> (..., 2*W).
+    Two plain gather lanes per query."""
+    r = jnp.clip(r.astype(jnp.int32), 0, rows.shape[0] - 2)
+    return jnp.concatenate([rows[r], rows[r + 1]], axis=-1)
 
 
 def _shift_words(w: jax.Array, ws: jax.Array, keep: int) -> jax.Array:

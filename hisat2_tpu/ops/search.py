@@ -189,10 +189,10 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     code_sel = jnp.take_along_axis(codes, offs, 1)          # (R, S)
     n_sel = jnp.take_along_axis(nn, offs, 1) > 0
     usable = (lens >= kt)[:, None] & ~n_sel
-    bounds = gather_slices(idx["st_starts"], code_sel, 2)   # (R, S, 2)
-    s0, s1 = bounds[..., 0], bounds[..., 1]
+    s0 = idx["st_starts"][code_sel]
+    s1 = idx["st_starts"][code_sel + 1]
     cnt = s1 - s0
-    locs = gather_slices(idx["st_pos"], s0, locs_per_seg)   # (R, S, locs)
+    locs = gather_slices(idx["st_pos_rows"], s0, locs_per_seg)  # (R, S, locs)
     lvalid = (jnp.arange(locs_per_seg, dtype=jnp.int32)[None, None, :]
               < cnt[..., None]) & usable[..., None]
     exhausted = jnp.all(jnp.where(usable, cnt <= locs_per_seg, True), axis=1)

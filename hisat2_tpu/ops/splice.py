@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import rank as _rank
+from ..align.scoring import mm_pen_of as _mm_pen_of, sc_pen_of as _sc_pen_of
 
 NEG = -(1 << 28)
 
@@ -76,7 +77,7 @@ def junction_score(idx: dict, sctab: dict,
         mm = (rd != win) & ~isn & in_read
         if ov is not None:   # graph mode: known alt alleles are free
             mm = mm & ~((ov == rd + 1) | (ov == 15))
-        s = -jnp.where(mm, sctab["mm_pens"][q], 0) \
+        s = -jnp.where(mm, _mm_pen_of(sctab, q), 0) \
             - jnp.where(isn, sctab["n_pen"], 0) \
             + jnp.where(~mm & ~isn & in_read, sctab["match_bonus"], 0)
         return s
@@ -92,7 +93,7 @@ def junction_score(idx: dict, sctab: dict,
     # read ends of a spliced alignment too, e.g. 1S98M200N1M):
     #   prefix[j] = max_{c5<=j} sum sA[c5:j] - SCP[c5]  (cummin trick)
     #   suffix[j] = max_{e>=j}  sum sB[j:e]  - (SCP[L]-SCP[e])
-    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)
+    scp = jnp.where(in_read, _sc_pen_of(sctab, q), 0)
     SCP = jnp.concatenate(
         [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(scp, axis=1)], axis=1)
     A = jnp.concatenate(

@@ -42,7 +42,8 @@ def _subst(sctab, rd_c, q, rf_c, ov=None):
     mm = (rd_c != rf_c) & ~isn
     if ov is not None:
         mm = mm & ~((ov == rd_c + 1) | (ov == 15))
-    pen = jnp.where(mm, sctab["mm_pens"][jnp.clip(q, 0, 63)], 0)
+    from ..align.scoring import mm_pen_of
+    pen = jnp.where(mm, mm_pen_of(sctab, jnp.clip(q, 0, 63)), 0)
     pen = jnp.where(isn, sctab["n_pen"], pen)
     bonus = jnp.where(~mm & ~isn, sctab["match_bonus"], 0)
     return bonus - pen
@@ -72,7 +73,8 @@ def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
     rf_open, rf_ext = sctab["rf_open"], sctab["rf_ext"]
 
     in_read = (jnp.arange(L, dtype=jnp.int32)[None, :] < rdlens[:, None])
-    scp = jnp.where(in_read, sctab["sc_pens"][q], 0)     # (C, L)
+    from ..align.scoring import sc_pen_of
+    scp = jnp.where(in_read, sc_pen_of(sctab, q), 0)     # (C, L)
     scp_cum = jnp.cumsum(scp, axis=1)                     # SCP(i+1)
     scp_tot = scp_cum[:, -1]                              # SCP(len)
 

@@ -34,7 +34,7 @@ BASELINE_READS_PER_S = 280_700.0
 EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
 REF_BIN_DEFAULT = "/tmp/hisat2_ref_build/hisat2-align-s"
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32768"))
 NBATCH = int(os.environ.get("BENCH_NBATCH", "4"))
 RDLEN = 100
 
@@ -160,12 +160,12 @@ def main() -> int:
     n_al = BATCH - stats["unal"]
     assert n_al > 0.9 * BATCH, f"sanity: only {n_al}/{BATCH} aligned"
 
+    from hisat2_tpu.align.emit import align_and_emit_stream
     buf = io.StringIO()
     writer = samio.SamWriter(buf, fm.ref.names,
                              [int(x) for x in fm.ref.tlens], no_head=True)
     t0 = time.perf_counter()
-    for b in batches:
-        align_and_emit(al, b, writer)
+    align_and_emit_stream(al, batches, writer)
     dt = time.perf_counter() - t0
     rps = NBATCH * BATCH / dt
 

@@ -54,6 +54,275 @@ class _MapqCache:
 
 def align_and_emit(al: Aligner, batch: ReadBatch, writer) -> dict:
     """Align one SE batch and emit SAM; returns the summary-stats dict."""
+    return finish_se(al, submit_se(al, batch), writer)
+
+
+def submit_se(al: Aligner, batch: ReadBatch):
+    """Dispatch one SE batch's device work (packed transfers, async
+    result copy). Pair with finish_se; overlap several submits to hide
+    the tunnel's per-sync latency (align_and_emit_stream)."""
+    lib = _samfmt()
+    if (lib is None or not al.opts.seed_mode or al.opts.spliced
+            or (al.opts.zs_tags and al.overlay is not None)):
+        return ("legacy", batch)
+    fp_dev, merged_dev = al.device_align_fast(batch)
+    return ("fast", batch, fp_dev, merged_dev)
+
+
+def finish_se(al: Aligner, handle, writer) -> dict:
+    if handle[0] == "legacy":
+        return _align_and_emit_legacy(al, handle[1], writer)
+    _, batch, fp_dev, merged_dev = handle
+    return _finish_fastpack(al, batch, fp_dev, merged_dev, writer)
+
+
+def align_and_emit_stream(al: Aligner, batches, writer,
+                          on_batch=None) -> dict:
+    """Pipelined SE loop: batch k+1's device work is dispatched before
+    batch k's results are fetched/formatted, so transfers and host
+    formatting overlap device compute. Output order is submit order."""
+    totals: dict = {}
+    pending = None
+    for b in batches:
+        h = submit_se(al, b)
+        if pending is not None:
+            st = finish_se(al, pending[0], writer)
+            _merge_stats(totals, st)
+            if on_batch:
+                on_batch(pending[1], st)
+        pending = (h, b)
+    if pending is not None:
+        st = finish_se(al, pending[0], writer)
+        _merge_stats(totals, st)
+        if on_batch:
+            on_batch(pending[1], st)
+    return totals
+
+
+def _merge_stats(tot: dict, st: dict) -> None:
+    for k, v in st.items():
+        tot[k] = tot.get(k, 0) + v
+
+
+def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
+                     writer) -> dict:
+    """Host half of the packed SE path: unpack the int16 fastpack,
+    format fast reads natively, gather merged rows for the few slow
+    reads, and stitch output in read order."""
+    from .pipeline import FASTPACK_MM, FASTPACK_REP
+    fp = np.asarray(fp_dev)
+    B = len(batch)
+    o = al.opts
+    sc = al.scoring
+    khits = o.khits
+    lens = batch.lens.astype(np.int64)
+    L = batch.seqs.shape[1]
+    min_scs = np.ceil(sc.score_min.I + sc.score_min.S * lens).astype(np.int64)
+    nNs = ((batch.seqs >= 4)
+           & (np.arange(L)[None, :] < lens[:, None])).sum(axis=1)
+    filtered = (lens == 0) | (nNs > sc.n_ceil.I + sc.n_ceil.S * lens)
+
+    KF = (fp.shape[1] - 4) // FASTPACK_REP
+    nvalid = fp[:, 0].astype(np.int64)
+    best = fp[:, 1].astype(np.int64)
+    secb = fp[:, 2].astype(np.int64)
+    flags = fp[:, 3].astype(np.int64)
+    has_sec = secb != -32768
+
+    def rep(k):
+        b0 = 4 + FASTPACK_REP * k
+        lo = fp[:, b0].astype(np.uint16).astype(np.uint32)
+        hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint32)
+        return dict(
+            pos=(lo | (hi << 16)).astype(np.int64),
+            c5=fp[:, b0 + 2].astype(np.int64),
+            c3=fp[:, b0 + 3].astype(np.int64),
+            nmm=fp[:, b0 + 4].astype(np.int64),
+            nmm_all=fp[:, b0 + 5].astype(np.int64),
+            score=fp[:, b0 + 6].astype(np.int64),
+            mm=fp[:, b0 + 7:b0 + 7 + FASTPACK_MM].astype(np.int64),
+            fw=(flags >> (2 * k)) & 1 > 0,
+            gapped=(flags >> (2 * k + 1)) & 1 > 0)
+    reps = [rep(k) for k in range(KF)]
+
+    aligned = ~filtered & (nvalid >= 1)
+    nrep = np.minimum(nvalid, khits)
+    fast = aligned & (nrep <= KF)
+    ref = al.fm.ref
+    for k in range(KF):
+        r = reps[k]
+        astart = r["pos"] + r["c5"]
+        span = lens - r["c5"] - r["c3"]
+        f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
+        okf = (f >= 0) & (span > 0)
+        fc = np.clip(f, 0, len(ref.frag_joined) - 1)
+        okf &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
+        okf &= ~r["gapped"] & (r["nmm_all"] <= FASTPACK_MM)
+        r["fc"], r["astart"] = fc, astart
+        fast &= (nrep <= k) | okf
+
+    mqc = _MapqCache(sc)
+    stats = dict(reads=B, unal=0, uniq=0, multi=0)
+
+    # start the slow-row gather BEFORE formatting fast reads so its
+    # dispatch+transfer latency hides under the host work
+    slow = np.flatnonzero(~fast)
+    grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
+    mg_fut = al.gather_merged_async(merged_dev, grows)
+
+    fbuf = b""
+    read_end = np.zeros(B, np.int64)
+    frows = np.flatnonzero(fast)
+    if frows.size:
+        nr = nrep[frows]
+        rec_read = np.repeat(frows, nr)
+        rec_lidx = np.repeat(np.arange(frows.size), nr)
+        rec_k = np.arange(rec_read.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
+        # stacked (KF, B) field arrays -> per-record select by rec_k
+        stk = {f: np.stack([r[f] for r in reps])
+               for f in ("pos", "c5", "c3", "nmm", "nmm_all", "score",
+                         "fw", "fc", "astart")}
+        take = lambda fld: stk[fld][rec_k, rec_read]
+        pos = take("pos")
+        c5 = take("c5").astype(np.int32)
+        c3 = take("c3").astype(np.int32)
+        nmm = take("nmm").astype(np.int32)
+        cnt = take("nmm_all")
+        fw = take("fw")
+        score = take("score").astype(np.int32)
+        fc_r = take("fc")
+        astart_r = take("astart")
+        mid = (lens[rec_read] - c5 - c3).astype(np.int32)
+        tidx = ref.frag_tidx[fc_r].astype(np.int32)
+        toff = ref.frag_toff[fc_r] + astart_r - ref.frag_joined[fc_r]
+        flag = (np.where(fw, 0, 16) | np.where(rec_k > 0, 256, 0)
+                ).astype(np.int32)
+        nh = np.repeat(nr, nr).astype(np.int32)
+        # MAPQ (reference 60 fast path; table only on equal second-best)
+        mapq_read = np.full(frows.size, 60, np.int32)
+        need_tab = (has_sec & (secb == best))[frows]
+        for j in np.flatnonzero(need_tab):
+            i = frows[j]
+            mapq_read[j] = mqc.get(int(best[i]), int(secb[i]),
+                                   int(lens[i]), False)
+        mapq = np.where(rec_k == 0, mapq_read[rec_lidx], 255).astype(np.int32)
+        zs = np.where(has_sec[rec_read], secb[rec_read],
+                      np.int64(INT32_MIN)).astype(np.int32)
+
+        mmstk = np.stack([r["mm"] for r in reps])      # (KF, B, MM)
+        mmpk = mmstk[rec_k, rec_read]
+        cnt = cnt.astype(np.int64)
+        mm_off = np.zeros(rec_read.size + 1, np.int64)
+        np.cumsum(cnt, out=mm_off[1:])
+        selm = np.arange(FASTPACK_MM)[None, :] < cnt[:, None]
+        vals = mmpk[selm]
+        mm_cols2 = ((vals >> 3) - np.repeat(c5, cnt)).astype(np.int32)
+        mm_ref2 = np.ascontiguousarray(
+            _DEC_ASCII[np.clip(vals & 7, 0, 4)])
+
+        fbuf, rec_ends = _format_records(
+            al, batch, frows, rec_read, flag, tidx,
+            toff, mapq, c5, mid, c3, score, nmm, zs, nh,
+            mm_cols2, mm_ref2, mm_off)
+        last_rec = np.cumsum(nr) - 1
+        read_end[frows] = rec_ends[last_rec]
+        stats["uniq"] += int((nvalid[frows] == 1).sum())
+        stats["multi"] += int((nvalid[frows] >= 2).sum())
+
+    # ---- slow reads ----
+    slow_out: dict[int, list] = {}
+    if slow.size:
+        mg = mg_fut()
+        K2 = mg.shape[1] if mg.ndim == 3 else 8
+        msc = np.full((B, K2), NEG_INF, np.int64)
+        mpos = np.zeros((B, K2), np.int64)
+        mfw = np.zeros((B, K2), bool)
+        mgap = np.zeros((B, K2), bool)
+        if mg.size:
+            msc[grows] = mg[:, :, 0]
+            mpos[grows] = mg[:, :, 1]
+            mfw[grows] = (mg[:, :, 2] & 1) > 0
+            mgap[grows] = (mg[:, :, 2] & 2) > 0
+        merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
+        plans: dict[int, list] = {}
+        ug_items: list[tuple[int, int, bool]] = []
+        for i in slow:
+            i = int(i)
+            if filtered[i]:
+                continue
+            entries = [("reg", s, p, f, g) for s, p, f, g, _, _
+                       in al._ranked_candidates(merged, i, int(min_scs[i]))]
+            entries = entries[: khits + 1]
+            plans[i] = entries
+            for kind, s, p, f, g in entries:
+                if not g:
+                    ug_items.append((i, int(p), bool(f)))
+        lookup: dict[tuple, object] = {}
+        if ug_items:
+            ridx = np.asarray([x[0] for x in ug_items])
+            upos = np.asarray([x[1] for x in ug_items])
+            ufw = np.asarray([x[2] for x in ug_items])
+            alns = al._finalize_ungapped_list(batch, ridx, upos, ufw,
+                                              lens[ridx])
+            for (i, p, f), a in zip(ug_items, alns):
+                lookup[(i, p, f)] = a
+        from .pipeline import _dedup_alns
+        for i in slow:
+            i = int(i)
+            if filtered[i]:
+                res = ReadResult(filtered="NS" if lens[i] else "LN")
+            else:
+                res = ReadResult()
+                entries = plans.get(i, [])
+                if entries:
+                    res.best = entries[0][1]
+                    if len(entries) > 1:
+                        res.secbest = entries[1][1]
+                    for kind, s, p, f, g in entries:
+                        a = (al._finalize(i, batch, s, p, f, True,
+                                          int(lens[i])) if g
+                             else lookup.get((i, p, f)))
+                        if a is not None:
+                            res.alns.append(a)
+                    if res.alns:
+                        _dedup_alns(res, khits)
+                    else:
+                        res = ReadResult()
+            lines = _format_slow(al, batch, i, res, sc)
+            if not res.aligned:
+                stats["unal"] += 1
+            elif len(res.alns) > 1 or (res.secbest is not None
+                                       and res.secbest >= min_scs[i]):
+                stats["multi"] += 1
+            else:
+                stats["uniq"] += 1
+            slow_out[i] = lines
+
+    w = writer.out.write
+    if not slow_out:
+        if fbuf:
+            w(fbuf.decode("ascii"))
+        return stats
+    text = fbuf.decode("ascii") if fbuf else ""
+    last_end = np.maximum.accumulate(np.where(fast, read_end, 0))
+    prev_end = 0
+    for i in sorted(slow_out):
+        if text and i > 0:
+            end = int(last_end[i - 1])
+            if end > prev_end:
+                w(text[prev_end:end])
+                prev_end = end
+        for ln in slow_out[i]:
+            w(ln)
+    if text and prev_end < len(text):
+        w(text[prev_end:])
+    return stats
+
+
+def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
+    """Unpacked-transfer path: spliced mode, Zs tags, segments mode, or
+    no native formatter."""
     lib = _samfmt()
     if lib is None:
         from .pipeline import results_to_sam
@@ -726,12 +995,13 @@ def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
     Nf = frows.size
     lens = batch.lens.astype(np.int64)[frows]
 
-    # per-read name buffer
-    name_parts = [batch.names[int(i)].encode("ascii")[:255] for i in frows]
-    name_lens = np.fromiter((len(x) for x in name_parts), np.int64, Nf)
+    # per-read name buffer (np.array's C-level str->bytes encode)
+    nb = np.array([batch.names[int(i)] for i in frows], dtype="S255")
+    name_lens = np.char.str_len(nb).astype(np.int64)
     name_off = np.zeros(Nf + 1, np.int64)
     np.cumsum(name_lens, out=name_off[1:])
-    name_buf = np.frombuffer(b"".join(name_parts), np.uint8)
+    wide = nb.view(np.uint8).reshape(Nf, -1)
+    name_buf = wide[np.arange(wide.shape[1])[None, :] < name_lens[:, None]]
 
     # per-read SEQ/QUAL in both orientations (packed by true length)
     raw = batch.seqs[frows]
@@ -740,9 +1010,17 @@ def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
     in_read = ar[None, :] < lens[:, None]
     seq_f = _DEC_ASCII[np.clip(raw, 0, 4)]
     qual_f = (np.clip(batch.quals[frows], 0, 93) + 33).astype(np.uint8)
-    rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
-    seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
-    qual_r = np.take_along_axis(qual_f, rcidx, 1)
+    if Nf and (lens == lens[0]).all():
+        # uniform read length (the common batch): reversal is a plain flip
+        l0 = int(lens[0])
+        seq_r = np.zeros_like(seq_f)
+        qual_r = np.zeros_like(qual_f)
+        seq_r[:, :l0] = _COMP_ASCII[seq_f[:, l0 - 1::-1]]
+        qual_r[:, :l0] = qual_f[:, l0 - 1::-1]
+    else:
+        rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
+        seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
+        qual_r = np.take_along_axis(qual_f, rcidx, 1)
     seq_off = np.zeros(Nf + 1, np.int64)
     np.cumsum(lens, out=seq_off[1:])
     sf = np.ascontiguousarray(seq_f[in_read])

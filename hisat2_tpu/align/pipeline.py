@@ -422,20 +422,26 @@ def _unpack_reads(seq_words, n_words, quals, qual_const, lens, L: int):
 
 # fastpack layout: int16 lanes per read —
 #   [0] nvalid  [1] best  [2] secbest (-32768 = none)
-#   [3] flags: fw0 | gapped0<<1 | fw1<<2 | gapped1<<3 | exhausted<<4
-#   per report k in {0, 1} at base 4 + 12*k:
-#     [+0] pos lo16  [+1] pos hi16  [+2] c5  [+3] c3
-#     [+4] nmm  [+5] nmm_all  [+6..11] 6 x (mmcol << 3 | refchar)
-FASTPACK_MM = 6
-FASTPACK_W = 4 + 2 * (6 + FASTPACK_MM)
+#   [3] flags: (fw_k << 2k | gapped_k << 2k+1) for reports k, exh << 14
+#   per report k at base 4 + 11*k:
+#     [+0] pos lo16  [+1] pos hi16  [+2] c5  [+3] c3  [+4] nmm
+#     [+5] nmm_all  [+6] score  [+7..10] 4 x (mmcol << 3 | refchar)
+FASTPACK_MM = 4
+FASTPACK_REP = 7 + FASTPACK_MM
 
 
-def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int):
+def fastpack_width(kf: int) -> int:
+    return 4 + FASTPACK_REP * kf
+
+
+def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
+                    KF: int):
     """Compress everything the host fast path needs into 2 bytes x
-    FASTPACK_W per read (device->host runs at ~30MB/s with ~27ms per
-    sync over the tunnel, so the per-read payload budget is the
-    throughput ceiling). Device-side distinct-placement dedup + top-2
-    report selection replaces the host-side NumPy selection."""
+    fastpack_width(KF) per read (device->host runs at ~30MB/s with ~27ms
+    per sync over the tunnel, so the per-read payload budget is the
+    throughput ceiling). Device-side distinct-placement dedup + top-KF
+    report selection replaces the host-side NumPy selection; KF covers
+    -k so multimapped reads stay on the native path."""
     sc = merged[:, :, 0]
     pos = merged[:, :, 1]
     fl = merged[:, :, 2]
@@ -448,43 +454,84 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int):
     pvalid = valid & ~dup
     nvalid = pvalid.sum(axis=1).astype(jnp.int32)
     vrank = jnp.where(pvalid, jnp.cumsum(pvalid, axis=1) - 1, K2 + 1)
-    sel1 = jnp.argmax(vrank == 1, axis=1).astype(jnp.int32)
-    has2 = nvalid >= 2
     best = sc[:, 0]
-    secb = jnp.where(has2, jnp.take_along_axis(sc, sel1[:, None], 1)[:, 0],
-                     jnp.int32(-32768))
+    secb = jnp.where(nvalid >= 2, jnp.take_along_axis(
+        sc, jnp.argmax(vrank == 1, axis=1)[:, None], 1)[:, 0],
+        jnp.int32(-32768))
     ridx = jnp.arange(B, dtype=jnp.int32)
-    p0, f0, g0 = pos[:, 0], fw[:, 0], (fl[:, 0] & 2) > 0
-    p1 = pos[ridx, sel1]
-    f1 = fw[ridx, sel1]
-    g1 = (fl[ridx, sel1] & 2) > 0
     exh = st["exhausted"][:B] & st["exhausted"][B:]
-    flags = (f0.astype(jnp.int32) | (g0.astype(jnp.int32) << 1)
-             | (f1.astype(jnp.int32) << 2) | (g1.astype(jnp.int32) << 3)
-             | (exh.astype(jnp.int32) << 4))
+    flags = exh.astype(jnp.int32) << 14
+    sels, fws, poss = [], [], []
+    for k in range(KF):
+        selk = (jnp.zeros(B, jnp.int32) if k == 0
+                else jnp.argmax(vrank == k, axis=1).astype(jnp.int32))
+        pk = pos[ridx, selk]
+        fk = fw[ridx, selk]
+        gk = (fl[ridx, selk] & 2) > 0
+        flags = (flags | (fk.astype(jnp.int32) << (2 * k))
+                 | (gk.astype(jnp.int32) << (2 * k + 1)))
+        sels.append(selk)
+        fws.append(fk)
+        poss.append(pk)
 
     fin = _stage_fin_rows(
         idx, sctab, st["seqs2"], st["quals2"], st["lens2"],
-        jnp.concatenate([p0, p1]), jnp.concatenate([f0, f1]),
-        jnp.concatenate([ridx, ridx]), B, FASTPACK_MM)
+        jnp.concatenate(poss), jnp.concatenate(fws),
+        jnp.tile(ridx, KF), B, FASTPACK_MM)
     D = fin.shape[1]
-    fin = fin.reshape(2, B, D)
+    fin = fin.reshape(KF, B, D)
 
-    def rep(k, p):
-        f = fin[k]
+    cols = [nvalid, jnp.clip(best, -32768, 32767),
+            jnp.clip(secb, -32768, 32767), flags]
+    for k in range(KF):
+        f = fin[k]            # [c5, c3, score, nmm, nmm_all, cols.., chars..]
         mm = f[:, 5:5 + FASTPACK_MM]
         mch = f[:, 5 + FASTPACK_MM:]
         mmp = jnp.clip(mm, 0, 4095) << 3 | jnp.clip(mch, 0, 7)
-        return [p & 0xFFFF, (p >> 16) & 0xFFFF,
-                f[:, 0], f[:, 1], f[:, 2:3].clip(-32768, 32767)[:, 0] * 0
-                + f[:, 3], f[:, 4]] + [mmp[:, j]
-                                       for j in range(FASTPACK_MM)]
-
-    cols = ([nvalid, jnp.clip(best, -32768, 32767),
-             jnp.clip(secb, -32768, 32767), flags]
-            + rep(0, p0) + rep(1, p1))
+        sck = jnp.take_along_axis(sc, sels[k][:, None], 1)[:, 0]
+        cols += [poss[k] & 0xFFFF, (poss[k] >> 16) & 0xFFFF,
+                 f[:, 0], f[:, 1], f[:, 3], f[:, 4],
+                 jnp.clip(sck, -32768, 32767)]
+        cols += [mmp[:, j] for j in range(FASTPACK_MM)]
     out = jnp.stack(cols, axis=1).astype(jnp.int16)
     return out
+
+
+@partial(jax.jit, static_argnames=(
+    "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
+    "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
+    "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const"))
+def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
+                        quals, qual_const, lens, minsc_i, minsc_s, gap1,
+                        B: int, L: int, max_seeds: int, n_seeds: int,
+                        locs_per_seg: int, top_cands: int,
+                        min_seg_len: int, ftab_k: int, K2: int, KF: int,
+                        fb_bucket: int, dp_bucket: int, dp_pad: int,
+                        no_dp: bool, nofw: bool, norc: bool,
+                        seeder: str, fb_seeder: str, sc_const):
+    """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
+    the core, and compress results to the int16 fastpack. Returns
+    (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
+    stays device-resident; the host gathers only slow reads' rows
+    (_gather_merged) in a follow-up dispatch."""
+    seqs, quals = _unpack_reads(seq_words, n_words, quals, qual_const,
+                                lens, L)
+    merged, st = _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s,
+                          gap1, B, max_seeds, n_seeds, locs_per_seg,
+                          top_cands, min_seg_len, ftab_k, K2, fb_bucket,
+                          dp_bucket, dp_pad, no_dp, nofw, norc, seeder,
+                          fb_seeder, sc_const)
+    minsc = jnp.ceil(minsc_i + minsc_s
+                     * lens.astype(jnp.float32)).astype(jnp.int32)
+    fastpack = _stage_fastpack(idx, sctab, merged, st, minsc, B, K2, KF)
+    return fastpack, merged
+
+
+@jax.jit
+def _gather_merged(merged, rows):
+    """Slow-read follow-up: fetch only the candidate rows the per-read
+    path needs (rows are pre-padded to a fixed bucket size)."""
+    return merged[rows]
 
 
 def _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s, gap1,
@@ -702,6 +749,62 @@ class Aligner:
                     dp_rows[:rows.size])
         return st, dp_sc
 
+    def device_align_fast(self, batch: ReadBatch):
+        """Packed-transfer fused dispatch: send 2-bit reads, start the
+        async fastpack copy immediately, keep merged on device. Returns
+        (fastpack_dev, merged_dev). The caller overlaps further batches'
+        dispatches with this one's host fetch (emit.align_and_emit_stream)."""
+        o = self.opts
+        B = len(batch)
+        L = batch.seqs.shape[1]
+        self.metrics.reads += B
+        self.metrics.batches += 1
+        seq_w, n_w, quals, qconst, lens = batch.packed()
+        K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+        fp_dev, merged_dev = _stage_align_packed(
+            self.idx, self.sctab,
+            jnp.asarray(seq_w), jnp.asarray(n_w),
+            None if quals is None else jnp.asarray(quals),
+            jnp.int32(qconst), jnp.asarray(lens),
+            jnp.float32(self.scoring.score_min.I),
+            jnp.float32(self.scoring.score_min.S),
+            jnp.int32(min(self.scoring.read_gap_open(),
+                          self.scoring.ref_gap_open())),
+            B, L, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
+            self.min_seg_len, self.fm.ftab_k, K2, max(1, min(o.khits, 5)),
+            min(B, max(32, B // 8)), min(B, max(64, B // 8)),
+            o.dp_pad, o.no_dp, o.nofw, o.norc,
+            self.seeder, self.fb_seeder, self.sc_const)
+        try:
+            fp_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return fp_dev, merged_dev
+
+    def gather_merged_rows(self, merged_dev, rows: np.ndarray):
+        """Fetch merged candidate rows for slow reads (padded to a power
+        of two so compile shapes stay bounded)."""
+        return self.gather_merged_async(merged_dev, rows)()
+
+    def gather_merged_async(self, merged_dev, rows: np.ndarray):
+        """Dispatch the slow-row gather and start its host copy; returns
+        a closure that blocks for the result (callers format fast reads
+        while the transfer is in flight)."""
+        if rows.size == 0:
+            empty = np.zeros((0,) + tuple(merged_dev.shape[1:]), np.int32)
+            return lambda: empty
+        bucket = 32
+        while bucket < rows.size:
+            bucket *= 2
+        rows_p = np.pad(rows, (0, bucket - rows.size))
+        out = _gather_merged(merged_dev, jnp.asarray(rows_p, jnp.int32))
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        n = rows.size
+        return lambda: np.asarray(out)[:n]
+
     def device_align_fused(self, batch: ReadBatch):
         """One-dispatch device path (emit fast path): returns host arrays
         (merged dict, fin packed). SE seed-mode only."""
@@ -913,13 +1016,54 @@ class Aligner:
         jj = np.asarray(res["j"])[:P]
         jstr = np.asarray(res["strand"])[:P]
         jcan = np.asarray(res["canon"])[:P]
+        jps = np.asarray(res["probscore"])[:P]
+        jmmL = np.asarray(res["mmL"])[:P]
+        jmmR = np.asarray(res["mmR"])[:P]
 
+        from . import splice_model as _sm
         spl: dict[int, list] = merged.setdefault("splice", {})
+        partial: dict[int, list] = merged.setdefault("splice_partial", {})
         for k, (i, pa, pb, fa) in enumerate(lanes):
             min_sc = int(np.ceil(self.scoring.score_min.I
                                  + self.scoring.score_min.S * lens[i]))
-            if jsc[k] < min_sc or jstr[k] == 0:
+            if jstr[k] == 0:
                 continue
+            if jsc[k] < min_sc:
+                # below threshold as a single junction, but a canonical or
+                # known junction can still anchor a 2+-intron chain (the
+                # residual segment may hide another junction)
+                if jcan[k] != 0 and jsc[k] > NEG_INF // 2:
+                    cp = dict(score=int(jsc[k]), posA=pa, posB=pb,
+                              fw=bool(fa), j=int(jj[k]), delta=pb - pa,
+                              strand="+" if jstr[k] == 1 else "-",
+                              canon=int(jcan[k]), probscore=float(jps[k]))
+                    cur = partial.setdefault(i, [])
+                    if len(cur) < 4:
+                        cur.append(cp)
+                continue
+            if jcan[k] != 1:
+                # novel junction acceptance (reference hi_aligner.h:
+                # 3753-3786): mismatch-discounted shorter anchor bounds
+                # the intron length; canonical junctions additionally
+                # need the splice-signal probscore over the
+                # length-dependent threshold
+                delta_k = pb - pa
+                aL = int(jj[k]) - 2 * int(jmmL[k])
+                aR = int(lens[i]) - int(jj[k]) - 2 * int(jmmR[k])
+                shorter = max(min(aL, aR), 1)
+                # the gates apply only while the anchor-derived ceiling is
+                # tighter than --max-intronlen (hi_aligner.h:3770)
+                if jcan[k] == 2:
+                    limit = int(_sm.max_intron_len(shorter))
+                    if limit < o.max_intron:
+                        if delta_k > limit:
+                            continue
+                        if jps[k] < float(_sm.probscore_thresh(delta_k)):
+                            continue
+                else:
+                    limit = int(_sm.max_intron_len_noncan(shorter))
+                    if limit < o.max_intron and delta_k > limit:
+                        continue
             if o.dta and jcan[k] == 2:
                 # assembler mode: novel canonical junctions need long
                 # anchors on both sides (reference --dta)
@@ -928,7 +1072,8 @@ class Aligner:
                     continue
             c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=bool(fa),
                      j=int(jj[k]), delta=pb - pa,
-                     strand="+" if jstr[k] == 1 else "-", canon=int(jcan[k]))
+                     strand="+" if jstr[k] == 1 else "-", canon=int(jcan[k]),
+                     probscore=float(jps[k]))
             cur = spl.setdefault(i, [])
             if any(x["posA"] == pa and x["posB"] == pb and x["fw"] == fa
                    for x in cur):
@@ -942,19 +1087,204 @@ class Aligner:
         for i in list(spl):
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
+        self._splice_second_pass(batch, merged, spl, lens, perfect)
+
+    def _splice_second_pass(self, batch, merged, spl, lens, perfect):
+        """Chain a further intron on either side of each read's best
+        junction — reads crossing 2+ junctions (short middle exons),
+        where the reference recurses (spliced_aligner.h:331
+        hybridSearch_recur). The same closed-form junction kernel runs on
+        the residual read segment against the remaining candidate
+        diagonals; accepted chains become multi-segment candidates."""
+        from ..ops import splice as _splice
+        from . import splice_model as _sm
+        o = self.opts
+        sc, pos, fw = merged["score"], merged["pos"], merged["fw"]
+        L = batch.seqs.shape[1]
+        partial = merged.get("splice_partial", {})
+        lanes2 = []      # (i, c, side, pd)
+        bases: dict[int, list] = {}
+        for i, cands in spl.items():
+            c = cands[0]
+            if "segs" not in c and c["score"] < int(perfect[i]):
+                bases.setdefault(i, []).append(c)
+        for i, cands in partial.items():
+            cands.sort(key=lambda x: -x["score"])
+            for c in cands[:2]:
+                bases.setdefault(i, []).append(c)
+        for i, cs in bases.items():
+            rl = int(lens[i])
+            diags = set()
+            for t in range(sc.shape[1]):
+                if sc[i, t] > NEG_INF // 2:
+                    diags.add((int(pos[i, t]), bool(fw[i, t])))
+            for c in cs:
+                for pd, fd in diags:
+                    if fd != c["fw"]:
+                        continue
+                    dL = c["posA"] - pd
+                    dR = pd - c["posB"]
+                    if o.min_intron <= dL <= o.max_intron and c["j"] >= 2:
+                        lanes2.append((i, c, "L", pd))
+                    elif (o.min_intron <= dR <= o.max_intron
+                          and c["j"] <= rl - 2):
+                        lanes2.append((i, c, "R", pd))
+        if not lanes2:
+            return
+        lanes2 = lanes2[:4 * o.pairs_per_read]
+        P = len(lanes2)
+        bucket = 32
+        while bucket < P:
+            bucket *= 2
+        lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
+        rd2 = np.full((bucket, L), 4, np.int64)
+        q2 = np.zeros((bucket, L), np.int64)
+        rls2 = np.zeros(bucket, np.int32)
+        pA2 = np.zeros(bucket, np.int32)
+        pB2 = np.zeros(bucket, np.int32)
+        for k, (i, c, side, pd) in enumerate(lanes_p):
+            rl = int(lens[i])
+            ro = batch.seqs[i, :rl].astype(np.uint8)
+            qo = np.clip(batch.quals[i, :rl].astype(np.int64), 0, 63)
+            if not c["fw"]:
+                ro = alphabet.revcomp(ro)
+                qo = qo[::-1].copy()
+            j = c["j"]
+            if side == "L":
+                sub, qs = ro[:j], qo[:j]
+                rls2[k] = j
+                pA2[k], pB2[k] = pd, c["posA"]
+            else:
+                sub, qs = ro[j:rl], qo[j:rl]
+                rls2[k] = rl - j
+                pA2[k], pB2[k] = c["posB"] + j, pd + j
+            rd2[k, :sub.size] = sub
+            q2[k, :qs.size] = qs
+        kleft, kright = self.ssdb.device_arrays()
+        res2 = _splice.junction_score(
+            self.idx, self.sctab, jnp.asarray(rd2), jnp.asarray(q2),
+            jnp.asarray(rls2), jnp.asarray(pA2), jnp.asarray(pB2),
+            kleft, kright)
+        j2 = np.asarray(res2["j"])[:P]
+        st2 = np.asarray(res2["strand"])[:P]
+        cn2 = np.asarray(res2["canon"])[:P]
+        ps2 = np.asarray(res2["probscore"])[:P]
+        sc2 = np.asarray(res2["score"])[:P]
+        for k, (i, c, side, pd) in enumerate(lanes2):
+            if st2[k] == 0 or sc2[k] <= NEG_INF // 2:
+                continue
+            strand2 = "+" if st2[k] == 1 else "-"
+            if strand2 != c["strand"]:
+                continue          # conflicting strands (reference 1e6 pen)
+            jj2 = int(j2[k])
+            rl = int(lens[i])
+            if side == "L":
+                if not (0 < jj2 < c["j"]):
+                    continue
+                segs = [(pd, 0), (c["posA"], jj2), (c["posB"], c["j"])]
+            else:
+                gj = c["j"] + jj2
+                if not (c["j"] < gj < rl):
+                    continue
+                segs = [(c["posA"], 0), (c["posB"], c["j"]), (pd, gj)]
+            canons = ([int(cn2[k]), c["canon"]] if side == "L"
+                      else [c["canon"], int(cn2[k])])
+            # novel-junction gates on the new junction
+            delta2 = segs[1][0] - segs[0][0] if side == "L" \
+                else segs[2][0] - segs[1][0]
+            if int(cn2[k]) != 1:
+                bnds = [j for _, j in segs] + [rl]
+                which = 0 if side == "L" else 1
+                aL = bnds[which + 1] - bnds[which]
+                aR = bnds[which + 2] - bnds[which + 1]
+                shorter = max(min(aL, aR), 1)
+                if int(cn2[k]) == 2:
+                    lim = int(_sm.max_intron_len(shorter))
+                    if lim < o.max_intron:
+                        if delta2 > lim:
+                            continue
+                        if ps2[k] < float(_sm.probscore_thresh(delta2)):
+                            continue
+                else:
+                    lim = int(_sm.max_intron_len_noncan(shorter))
+                    if lim < o.max_intron and delta2 > lim:
+                        continue
+            score2 = self._score_segs(i, batch, segs, c["fw"], canons, rl)
+            min_sc = int(np.ceil(self.scoring.score_min.I
+                                 + self.scoring.score_min.S * rl))
+            if score2 < min_sc or score2 <= c["score"]:
+                continue
+            c2 = dict(score=int(score2), posA=segs[0][0], posB=segs[1][0],
+                      j=segs[1][1], delta=segs[1][0] - segs[0][0],
+                      fw=c["fw"], strand=c["strand"],
+                      canon=min(canons), canons=canons, segs=segs)
+            cur = spl.setdefault(i, [])
+            if any(x.get("segs") == segs for x in cur):
+                continue
+            cur.append(c2)
+            cur.sort(key=lambda x: (-x["score"],
+                                    0 if x["canon"] == 1 else 1))
+
+    def _score_segs(self, i, batch, segs, fw_flag, canons, rdlen) -> int:
+        """Exact host score of a multi-segment spliced alignment: clips +
+        mismatches + per-junction splice penalties (same policy as the
+        device kernel: known/canonical = intron-length penalty only,
+        non-canonical +12)."""
+        from ..ops.splice import NONCANON_PEN
+        ref = self.fm.ref
+        rd = batch.seqs[i, :rdlen].astype(np.uint8)
+        q = np.clip(batch.quals[i, :rdlen].astype(np.int64), 0, 63)
+        if not fw_flag:
+            rd = alphabet.revcomp(rd)
+            q = q[::-1].copy()
+        bounds = [j for _, j in segs] + [rdlen]
+        win = np.concatenate(
+            [ref.get_stretch(p + j0, j1 - j0)
+             for (p, j0), j1 in zip(segs, bounds[1:])])
+        isn = (rd >= 4) | (win >= 4)
+        mm = (rd != win) & ~isn
+        if self.overlay is not None:
+            ovw = np.concatenate(
+                [self._overlay_window(p + j0, j1 - j0)
+                 for (p, j0), j1 in zip(segs, bounds[1:])])
+            mm &= ~((ovw == rd + 1) | (ovw == 15))
+        s = np.where(mm, -self.scoring.mm_pens()[q], 0)
+        s = np.where(isn, -self.scoring.n_pen, s)
+        scp = self.scoring.sc_pens()[q].astype(np.int64)
+        A = np.concatenate([[0], np.cumsum(s)])
+        SCP = np.concatenate([[0], np.cumsum(scp)])
+        j1 = bounds[1]
+        jlast = bounds[len(segs) - 1]
+        c5 = int(np.argmin((A + SCP)[: j1 + 1]))
+        vals = (A[jlast:] - A[jlast]) - (SCP[-1] - SCP[jlast:])
+        e = rdlen - int(np.argmax(vals[::-1]))
+        base = int((A[e] - A[c5]) - SCP[c5] - (SCP[-1] - SCP[e]))
+        pen = 0
+        for k in range(len(segs) - 1):
+            delta = segs[k + 1][0] - segs[k][0]
+            pen += max(0, int(-8.0 + np.log(max(delta, 1))))
+            if canons[k] == 0:
+                pen += NONCANON_PEN
+        return base - pen
 
     def _finalize_spliced(self, i, batch, c: dict, rdlen: int
                           ) -> Alignment | None:
-        """Materialize a spliced candidate: CIGAR aM / deltaN / bM, MD over
-        both exon windows, XS:A strand (sam.h:930-940)."""
+        """Materialize a spliced candidate: CIGAR M/N/M(/N/M...), MD over
+        the exon windows, XS:A strand (sam.h:930-940). Single-junction
+        candidates carry posA/posB/j; multi-intron chains (the reference's
+        hybridSearch_recur recursion, spliced_aligner.h:331) carry a
+        `segs` list of (joined_pos, read_start) exon segments."""
         ref = self.fm.ref
         rd = batch.seqs[i, :rdlen].astype(np.uint8)
         if not c["fw"]:
             rd = alphabet.revcomp(rd)
-        j, delta = c["j"], c["delta"]
-        winA = ref.get_stretch(c["posA"], j)
-        winB = ref.get_stretch(c["posB"] + j, rdlen - j)
-        win = np.concatenate([winA, winB])
+        segs = c.get("segs") or [(c["posA"], 0), (c["posB"], c["j"])]
+        bounds = [j for _, j in segs] + [rdlen]
+        if any(bounds[k + 1] <= bounds[k] for k in range(len(segs))):
+            return None
+        win = np.concatenate(
+            [ref.get_stretch(p + j0, j1 - j0)
+             for (p, j0), j1 in zip(segs, bounds[1:])])
         # recover optimal outer soft clips (mirrors the kernel's clip-aware
         # prefix/suffix cummins)
         q = batch.quals[i, :rdlen].astype(np.int64)
@@ -964,39 +1294,56 @@ class Aligner:
         isn = (rd >= 4) | (win >= 4)
         mm = (rd != win) & ~isn
         if self.overlay is not None:
-            ovw = np.concatenate([
-                self._overlay_window(c["posA"], j),
-                self._overlay_window(c["posB"] + j, rdlen - j)])
+            ovw = np.concatenate(
+                [self._overlay_window(p + j0, j1 - j0)
+                 for (p, j0), j1 in zip(segs, bounds[1:])])
             mm &= ~((ovw == rd + 1) | (ovw == 15))
         s = np.where(mm, -mm_pens[np.clip(q, 0, 63)], 0)
         s = np.where(isn, -self.scoring.n_pen, s)
         scp = self.scoring.sc_pens()[np.clip(q, 0, 63)].astype(np.int64)
         A = np.concatenate([[0], np.cumsum(s)])
         SCP = np.concatenate([[0], np.cumsum(scp)])
-        c5 = int(np.argmin((A + SCP)[: j + 1]))
-        # end e >= j maximizing exon2 score - trailing clip; ties toward
-        # larger e (fewer clipped bases)
-        vals = (A[j:] - A[j]) - (SCP[-1] - SCP[j:])
+        j1 = bounds[1]                      # first junction offset
+        jlast = bounds[len(segs) - 1]       # last junction offset
+        c5 = int(np.argmin((A + SCP)[: j1 + 1]))
+        # end e >= jlast maximizing tail score - trailing clip; ties
+        # toward larger e (fewer clipped bases)
+        vals = (A[jlast:] - A[jlast]) - (SCP[-1] - SCP[jlast:])
         e = rdlen - int(np.argmax(vals[::-1]))
         c3 = rdlen - e
-        if j - c5 <= 0 or e - j <= 0:
+        if j1 - c5 <= 0 or e - jlast <= 0:
+            if len(segs) > 2:
+                return None
             c5, c3, e = 0, 0, rdlen
         mid_mask = np.zeros(rdlen, bool)
         mid_mask[c5:e] = True
         nm = int(((mm | isn) & mid_mask).sum())
         md, _ = samio.make_md(rd[c5:e], win[c5:e], [("M", e - c5)])
-        cigar = ([("S", c5)] if c5 else []) + [("M", j - c5), ("N", delta),
-                                               ("M", e - j)] \
-            + ([("S", c3)] if c3 else [])
-        aln = Alignment(joined_pos=c["posA"] + c5, fw=c["fw"],
+        cigar = [("S", c5)] if c5 else []
+        for k in range(len(segs)):
+            lo = max(bounds[k], c5)
+            hi = min(bounds[k + 1], e)
+            cigar.append(("M", hi - lo))
+            if k + 1 < len(segs):
+                cigar.append(("N", segs[k + 1][0] - segs[k][0]))
+        if c3:
+            cigar.append(("S", c3))
+        aln = Alignment(joined_pos=segs[0][0] + c5, fw=c["fw"],
                         score=c["score"], cigar=cigar, nmm=nm, md=md, nm=nm,
                         xs_strand=c["strand"])
         loc = ref.joined_to_text(aln.joined_pos, aln.ref_span)
         if loc is None:
             return None
         aln.tidx, aln.toff = loc
-        if not self.opts.no_temp_splicesite and c["canon"] == 2:
-            self.ssdb.add_novel(c["posA"] + j - 1, c["posB"] + j, c["strand"])
+        if not self.opts.no_temp_splicesite:
+            canons = c.get("canons") or [c["canon"]]
+            for k in range(len(segs) - 1):
+                if canons[min(k, len(canons) - 1)] == 2:
+                    # junction k: intron [seg_k pos + j_{k+1}, seg_{k+1}
+                    # pos + j_{k+1})
+                    self.ssdb.add_novel(
+                        segs[k][0] + bounds[k + 1] - 1,
+                        segs[k + 1][0] + bounds[k + 1], c["strand"])
         return aln
 
     def _select_with_splice(self, i, batch, merged, spl_cands, min_sc,

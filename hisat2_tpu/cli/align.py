@@ -284,24 +284,42 @@ def main(argv=None) -> int:
             readers = [read_reads(p, fmt, args.phred64)
                        for p in args.unpaired.split(",")]
             stream = itertools.chain(*readers)
-        from ..align.emit import align_and_emit
+        from ..align.emit import align_and_emit, align_and_emit_stream
         stream = _reindex(stream, args.skip, args.qupto, args.trim5,
                           args.trim3, args.ignore_quals)
-        for batch in batch_iter(stream, args.batch_size):
-            if args.un or args.al or rep_aligner is not None:
+        if args.un or args.al or rep_aligner is not None:
+            for batch in batch_iter(stream, args.batch_size):
                 results = al.align_batch(batch)
                 if rep_aligner is not None:
                     _repeat_pass(rep_aligner, batch, results)
                 merge(results_to_sam(batch, results, al, writer))
                 write_unal_al(batch, results)
-            else:
-                merge(align_and_emit(al, batch, writer))
-            nreads += len(batch)
-            if msink:
-                al.metrics.aligned = totals.get("uniq", 0) + totals.get("multi", 0)
-                al.metrics.unaligned = totals.get("unal", 0)
-                al.metrics.multi = totals.get("multi", 0)
-                msink.tick()
+                nreads += len(batch)
+                if msink:
+                    al.metrics.aligned = (totals.get("uniq", 0)
+                                          + totals.get("multi", 0))
+                    al.metrics.unaligned = totals.get("unal", 0)
+                    al.metrics.multi = totals.get("multi", 0)
+                    msink.tick()
+        else:
+            # pipelined: batch k+1 dispatches before batch k's results
+            # come back (device compute overlaps tunnel transfers)
+            nb = 0
+
+            def _tick(batch, st):
+                nonlocal nreads, nb
+                merge(st)
+                nreads += len(batch)
+                nb += 1
+                if msink:
+                    al.metrics.aligned = (totals.get("uniq", 0)
+                                          + totals.get("multi", 0))
+                    al.metrics.unaligned = totals.get("unal", 0)
+                    al.metrics.multi = totals.get("multi", 0)
+                    msink.tick()
+
+            align_and_emit_stream(al, batch_iter(stream, args.batch_size),
+                                  writer, on_batch=_tick)
     elif args.m1 and args.m2:
         r1s = itertools.chain(*[read_reads(p, fmt, args.phred64)
                                 for p in args.m1.split(",")])

@@ -65,9 +65,11 @@ def junction_score(idx: dict, sctab: dict,
     rdlens = rdlens.astype(jnp.int32)
     delta = posB - posA
 
-    winA = _rank.text_window(idx, posA, L + 2)      # (C, L+2)
-    winB_full = _rank.text_window(idx, posB - 2, L + 2)
-    winB = winB_full[:, 2:]                          # aligned to read offsets
+    # windows widened to cover the splice-signal model's 9bp donor /
+    # 15bp acceptor contexts on either strand (align/splice_model.py)
+    winA = _rank.text_window(idx, posA, L + 16)     # text[posA + k]
+    winB_ext = _rank.text_window(idx, posB - 16, L + 18)  # text[posB-16+k]
+    winB = winB_ext[:, 16:16 + L]                   # aligned to read offsets
 
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = ar < rdlens[:, None]
@@ -109,10 +111,12 @@ def junction_score(idx: dict, sctab: dict,
 
     jcol = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
     # splice motifs at junction j: intron = [posA+j, posB+j)
-    don1 = jnp.take_along_axis(winA, jnp.minimum(jcol, L + 1), axis=1)
-    don2 = jnp.take_along_axis(winA, jnp.minimum(jcol + 1, L + 1), axis=1)
-    acc1 = jnp.take_along_axis(winB_full, jnp.minimum(jcol, L + 1), axis=1)
-    acc2 = jnp.take_along_axis(winB_full, jnp.minimum(jcol + 1, L + 1), axis=1)
+    don1 = jnp.take_along_axis(winA, jnp.minimum(jcol, L + 15), axis=1)
+    don2 = jnp.take_along_axis(winA, jnp.minimum(jcol + 1, L + 15), axis=1)
+    acc1 = jnp.take_along_axis(winB_ext, jnp.minimum(jcol + 14, L + 17),
+                               axis=1)
+    acc2 = jnp.take_along_axis(winB_ext, jnp.minimum(jcol + 15, L + 17),
+                               axis=1)
     # + strand: GT...AG;  - strand: CT...AC  (G=2,T=3,A=0,C=1)
     plus = (don1 == 2) & (don2 == 3) & (acc1 == 0) & (acc2 == 2)
     minus = (don1 == 1) & (don2 == 3) & (acc1 == 0) & (acc2 == 1)
@@ -150,9 +154,54 @@ def junction_score(idx: dict, sctab: dict,
     # lanes with invalid deltas are dead
     ok = (delta >= 20) & (best > NEG // 2)
     strand = jnp.where(bplus | (bknown & ~bcanon), 1, 2)
+
+    # per-side mismatch counts at the chosen junction (anchor purity
+    # feeds the reference's shorter_anchor/intron-length acceptance,
+    # hi_aligner.h:3753-3767)
+    mmA = ((rd != winA[:, :L]) | (rd >= 4) | (winA[:, :L] >= 4)) & in_read
+    mmB = ((rd != winB) | (rd >= 4) | (winB >= 4)) & in_read
+    MA = jnp.concatenate([jnp.zeros((C, 1), jnp.int32),
+                          jnp.cumsum(mmA.astype(jnp.int32), axis=1)], axis=1)
+    MB = jnp.concatenate([jnp.zeros((C, 1), jnp.int32),
+                          jnp.cumsum(mmB.astype(jnp.int32), axis=1)], axis=1)
+    mmL = jnp.take_along_axis(MA, best_j[:, None], 1)[:, 0]
+    mmR = (jnp.take_along_axis(MB, rdlens[:, None], 1)
+           - jnp.take_along_axis(MB, best_j[:, None], 1))[:, 0]
+
+    # splice-signal probscore at the chosen junction (splice_model PWM;
+    # '-' junctions score the reverse-complemented windows)
+    from ..align import splice_model as _sm
+    dlo = jnp.asarray(_sm.DONOR_LOGODDS)     # (4, 9)
+    alo = jnp.asarray(_sm.ACCEPTOR_LOGODDS)  # (4, 15)
+    md = jnp.arange(_sm.DONOR_LEN, dtype=jnp.int32)[None, :]
+    ma = jnp.arange(_sm.ACCEPTOR_LEN, dtype=jnp.int32)[None, :]
+    j1 = best_j[:, None]
+    dp_idx = jnp.clip(j1 - 3 + md, 0, L + 15)            # winA, + strand
+    ap_idx = jnp.clip(2 + j1 + ma, 0, L + 17)            # winB_ext, +
+    dm_idx = jnp.clip(18 + j1 - md, 0, L + 17)           # winB_ext, -
+    am_idx = jnp.clip(j1 + 13 - ma, 0, L + 15)           # winA, -
+    # N bases: reference maps base>3 -> 0 BEFORE any complement
+    # (hi_aligner.h:1672 `if(base > 3) base = 0`)
+    fixn = lambda w: jnp.where(w > 3, 0, w)
+    dplus = fixn(jnp.take_along_axis(winA, dp_idx, 1))
+    aplus = fixn(jnp.take_along_axis(winB_ext, ap_idx, 1))
+    dmin = 3 - fixn(jnp.take_along_axis(winB_ext, dm_idx, 1))
+    amin = 3 - fixn(jnp.take_along_axis(winA, am_idx, 1))
+    use_plus = bplus[:, None]
+    dwin = jnp.where(use_plus, dplus, dmin)
+    awin = jnp.where(use_plus, aplus, amin)
+    s_sig = jnp.zeros((C,), jnp.float32)
+    for b in range(4):
+        s_sig = s_sig + jnp.where(dwin == b, dlo[b][None, :], 0.0).sum(1)
+        s_sig = s_sig + jnp.where(awin == b, alo[b][None, :], 0.0).sum(1)
+    pscore = 1.0 / (1.0 + jnp.exp(-s_sig))
+
     return dict(
         score=jnp.where(ok, best, NEG),
         j=best_j,
         strand=jnp.where(ok, strand, 0).astype(jnp.int32),
         canon=jnp.where(bknown, 1, jnp.where(bcanon, 2, 0)).astype(jnp.int32),
+        probscore=pscore,
+        mmL=mmL.astype(jnp.int32),
+        mmR=mmR.astype(jnp.int32),
     )

@@ -34,8 +34,8 @@ BASELINE_READS_PER_S = 280_700.0
 EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
 REF_BIN_DEFAULT = "/tmp/hisat2_ref_build/hisat2-align-s"
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32768"))
-NBATCH = int(os.environ.get("BENCH_NBATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
+NBATCH = int(os.environ.get("BENCH_NBATCH", "8"))
 RDLEN = 100
 
 

@@ -105,10 +105,15 @@ def _merge_stats(tot: dict, st: dict) -> None:
 
 
 def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
-                     writer) -> dict:
+                     writer, force_slow=None, merged_full=None) -> dict:
     """Host half of the packed SE path: unpack the int16 fastpack,
     format fast reads natively, gather merged rows for the few slow
-    reads, and stitch output in read order."""
+    reads, and stitch output in read order.
+
+    Sharded-genome callers pass a pre-merged numpy fastpack, a
+    force_slow mask (cross-shard multireads), and merged_full (the
+    already-fetched candidate grid in global coordinates) instead of a
+    device handle."""
     from .pipeline import FASTPACK_MM, FASTPACK_REP
     fp = np.asarray(fp_dev)
     B = len(batch)
@@ -160,6 +165,8 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         okf &= ~r["gapped"] & (r["nmm_all"] <= FASTPACK_MM)
         r["fc"], r["astart"] = fc, astart
         fast &= (nrep <= k) | okf
+    if force_slow is not None:
+        fast &= ~force_slow
 
     mqc = _MapqCache(sc)
     stats = dict(reads=B, unal=0, uniq=0, multi=0)
@@ -168,7 +175,8 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     # dispatch+transfer latency hides under the host work
     slow = np.flatnonzero(~fast)
     grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
-    mg_fut = al.gather_merged_async(merged_dev, grows)
+    if merged_full is None:
+        mg_fut = al.gather_merged_async(merged_dev, grows)
 
     fbuf = b""
     read_end = np.zeros(B, np.int64)
@@ -233,18 +241,21 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     # ---- slow reads ----
     slow_out: dict[int, list] = {}
     if slow.size:
-        mg = mg_fut()
-        K2 = mg.shape[1] if mg.ndim == 3 else 8
-        msc = np.full((B, K2), NEG_INF, np.int64)
-        mpos = np.zeros((B, K2), np.int64)
-        mfw = np.zeros((B, K2), bool)
-        mgap = np.zeros((B, K2), bool)
-        if mg.size:
-            msc[grows] = mg[:, :, 0]
-            mpos[grows] = mg[:, :, 1]
-            mfw[grows] = (mg[:, :, 2] & 1) > 0
-            mgap[grows] = (mg[:, :, 2] & 2) > 0
-        merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
+        if merged_full is not None:
+            merged = merged_full
+        else:
+            mg = mg_fut()
+            K2 = mg.shape[1] if mg.ndim == 3 else 8
+            msc = np.full((B, K2), NEG_INF, np.int64)
+            mpos = np.zeros((B, K2), np.int64)
+            mfw = np.zeros((B, K2), bool)
+            mgap = np.zeros((B, K2), bool)
+            if mg.size:
+                msc[grows] = mg[:, :, 0]
+                mpos[grows] = mg[:, :, 1]
+                mfw[grows] = (mg[:, :, 2] & 1) > 0
+                mgap[grows] = (mg[:, :, 2] & 2) > 0
+            merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
         plans: dict[int, list] = {}
         ug_items: list[tuple[int, int, bool]] = []
         for i in slow:

@@ -691,6 +691,39 @@ class Aligner:
                     self._ins_snps[int(self.snps.jpos[si])] = \
                         self.snps.ins_seqs[si]
 
+    @classmethod
+    def host_only(cls, ref, scoring: Scoring = DEFAULT_SCORING,
+                  opts: AlignerOpts | None = None) -> "Aligner":
+        """Finalization-only Aligner over a (possibly sharded-global)
+        reference: no index, no device arrays — just the host-side
+        candidate ranking / CIGAR-MD / formatting machinery. Used by the
+        sharded-genome path, whose device work runs on per-shard
+        Aligners (align/sharded.py)."""
+        from types import SimpleNamespace
+        from .splice_db import SpliceSiteDB
+        from ..utils.metrics import Metrics
+        self = cls.__new__(cls)
+        self.fm = SimpleNamespace(ref=ref, st_k=0, ftab_k=1,
+                                  n=int(ref.joined.size))
+        self.scoring = scoring
+        self.opts = opts or AlignerOpts()
+        self.idx = {}
+        self.sctab = None
+        self.seeder = self.fb_seeder = "host"
+        self.min_seg_len = 8
+        self.sc_const = (int(scoring.match_bonus), int(scoring.n_pen),
+                         int(scoring.read_gap_open()),
+                         int(scoring.read_gap_extend()),
+                         int(scoring.ref_gap_open()),
+                         int(scoring.ref_gap_extend()))
+        self.overlay = None
+        self.snps = None
+        self.ssdb = SpliceSiteDB()
+        self.metrics = Metrics()
+        self._del_snps = set()
+        self._ins_snps = {}
+        return self
+
     # ---- device orchestration ----
 
     def _device_align(self, batch: ReadBatch):

@@ -102,11 +102,14 @@ class FMIndex:
                          samp_vals=jnp.asarray(self.samp_vals),
                          samp_ival=int(1 << self.offrate))
         if self.st_k and self.st_starts is not None:
-            # positions in a (nr, 32) row view: window fetches are two
-            # whole-row gathers + a VPU shift (ops/rank.gather_slices)
+            # positions in a (nr, RW) row view: window fetches are two
+            # whole-row gathers + a VPU shift (ops/rank.gather_slices).
+            # High-load tables (Gbp shards) use wider rows so the paired
+            # -kmer intersect mode can scan 48 slots per bucket.
             sp = self.st_pos
-            nrp = -(-sp.size // 32)
-            sp_rows = np.zeros((nrp + 1, 32), np.int32)
+            rw = 64 if self.n > 3 * (4 ** self.st_k) else 32
+            nrp = -(-sp.size // rw)
+            sp_rows = np.zeros((nrp + 1, rw), np.int32)
             sp_rows.reshape(-1)[:sp.size] = sp
             extra.update(st_starts=jnp.asarray(self.st_starts),
                          st_pos_rows=jnp.asarray(sp_rows),

@@ -1,0 +1,142 @@
+"""Genome-sharded index: >2^31-bp references across int32-addressed shards.
+
+Equivalent role to the reference's large-index (.ht2l, 64-bit rows) path
+(btypes.h BOWTIE_64BIT_INDEX; MANUAL.markdown:221-231) — re-designed
+TPU-first: instead of promoting every device integer to 64 bits (doubling
+HBM traffic on a machine whose vector unit is 32-bit), the genome splits
+at sequence boundaries into shards of <2^31 joined bases. Each shard is a
+normal int32 index; shard-local positions + a per-shard global base give
+global coordinates. The shard axis is also the natural MODEL-parallel
+axis for multi-chip meshes (parallel/mesh.py): one shard per device,
+reads replicated, per-shard candidate lists merged by score.
+
+Single-chip operation streams shards (align every batch against shard k,
+then k+1, merging per-read candidate lists host-side) — two passes over
+the reads instead of 2x the HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.reference import JoinedReference
+from .fm_index import FMIndex, build_fm_index
+
+
+@dataclass
+class ShardedIndex:
+    shards: list            # FMIndex per shard (frag tables -> global tidx)
+    bases: list             # global joined-offset base of each shard
+    ref: JoinedReference    # the full (global) reference, host-side
+
+    def __len__(self):
+        return len(self.shards)
+
+
+def build_table_index(ref: JoinedReference, kt: int | None = None
+                      ) -> FMIndex:
+    """Seed-table-only index: the direct-address kmer table + packed text
+    + fragment tables, WITHOUT the FM components (BWT/SA/ftab). The fused
+    table-seeded pipeline never touches the FM arrays, and skipping the
+    suffix array makes Gbp-scale shard builds minutes instead of hours.
+    FM fields hold 1-block dummies so the device bundle stays tiny."""
+    from .seed_table import build_seed_table
+    from ..utils import alphabet
+
+    text = ref.joined
+    n = int(text.size)
+    packed = alphabet.pack_2bit(text)
+    pad = (-packed.size) % 8
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint32)])
+    fm = FMIndex(
+        ref=ref, n=n, zoff=0, ftab_k=1,
+        bwt_packed=np.zeros(8, np.uint32),
+        text_packed=packed,
+        occ=np.zeros((2, 4), np.int32),
+        ccount=np.asarray([1, 1, 1, 1, n + 1], np.int32),
+        sa=np.zeros(1, np.int32),
+        ftab=np.zeros((4, 2), np.int32),
+    )
+    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(text, kt=kt)
+    fm.table_only = True
+    return fm
+
+
+# default shard cap: comfortably under 2^31 with headroom for graph
+# patches (~20% at human SNP density)
+MAX_SHARD_BASES = (1 << 31) - (1 << 28)
+
+
+def build_sharded(ref: JoinedReference, max_bases: int = MAX_SHARD_BASES,
+                  table_only: bool = True, kt: int | None = None
+                  ) -> ShardedIndex:
+    """Split at sequence boundaries into shards of <= max_bases joined
+    length; each shard indexes its own joined text but carries GLOBAL
+    sequence ids/names in its fragment tables, so alignments come out in
+    global coordinates directly."""
+    nfrag = len(ref.frag_joined)
+    if kt is None:
+        from .seed_table import pick_kt
+        kt = pick_kt(min(int(ref.joined.size), max_bases))
+    shards, bases = [], []
+    start_f = 0
+    while start_f < nfrag:
+        end_f = start_f
+        size = 0
+        while end_f < nfrag:
+            flen = int(ref.frag_len[end_f])
+            if size and size + flen > max_bases:
+                break
+            size += flen
+            end_f += 1
+        base = int(ref.frag_joined[start_f])
+        jend = int(ref.frag_joined[end_f - 1] + ref.frag_len[end_f - 1])
+        sub = JoinedReference(
+            names=ref.names, tlens=ref.tlens,
+            joined=ref.joined[base:jend],
+            frag_joined=ref.frag_joined[start_f:end_f] - base,
+            frag_toff=ref.frag_toff[start_f:end_f],
+            frag_tidx=ref.frag_tidx[start_f:end_f],
+            frag_len=ref.frag_len[start_f:end_f])
+        fm = (build_table_index(sub, kt=kt) if table_only
+              else build_fm_index(sub))
+        shards.append(fm)
+        bases.append(base)
+        start_f = end_f
+    _harmonize(shards)
+    return ShardedIndex(shards=shards, bases=bases, ref=ref)
+
+
+def _harmonize(shards) -> None:
+    """Pad every shard's device-visible arrays to common shapes so the
+    fused pipeline compiles ONCE for all shards (remote TPU compiles cost
+    minutes through the tunnel). Padding is unreachable: position rows
+    beyond a shard's kmer count are masked by bucket counts; fragment
+    padding sits past every valid joined offset."""
+    if len(shards) <= 1:
+        return
+    max_pos = max(s.st_pos.size for s in shards)
+    max_txt = max(s.text_packed.size for s in shards)
+    max_frag = max(len(s.ref.frag_joined) for s in shards)
+    for s in shards:
+        if s.st_pos.size < max_pos:
+            s.st_pos = np.pad(s.st_pos, (0, max_pos - s.st_pos.size))
+        if s.text_packed.size < max_txt:
+            s.text_packed = np.pad(
+                s.text_packed, (0, max_txt - s.text_packed.size))
+        r = s.ref
+        nf = len(r.frag_joined)
+        if nf < max_frag:
+            pad = max_frag - nf
+            big = np.int64(s.n + 1)
+            r.frag_joined = np.concatenate(
+                [r.frag_joined, np.full(pad, big, r.frag_joined.dtype)])
+            r.frag_toff = np.concatenate(
+                [r.frag_toff, np.zeros(pad, r.frag_toff.dtype)])
+            r.frag_tidx = np.concatenate(
+                [r.frag_tidx, np.zeros(pad, r.frag_tidx.dtype)])
+            r.frag_len = np.concatenate(
+                [r.frag_len, np.zeros(pad, r.frag_len.dtype)])

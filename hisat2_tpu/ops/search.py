@@ -180,7 +180,9 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
         else:
             codes = codes + jnp.pad(c[:, j:], ((0, 0), (0, j))) * w
             nn = nn + jnp.pad(isn[:, j:], ((0, 0), (0, j)))
-    span = jnp.maximum(lens - kt, 0)
+    nbuckets0 = idx["st_starts"].shape[0] - 1
+    pair_mode = idx["st_pos_rows"].size / max(nbuckets0, 1) > 3.0
+    span = jnp.maximum(lens - (2 * kt if pair_mode else kt), 0)
     s_ix = jnp.arange(n_seeds, dtype=jnp.int32)
     if stride > 0:
         offs = jnp.minimum(s_ix[None, :] * stride, span[:, None])
@@ -188,10 +190,39 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
         offs = (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1)
     code_sel = jnp.take_along_axis(codes, offs, 1)          # (R, S)
     n_sel = jnp.take_along_axis(nn, offs, 1) > 0
-    usable = (lens >= kt)[:, None] & ~n_sel
     s0 = idx["st_starts"][code_sel]
     s1 = idx["st_starts"][code_sel + 1]
     cnt = s1 - s0
+
+    # bucket load decides the mode statically: Gbp-scale shards overflow
+    # kt<=13 buckets (load ~n/4^kt), so seeds become TWO consecutive
+    # kt-mers whose position lists intersect on the same diagonal — a
+    # 2kt-bp effective seed with the same two-gather-round structure
+    if pair_mode:
+        SLOT = min(48, idx["st_pos_rows"].shape[1] * 2 - 31)
+        usable = (lens >= 2 * kt)[:, None] & ~n_sel
+        code2 = jnp.take_along_axis(codes, jnp.minimum(offs + kt, L - 1), 1)
+        n2 = jnp.take_along_axis(nn, jnp.minimum(offs + kt, L - 1), 1) > 0
+        usable &= ~n2 & (offs + 2 * kt <= lens[:, None])
+        t0 = idx["st_starts"][code2]
+        t1 = idx["st_starts"][code2 + 1]
+        cntB = t1 - t0
+        A = gather_slices(idx["st_pos_rows"], s0, SLOT)      # (R, S, SLOT)
+        Bp = gather_slices(idx["st_pos_rows"], t0, SLOT) - kt
+        ia = jnp.arange(SLOT, dtype=jnp.int32)
+        va = ia[None, None, :] < cnt[..., None]
+        vb = ia[None, None, :] < cntB[..., None]
+        hit = ((A[..., :, None] == Bp[..., None, :])
+               & va[..., :, None] & vb[..., None, :]).any(-1)  # (R,S,SLOT)
+        key = jnp.where(hit, ia[None, None, :], jnp.int32(1 << 20))
+        sel = jnp.sort(key, axis=-1)[..., :locs_per_seg]
+        lvalid = (sel < (1 << 20)) & usable[..., None]
+        locs = jnp.take_along_axis(A, jnp.minimum(sel, SLOT - 1), axis=-1)
+        exhausted = jnp.all(
+            jnp.where(usable, (cnt <= SLOT) & (cntB <= SLOT), True), axis=1)
+        return dict(locs=locs, lvalid=lvalid, off=offs, exhausted=exhausted)
+
+    usable = (lens >= kt)[:, None] & ~n_sel
     locs = gather_slices(idx["st_pos_rows"], s0, locs_per_seg)  # (R, S, locs)
     lvalid = (jnp.arange(locs_per_seg, dtype=jnp.int32)[None, None, :]
               < cnt[..., None]) & usable[..., None]

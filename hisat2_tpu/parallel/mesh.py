@@ -1,17 +1,27 @@
-"""Data-parallel alignment over a device mesh.
+"""Multi-device alignment: data-parallel reads x model-parallel genome
+shards over a jax.sharding.Mesh.
 
-The reference's unit of parallelism is a pthread pulling one read at a time
-from a locked PatternSource (hisat2.cpp:3679-3696). The TPU-native unit is a
-*device*: read batches shard across the mesh's data-parallel axis, the FM
-index arrays are replicated into every chip's HBM (6.2GB GRCh38+SNP fits,
-SURVEY.md §6), and the only collectives are the implicit all-gather of the
-top-candidate outputs and psum of summary counters — both tiny next to the
-per-device search work, so scaling is embarrassingly linear over ICI.
+The reference's unit of parallelism is a pthread pulling one read at a
+time from a locked PatternSource (hisat2.cpp:3679-3696); its only
+cross-thread state is the splice-site table and merged metrics. The
+TPU-native layout (SURVEY.md §2.6 P1/P5/P8):
+
+  * mesh axes ("dp", "shard"): read batches shard along dp; the genome
+    shards (index/sharded.py — each <2^31 bases, shapes harmonized)
+    distribute along shard, one shard's arrays per device column;
+  * the FULL fused SE pipeline (unpack -> seed -> verify -> DP ->
+    merge -> fastpack, pipeline._stage_align_packed) runs per device on
+    its (reads-slice, shard) block;
+  * per-shard fastpacks ALL-GATHER over the shard axis and merge to
+    global coordinates ON DEVICE (same policy as the single-chip
+    shard-streaming merge, align/sharded.py);
+  * summary counters PSUM over dp, so every device (and the host) sees
+    whole-batch totals without extra transfers.
+
+Single-shard genomes degenerate to pure data parallelism (shard axis 1).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -19,12 +29,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None,
+              n_shards: int = 1) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), axis_names=("dp",))
+    n = len(devices)
+    assert n % n_shards == 0, (n, n_shards)
+    arr = np.asarray(devices).reshape(n // n_shards, n_shards)
+    return Mesh(arr, axis_names=("dp", "shard"))
 
 
 def replicate_index(idx: dict, mesh: Mesh) -> dict:
@@ -39,32 +53,117 @@ def replicate_index(idx: dict, mesh: Mesh) -> dict:
     return out
 
 
+def stack_shard_indexes(shards, mesh: Mesh) -> dict:
+    """Stack the (shape-harmonized) shard device dicts along a leading
+    axis sharded over the mesh's shard axis — each device column holds
+    exactly its own genome shard's arrays. Non-array config leaves are
+    dropped (the table-seeded pipeline derives them from shapes)."""
+    sh = NamedSharding(mesh, P("shard"))
+    dicts = [s.device for s in shards]
+    out = {}
+    for k, v in dicts[0].items():
+        if isinstance(v, (int, float)):
+            continue
+        out[k] = jax.device_put(jnp.stack([d[k] for d in dicts]), sh)
+    return out
+
+
 def shard_batch(mesh: Mesh, *arrays):
-    """Shard read-batch arrays along the dp axis (batch must divide evenly;
-    callers pad the final batch)."""
+    """Shard read-batch arrays along the dp axis (batch must divide
+    evenly; callers pad the final batch)."""
     sh = NamedSharding(mesh, P("dp"))
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
 
 
-def sharded_candidate_fn(mesh: Mesh, max_seeds: int, locs_per_seg: int,
-                         top_cands: int):
-    """jit-compiled candidate stage with explicit dp shardings.
-
-    Returns fn(idx, sctab, seqs, quals, lens) -> (pos, score) where inputs
-    are sharded along the batch axis and the index is replicated.
+def _merge_fp_device(fps, bases, KF: int):
+    """Device-side equivalent of align/sharded._merge_shard_results:
+    fps (S, B, W) int16 -> (fp_global (B, W) int16, multi_hit (B,) bool).
     """
-    from ..align.pipeline import _stage_candidates
+    from ..align.pipeline import FASTPACK_REP
+    S, B, W = fps.shape
+    fpi = fps.astype(jnp.int32)
+    nv = fpi[:, :, 0]
+    best = fpi[:, :, 1]
+    win = jnp.argmax(jnp.where(nv > 0, best, -32768), axis=0)   # (B,)
+    hits = (nv > 0).sum(axis=0)
+    fp = jnp.take_along_axis(fpi, win[None, :, None], axis=0)[0]  # (B, W)
+    base_w = bases[win]                                           # (B,)
+    cols = [fp[:, :4]]
+    for k in range(KF):
+        b0 = 4 + FASTPACK_REP * k
+        lo = fp[:, b0].astype(jnp.uint32) & 0xFFFF
+        hi = fp[:, b0 + 1].astype(jnp.uint32) & 0xFFFF
+        pos = (lo | (hi << 16)) + base_w.astype(jnp.uint32)
+        cols.append(jnp.stack(
+            [(pos & 0xFFFF).astype(jnp.int32),
+             ((pos >> 16) & 0xFFFF).astype(jnp.int32)], axis=1))
+        cols.append(fp[:, b0 + 2:b0 + FASTPACK_REP])
+    out = jnp.concatenate(cols, axis=1)
+    # cross-shard second best (beats the winner's in-shard secbest when a
+    # different shard also places the read)
+    masked = jnp.where(nv > 0, best, -32768)
+    masked = masked.at[win, jnp.arange(B)].set(-32768)
+    other_best = masked.max(axis=0)
+    out = out.at[:, 2].set(jnp.maximum(out[:, 2], other_best))
+    lo16 = ((out << 16) >> 16)       # wrap like int16 without changing bits
+    return lo16.astype(jnp.int16), hits >= 2
 
-    batch_sh = NamedSharding(mesh, P("dp"))
-    repl = NamedSharding(mesh, P())
 
-    def step(idx, sctab, seqs, quals, lens):
-        st = _stage_candidates(idx, sctab, seqs, quals, lens,
-                               max_seeds, locs_per_seg, top_cands)
-        return st["pos"], st["score"]
+def fused_se_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
+                     B: int, L: int):
+    """jit the FULL fused SE step over the (dp, shard) mesh.
 
-    return jax.jit(
-        step,
-        in_shardings=(None, None, batch_sh, batch_sh, batch_sh),
-        out_shardings=(batch_sh, batch_sh),
-    )
+    aligner: pipeline.Aligner of any one shard (all shards share shapes
+    and statics). Returns fn(sctab, seq_words, n_words, qual_const,
+    lens) -> (fp_global (B,W) int16 [dp-sharded], multi (B,) bool,
+    merged_all (B, S*K2, 3) int32 [global coords, score-sorted],
+    aligned_total, multi_total [replicated scalars via psum over dp]).
+    Constant-quality batches only (the bench/validation configs).
+    """
+    from jax.sharding import PartitionSpec
+    from ..align.pipeline import _stage_align_packed
+
+    o = aligner.opts
+    sc = aligner.scoring
+    K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+    KF = max(1, min(o.khits, 5))
+    ndp = mesh.shape["dp"]
+    Bl = B // ndp
+    bases_arr = jnp.asarray(np.asarray(bases, np.int64).astype(np.int32))
+
+    def local(idx, sctab, seq_w, n_w, qconst, lens):
+        idx = {k: v[0] for k, v in idx.items()}     # this device's shard
+        fp, merged = _stage_align_packed(
+            idx, sctab, seq_w, n_w, None, qconst, lens,
+            jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
+            jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
+            Bl, L, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
+            aligner.min_seg_len, aligner.fm.ftab_k, K2, KF,
+            min(Bl, max(32, Bl // 8)), min(Bl, max(64, Bl // 8)),
+            o.dp_pad, o.no_dp, o.nofw, o.norc,
+            aligner.seeder, aligner.fb_seeder, aligner.sc_const)
+        # record all-gather across genome shards (SURVEY P5/P8)
+        fps = jax.lax.all_gather(fp, "shard")            # (S, Bl, W)
+        mg = jax.lax.all_gather(merged, "shard")         # (S, Bl, K2, 3)
+        fp_g, multi = _merge_fp_device(fps, bases_arr, KF)
+        sc_g = mg[:, :, :, 0]
+        pos_g = mg[:, :, :, 1] + bases_arr[:, None, None]
+        fl_g = mg[:, :, :, 2]
+        mall = jnp.moveaxis(jnp.stack([sc_g, pos_g, fl_g], axis=3),
+                            0, 1).reshape(Bl, -1, 3)
+        order = jnp.argsort(-mall[:, :, 0], axis=1, stable=True)
+        mall = jnp.take_along_axis(mall, order[:, :, None], axis=1)
+        # whole-batch summary counters: psum over the dp axis
+        aligned_total = jax.lax.psum((fp_g[:, 0] >= 1).sum(), "dp")
+        multi_total = jax.lax.psum((fp_g[:, 0] >= 2).sum(), "dp")
+        return fp_g, multi, mall, aligned_total, multi_total
+
+    idx_specs = {k: P("shard") for k in idx_stack}
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(idx_specs, P(), P("dp"), P("dp"), P(), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+        check_vma=False)
+    jf = jax.jit(f)
+    return lambda sctab, seq_w, n_w, qconst, lens: jf(
+        idx_stack, sctab, seq_w, n_w, qconst, lens)

@@ -144,21 +144,33 @@ def main(argv=None) -> int:
     t0 = time.time()
     fm = FMIndex.load(args.index)
     rep_aligner = None
-    if args.repeat:
-        import os as _os
-        rep_base = args.index
-        if _os.path.exists(rep_base + ".rep.npz"):
-            from ..align.pipeline import RepeatAligner
-            from ..index.repeats import RepeatDB
-            rep_fm = FMIndex.load(rep_base + ".rep")
-            rep_db = RepeatDB.load(rep_base, fm.ref)
-            rep_aligner = RepeatAligner(rep_fm, rep_db)
-            if not args.quiet:
-                print(f"  repeat index: {len(rep_db.repeats)} repeats",
-                      file=sys.stderr)
+    # repeat machinery activates automatically when a repeat index exists
+    # next to the genome index (reference hisat2.cpp:3833-3901 loads
+    # <idx>.rep.*.ht2 when present); --repeat switches REPORTING to
+    # repeat-pseudo-reference coordinates
+    import os as _os
+    rep_base = args.index
+    if _os.path.exists(rep_base + ".rep.npz"):
+        from ..align.pipeline import RepeatAligner
+        from ..index.repeats import RepeatDB
+        rep_fm = FMIndex.load(rep_base + ".rep")
+        rep_db = RepeatDB.load(rep_base, fm.ref)
+        rep_aligner = RepeatAligner(rep_fm, rep_db)
+        rep_aligner.report_repeat_coords = bool(args.repeat)
+        kpath = rep_base + ".rep.kmer.npy"
+        if _os.path.exists(kpath):
+            import numpy as _np
+            rep_aligner.kmer_table = _np.load(kpath)
         else:
-            print(f"warning: --repeat but {rep_base}.rep.npz not found",
+            rep_aligner.kmer_table = None
+        if not args.quiet:
+            print(f"  repeat index: {len(rep_db.repeats)} repeats"
+                  + ("" if rep_aligner.kmer_table is None else
+                     f", {rep_aligner.kmer_table.size} classifier kmers"),
                   file=sys.stderr)
+    elif args.repeat:
+        print(f"warning: --repeat but {rep_base}.rep.npz not found",
+              file=sys.stderr)
     from ..align.scoring import SimpleFunc
     from dataclasses import replace as _dc_replace
     sc = Scoring()
@@ -291,7 +303,7 @@ def main(argv=None) -> int:
             for batch in batch_iter(stream, args.batch_size):
                 results = al.align_batch(batch)
                 if rep_aligner is not None:
-                    _repeat_pass(rep_aligner, batch, results)
+                    _repeat_pass(rep_aligner, batch, results, al, args.khits)
                 merge(results_to_sam(batch, results, al, writer))
                 write_unal_al(batch, results)
                 nreads += len(batch)
@@ -427,22 +439,38 @@ def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,
         merge(align_and_emit_pe(al, b1, b2, writer))
 
 
-def _repeat_pass(rep_aligner, batch, results):
-    """--repeat: reads that multi-map (or fail) in the genome are placed
-    once on the repeat index; a winning repeat placement replaces their
-    genomic records with a repeat-space alignment (reference --repeat,
-    hi_aligner.h:4151+). NH carries the genomic placement count
-    (expandable via api.Handle.repeat_expand)."""
+def _repeat_pass(rep_aligner, batch, results, al=None, khits: int = 5):
+    """Repeat-index pass inside the normal path (reference
+    hi_aligner.h:4151-4161 + 4274-4282): candidate reads — classified
+    repetitive by the minimizer table when one exists, otherwise
+    multimapped/failed — are placed once on the repeat index.
+
+    Reporting: with --repeat (report_repeat_coords), a repeat-space
+    record with NH = genomic placement count; otherwise (default) the
+    placements expand to up to `khits` GENOMIC records, each re-finalized
+    against its own genome copy."""
+    import numpy as np
     from ..io.reads import batchify
     from ..align.pipeline import Alignment, ReadResult
-    cand = [i for i, r in enumerate(results)
-            if (not r.aligned) or len(r.alns) > 1
-            or (r.secbest is not None and r.secbest == r.best)]
+
+    ktab = getattr(rep_aligner, "kmer_table", None)
+    if ktab is not None and ktab.size:
+        from ..index.repeats import classify_repetitive
+        rep_mask = classify_repetitive(batch.seqs, batch.lens, ktab)
+        cand = [i for i in np.flatnonzero(rep_mask)
+                if (not results[i].aligned) or len(results[i].alns) > 1
+                or (results[i].secbest is not None
+                    and results[i].secbest == results[i].best)]
+    else:
+        cand = [i for i, r in enumerate(results)
+                if (not r.aligned) or len(r.alns) > 1
+                or (r.secbest is not None and r.secbest == r.best)]
     if not cand:
         return
     sub = batchify([batch.reads[i] for i in cand],
                    pad_to=batch.seqs.shape[1])
     rep_out = rep_aligner.align_repeats(sub)
+    report_rep = getattr(rep_aligner, "report_repeat_coords", True)
     for k, i in enumerate(cand):
         ro = rep_out[k]
         if ro is None:
@@ -450,12 +478,31 @@ def _repeat_pass(rep_aligner, batch, results):
         name, off, fw, score, placements = ro
         if results[i].aligned and score < results[i].best:
             continue
-        a = Alignment(joined_pos=off, fw=fw, score=score,
-                      cigar=[("M", int(sub.lens[k]))],
-                      md=str(int(sub.lens[k])), tidx=0, toff=off)
-        a.rname_override = name
-        a.nh_override = max(len(placements), 1)
-        results[i] = ReadResult(alns=[a], best=score, secbest=None)
+        if report_rep or al is None:
+            a = Alignment(joined_pos=off, fw=fw, score=score,
+                          cigar=[("M", int(sub.lens[k]))],
+                          md=str(int(sub.lens[k])), tidx=0, toff=off)
+            a.rname_override = name
+            a.nh_override = max(len(placements), 1)
+            results[i] = ReadResult(alns=[a], best=score, secbest=None)
+            continue
+        # default mode: expand to genomic records (ht2_repeat_expand
+        # contract), re-finalizing each placement against its own copy
+        alns = []
+        for tidx, strand, pos in placements[:khits]:
+            jp = al.fm.ref.text_to_joined(tidx, pos)
+            if jp is None:
+                continue
+            gfw = bool(fw) == (strand == 0)
+            a = al._finalize(i, batch, score, jp, gfw, False,
+                             int(batch.lens[i]))
+            if a is not None:
+                a.nh_override = len(placements)
+                alns.append(a)
+        if alns:
+            results[i] = ReadResult(alns=alns, best=alns[0].score,
+                                    secbest=alns[1].score
+                                    if len(alns) > 1 else None)
 
 
 _conc_fhs = {}

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
             {r.name: alphabet.decode(r.seq) for r in db.repeats})
         fm = build_fm_index(rep_ref)
         fm.save(args.base + ".rep")
+        # read pre-classifier minimizer set (reference RB_KmerTable,
+        # built alongside the RFM)
+        import numpy as np
+        from ..index.repeats import build_kmer_table
+        np.save(args.base + ".rep.kmer.npy", build_kmer_table(db))
         if not args.quiet:
             print(f"  repeat index written to {args.base}.rep.npz",
                   file=sys.stderr)

@@ -125,6 +125,88 @@ class RepeatDB:
         return db
 
 
+# ---------------------------------------------------------------------------
+# Repeat k-mer read pre-classifier (reference RB_KmerTable/RB_Minimizer,
+# repeat_kmer.h:34,178-238): a read is "repetitive" iff ANY (w=5, k=31)
+# minimizer of either strand appears among the repeat sequences'
+# minimizers. The classification runs inside the NORMAL alignment path
+# (hi_aligner.h:4274-4282) to route repetitive reads through the repeat
+# index automatically.
+# ---------------------------------------------------------------------------
+
+KMER_W = 5
+KMER_K = 31
+
+
+def _kmers_u64(codes: np.ndarray, k: int) -> np.ndarray:
+    """(B, L) base codes -> (B, L-k+1) packed uint64 k-mers (first base in
+    the high bits, reference get_kmer/get_next_kmer); N counts as A
+    (callers mask N-containing windows)."""
+    c = np.where(codes > 3, 0, codes).astype(np.uint64)
+    B, L = c.shape
+    m = L - k + 1
+    if m <= 0:
+        return np.zeros((B, 0), np.uint64)
+    km = np.zeros((B, m), np.uint64)
+    for j in range(k):
+        km |= c[:, j:j + m] << np.uint64(2 * (k - 1 - j))
+    return km
+
+
+def _minimizers(codes: np.ndarray, w: int, k: int) -> np.ndarray:
+    km = _kmers_u64(codes, k)
+    m = km.shape[1] - w + 1
+    if m <= 0:
+        return np.zeros((codes.shape[0], 0), np.uint64)
+    mins = km[:, :m].copy()
+    for d in range(1, w):
+        np.minimum(mins, km[:, d:d + m], out=mins)
+    return mins
+
+
+def build_kmer_table(db: "RepeatDB", w: int = KMER_W, k: int = KMER_K
+                     ) -> np.ndarray:
+    """Sorted unique minimizer set of all repeat sequences."""
+    out = []
+    for r in db.repeats:
+        if r.seq.size >= k + w - 1:
+            out.append(_minimizers(r.seq[None, :], w, k)[0])
+    if not out:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+def classify_repetitive(seqs: np.ndarray, lens: np.ndarray,
+                        table: np.ndarray, w: int = KMER_W,
+                        k: int = KMER_K) -> np.ndarray:
+    """(B,) bool: read (either strand) shares a minimizer with the repeat
+    set. Vectorized host work (~20 probes/read)."""
+    if table.size == 0:
+        return np.zeros(seqs.shape[0], bool)
+    B, L = seqs.shape
+    # pad columns beyond each read's length with N so every out-of-read
+    # window is excluded by the N mask below
+    padded = np.where(np.arange(L)[None, :] < lens[:, None], seqs, 4)
+    hit = np.zeros(B, bool)
+    span = k + w - 1
+    for strand in (0, 1):
+        c = padded if strand == 0 else np.where(
+            padded[:, ::-1] > 3, 4, 3 - padded[:, ::-1])
+        mins = _minimizers(c, w, k)
+        m = mins.shape[1]
+        if m == 0:
+            continue
+        isn = (c > 3).astype(np.int32)
+        cs = np.concatenate(
+            [np.zeros((B, 1), np.int32), np.cumsum(isn, axis=1)], axis=1)
+        hasn = (cs[:, span:span + m] - cs[:, :m]) > 0
+        idx = np.searchsorted(table, mins)
+        member = (idx < table.size) & (table[np.minimum(idx, table.size - 1)]
+                                       == mins)
+        hit |= (member & ~hasn).any(axis=1)
+    return hit
+
+
 def build_repeats(ref: JoinedReference, repeat_length: int = 100,
                   repeat_count: int = 5, max_repeats: int = 100000,
                   forward_only: bool = False) -> RepeatDB:

@@ -105,3 +105,33 @@ def test_repeat_aligner(rep_setup):
         g = ref.joined[pos:pos + 100]
         if direction == 0 and fw:
             assert np.array_equal(g, seq)
+
+
+def test_kmer_classifier(rep_setup):
+    from hisat2_tpu.index.repeats import build_kmer_table, classify_repetitive
+    codes, unit, spots, rcspots, ref = rep_setup
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    tab = build_kmer_table(db)
+    assert tab.size > 0
+    rng = np.random.default_rng(0)
+    B, L = 64, 80
+    seqs = np.zeros((B, L), np.uint8)
+    want = np.zeros(B, bool)
+    for i in range(B):
+        if i % 2 == 0:          # read inside a planted repeat copy
+            p = spots[i % len(spots)] + 10
+            seqs[i] = codes[p:p + L]
+            want[i] = True
+        else:                   # unique-region read
+            while True:
+                p = int(rng.integers(0, codes.size - L))
+                if not any(s - L < p < s + 150 for s in spots + rcspots):
+                    break
+            seqs[i] = codes[p:p + L]
+        if i % 4 >= 2:          # half the reads reverse-complemented
+            seqs[i] = alphabet.revcomp(seqs[i].copy())
+    lens = np.full(B, L, np.int64)
+    got = classify_repetitive(seqs, lens, tab)
+    # every repeat read classified; unique reads not
+    assert (got[want]).all(), "repeat reads missed by classifier"
+    assert not got[~want].any(), "unique reads misclassified"

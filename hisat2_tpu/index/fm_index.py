@@ -172,6 +172,12 @@ class FMIndex:
 
     @staticmethod
     def load(prefix: str) -> "FMIndex":
+        if not os.path.exists(prefix + ".meta.json") \
+                and os.path.exists(prefix + ".1.ht2"):
+            # reference-built index: parse the .ht2 files (io/ht2.py) and
+            # rebuild our device layouts from the recovered text
+            from ..io.ht2 import load_ht2
+            return load_ht2(prefix)
         with open(prefix + ".meta.json") as fh:
             meta = json.load(fh)
         if meta.get("graph"):

@@ -103,7 +103,37 @@ def _make_reads(fm, n, seed=123):
     return batchify(reads, pad_to=104)
 
 
-def _measure_baseline():
+def _make_pairs(fm, n, seed=321, ins=300):
+    """n pairs sampled FR from the reference (~1% mismatches)."""
+    from hisat2_tpu.io.reads import Read, batchify
+    from hisat2_tpu.utils import alphabet
+
+    rng = np.random.default_rng(seed)
+    joined = fm.ref.joined
+    starts = rng.integers(0, joined.size - ins, size=n)
+    b1, b2 = [], []
+    for i in range(n):
+        st = int(starts[i])
+        frag = joined[st:st + ins]
+        r1 = frag[:RDLEN].copy()
+        r2 = alphabet.revcomp(frag[-RDLEN:])
+        for r in (r1, r2):
+            mm = rng.random(RDLEN) < 0.01
+            r[mm] = (r[mm] + rng.integers(1, 4, int(mm.sum()))) % 4
+        q = np.full(RDLEN, 40, np.int8)
+        b1.append(Read(f"p{i}", r1, q, i))
+        b2.append(Read(f"p{i}", r2, q, i))
+    return batchify(b1, pad_to=104), batchify(b2, pad_to=104)
+
+
+def _ref_cmd_measure(cmd):
+    subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    return time.perf_counter() - t0
+
+
+def _measure_baseline(pe=False):
     """Run the reference aligner on this host (4 threads) over the same
     read distribution; fall back to the recorded constant."""
     binpath = os.environ.get("HISAT2_REF_BIN", REF_BIN_DEFAULT)
@@ -119,23 +149,38 @@ def _measure_baseline():
                 return BASELINE_READS_PER_S
             subprocess.run([buildbin, EXAMPLE_FA, idx],
                            check=True, capture_output=True, timeout=600)
-        from hisat2_tpu.index.fm_index import FMIndex
         fm = _get_index()
+        qual = "I" * RDLEN
+        if pe:
+            n = 16000
+            b1, b2 = _make_pairs(fm, n, seed=321)
+            f1 = tempfile.NamedTemporaryFile("w", suffix=".fq",
+                                             delete=False, dir="/tmp")
+            f2 = tempfile.NamedTemporaryFile("w", suffix=".fq",
+                                             delete=False, dir="/tmp")
+            for i in range(n):
+                f1.write(f"@p{i}\n"
+                         f"{alphabet.decode(b1.seqs[i, :RDLEN])}\n+\n{qual}\n")
+                f2.write(f"@p{i}\n"
+                         f"{alphabet.decode(b2.seqs[i, :RDLEN])}\n+\n{qual}\n")
+            f1.close()
+            f2.close()
+            cmd = [binpath, "-x", idx, "-1", f1.name, "-2", f2.name,
+                   "-p", "4", "--no-spliced-alignment", "-S", "/dev/null"]
+            dt = _ref_cmd_measure(cmd)
+            os.unlink(f1.name)
+            os.unlink(f2.name)
+            return 2 * n / dt
         n = 32000
         seqs = _make_read_arrays(fm, n, seed=100)
         fq = tempfile.NamedTemporaryFile(
             "w", suffix=".fq", delete=False, dir="/tmp")
-        qual = "I" * RDLEN
         for i in range(n):
             fq.write(f"@b{i}\n{alphabet.decode(seqs[i])}\n+\n{qual}\n")
         fq.close()
-        # warm once (index load), then measure
         cmd = [binpath, "-x", idx, "-U", fq.name, "-p", "4",
                "--no-spliced-alignment", "-S", "/dev/null"]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        t0 = time.perf_counter()
-        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        dt = time.perf_counter() - t0
+        dt = _ref_cmd_measure(cmd)
         os.unlink(fq.name)
         return n / dt
     except Exception:
@@ -169,13 +214,33 @@ def main() -> int:
     dt = time.perf_counter() - t0
     rps = NBATCH * BATCH / dt
 
+    # paired-end (BASELINE.json's headline metric is 100bp PE)
+    from hisat2_tpu.align.emit import align_and_emit_pe_stream
+    PB = BATCH // 2
+    pbatches = [_make_pairs(fm, PB, seed=300 + k) for k in range(NBATCH)]
+    buf = io.StringIO()
+    writer = samio.SamWriter(buf, fm.ref.names,
+                             [int(x) for x in fm.ref.tlens], no_head=True)
+    align_and_emit_pe_stream(al, pbatches[:1], writer)      # warm/compile
+    buf = io.StringIO()
+    writer = samio.SamWriter(buf, fm.ref.names,
+                             [int(x) for x in fm.ref.tlens], no_head=True)
+    t0 = time.perf_counter()
+    align_and_emit_pe_stream(al, pbatches, writer)
+    dt_pe = time.perf_counter() - t0
+    rps_pe = 2 * NBATCH * PB / dt_pe
+
     base = _measure_baseline()
+    base_pe = _measure_baseline(pe=True)
     print(json.dumps({
         "metric": "reads_per_sec_1chip_example_se",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / base, 4),
         "baseline_reads_per_sec": round(base, 1),
+        "pe_reads_per_sec": round(rps_pe, 1),
+        "pe_vs_baseline": round(rps_pe / base_pe, 4),
+        "pe_baseline_reads_per_sec": round(base_pe, 1),
     }))
     return 0
 

@@ -153,6 +153,8 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     aligned = ~filtered & (nvalid >= 1)
     nrep = np.minimum(nvalid, khits)
     fast = aligned & (nrep <= KF)
+    if al.opts.omit_sec_seq:
+        fast &= nrep <= 1          # secondary records go per-read
     ref = al.fm.ref
     for k in range(KF):
         r = reps[k]
@@ -413,6 +415,8 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
     fast &= ~(in_rep & (F_nmm_all > MAX_FAST_MM)).any(axis=1)
     if al.opts.zs_tags and al.overlay is not None:
         fast[:] = False            # Zs tags come from the per-read path
+    if al.opts.omit_sec_seq:
+        fast &= nrep <= 1          # secondary records go per-read
     if spl:
         fast[np.fromiter(spl.keys(), dtype=np.int64)] = False
 
@@ -598,6 +602,340 @@ def _samfmt():
 
 def align_and_emit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch,
                       writer) -> dict:
+    """Fused paired-end align + SAM emission (transfer-packed fast path
+    when possible, else the unpacked legacy fused path)."""
+    from . import paired as _paired
+
+    lib = _samfmt()
+    o = al.opts
+    if (lib is None or not o.seed_mode or o.spliced
+            or (o.zs_tags and al.overlay is not None)
+            or len(al.ssdb)):
+        return _align_and_emit_pe_legacy(al, b1, b2, writer)
+    out = _paired.stage_pe_packed(al, b1, b2, KP=max(8, o.khits + 3))
+    if out is None:                      # varying quals
+        return _align_and_emit_pe_legacy(al, b1, b2, writer)
+    return _finish_pe_pack(al, b1, b2, out, writer)
+
+
+def submit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch):
+    """Dispatch one PE batch (packed path when possible)."""
+    from . import paired as _paired
+    lib = _samfmt()
+    o = al.opts
+    if (lib is None or not o.seed_mode or o.spliced
+            or (o.zs_tags and al.overlay is not None) or len(al.ssdb)):
+        return ("legacy", b1, b2)
+    out = _paired.stage_pe_packed(al, b1, b2, KP=max(8, o.khits + 3))
+    if out is None:
+        return ("legacy", b1, b2)
+    return ("fast", b1, b2, out)
+
+
+def finish_pe(al: Aligner, handle, writer) -> dict:
+    if handle[0] == "legacy":
+        return _align_and_emit_pe_legacy(al, handle[1], handle[2], writer)
+    return _finish_pe_pack(al, handle[1], handle[2], handle[3], writer)
+
+
+def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
+                             on_batch=None) -> dict:
+    """Pipelined PE loop (same overlap structure as the SE stream)."""
+    totals: dict = {}
+    pending = None
+    for b1, b2 in pair_batches:
+        h = submit_pe(al, b1, b2)
+        if pending is not None:
+            st = finish_pe(al, pending[0], writer)
+            _merge_stats(totals, st)
+            if on_batch:
+                on_batch(pending[1], st)
+        pending = (h, (b1, b2))
+    if pending is not None:
+        st = finish_pe(al, pending[0], writer)
+        _merge_stats(totals, st)
+        if on_batch:
+            on_batch(pending[1], st)
+    return totals
+
+
+def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
+                    writer) -> dict:
+    from . import paired as _paired
+    from .paired import (PEPACK_MM, PEPACK_MATE, PEPACK_W)
+
+    pack_dev, m1_dev, m2_dev, pt_dev = out
+    fp = np.asarray(pack_dev)
+    B = len(b1)
+    o = al.opts
+    sc = al.scoring
+    khits = o.khits
+    l1 = b1.lens.astype(np.int64)
+    l2 = b2.lens.astype(np.int64)
+
+    nvalid = fp[:, 0].astype(np.int64)
+    best = fp[:, 1].astype(np.int64)
+    sec = fp[:, 2].astype(np.int64)
+    flags = fp[:, 3].astype(np.int64)
+    aux = fp[:, -1].astype(np.int64)
+    has_sec = sec != -32768
+
+    def mate(k, m):
+        b0 = 4 + 2 * PEPACK_MATE * k + PEPACK_MATE * m
+        lo = fp[:, b0].astype(np.uint16).astype(np.uint32)
+        hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint32)
+        return dict(
+            pos=(lo | (hi << 16)).astype(np.int64),
+            c5=fp[:, b0 + 2].astype(np.int64),
+            c3=fp[:, b0 + 3].astype(np.int64),
+            nmm=fp[:, b0 + 4].astype(np.int64),
+            nmm_all=fp[:, b0 + 5].astype(np.int64),
+            score=fp[:, b0 + 6].astype(np.int64),
+            mm=fp[:, b0 + 7:b0 + 7 + PEPACK_MM].astype(np.int64),
+            fw=(flags >> (4 * k + 2 * m)) & 1 > 0,
+            gapped=(flags >> (4 * k + 2 * m + 1)) & 1 > 0)
+    reps = [[mate(k, m) for m in (0, 1)] for k in (0, 1)]
+
+    conc = nvalid >= 1
+    nrep = np.minimum(nvalid, khits)
+    fast = conc & (nrep <= 2)
+    if al.opts.omit_sec_seq:
+        fast &= nrep <= 1
+    ref = al.fm.ref
+    for k in (0, 1):
+        r1, r2 = reps[k]
+        ok1, fc1, as1 = _contain(ref, r1["pos"][:, None], r1["c5"][:, None],
+                                 r1["c3"][:, None], l1)
+        ok2, fc2, as2 = _contain(ref, r2["pos"][:, None], r2["c5"][:, None],
+                                 r2["c3"][:, None], l2)
+        r1["fc"], r1["astart"] = fc1[:, 0], as1[:, 0]
+        r2["fc"], r2["astart"] = fc2[:, 0], as2[:, 0]
+        okk = (ok1[:, 0] & ok2[:, 0]
+               & (ref.frag_tidx[r1["fc"]] == ref.frag_tidx[r2["fc"]])
+               & ~r1["gapped"] & ~r2["gapped"]
+               & (r1["nmm_all"] <= PEPACK_MM)
+               & (r2["nmm_all"] <= PEPACK_MM))
+        fast &= (nrep <= k) | okk
+
+    mqc = _MapqCache(sc)
+    stats = _paired.new_pair_stats()
+
+    slow = np.flatnonzero(~fast)
+    grows = slow[aux[slow] != 0]
+    g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, grows)
+
+    fbuf = b""
+    pair_end = np.zeros(B, np.int64)
+    frows = np.flatnonzero(fast)
+    if frows.size:
+        nr = nrep[frows]
+        rec_pair = np.repeat(frows, nr)
+        rec_k = np.arange(rec_pair.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
+        nrec = rec_pair.size
+
+        def take(m, fld):
+            a0 = reps[0][m][fld]
+            a1 = reps[1][m][fld]
+            if a0.ndim == 1:
+                return np.where(rec_k == 0, a0[rec_pair], a1[rec_pair])
+            return np.where((rec_k == 0)[:, None], a0[rec_pair],
+                            a1[rec_pair])
+
+        toff = []
+        cc5 = []
+        cc3 = []
+        mids = []
+        fws = []
+        tidxs = []
+        scs = []
+        nmms = []
+        mms = []
+        for m, lm in ((0, l1), (1, l2)):
+            fc = take(m, "fc")
+            astart = take(m, "astart")
+            toff.append(ref.frag_toff[fc] + astart - ref.frag_joined[fc])
+            tidxs.append(ref.frag_tidx[fc].astype(np.int32))
+            c5m = take(m, "c5").astype(np.int32)
+            c3m = take(m, "c3").astype(np.int32)
+            cc5.append(c5m)
+            cc3.append(c3m)
+            mids.append((lm[rec_pair] - c5m - c3m).astype(np.int32))
+            fws.append(take(m, "fw"))
+            scs.append(take(m, "score").astype(np.int32))
+            nmms.append(take(m, "nmm").astype(np.int32))
+            mmp = take(m, "mm")
+            cnt = take(m, "nmm_all").astype(np.int64)
+            off_m = np.zeros(nrec + 1, np.int64)
+            np.cumsum(cnt, out=off_m[1:])
+            selm = np.arange(PEPACK_MM)[None, :] < cnt[:, None]
+            vals = mmp[selm]
+            mms.append(((vals >> 3) - np.repeat(c5m, cnt)).astype(np.int32))
+            mms.append(np.ascontiguousarray(
+                _DEC_ASCII[np.clip(vals & 7, 0, 4)]))
+            mms.append(off_m)
+            mms.append(cnt)
+
+        left = np.minimum(toff[0] - cc5[0], toff[1] - cc5[1])
+        right = np.maximum(toff[0] + mids[0] + cc3[0],
+                           toff[1] + mids[1] + cc3[1])
+        tl = right - left
+        tl1 = np.where(toff[0] <= toff[1], tl, -tl)
+
+        bt = best[frows]
+        st_ = sec[frows]
+        need_tab = (has_sec & (sec == best))[frows]
+        mapq_pair = np.full(frows.size, 60, np.int32)
+        for j in np.flatnonzero(need_tab):
+            i = frows[j]
+            mapq_pair[j] = mqc.get(
+                int(bt[j]), int(st_[j]), None, False,
+                perfect=sc.perfect_score(int(l1[i]))
+                + sc.perfect_score(int(l2[i])),
+                minsc=sc.min_score(int(l1[i])) + sc.min_score(int(l2[i])))
+        pairloc = np.zeros(int(frows.max()) + 1, np.int64)
+        pairloc[frows] = np.arange(frows.size)
+        mq_rec = np.where(rec_k == 0, mapq_pair[pairloc[rec_pair]],
+                          255).astype(np.int32)
+
+        flag1 = (1 | 64 | 2 | np.where(fws[0], 0, 16)
+                 | np.where(fws[1], 0, 32)
+                 | np.where(rec_k > 0, 256, 0)).astype(np.int32)
+        flag2 = (1 | 128 | 2 | np.where(fws[1], 0, 16)
+                 | np.where(fws[0], 0, 32)
+                 | np.where(rec_k > 0, 256, 0)).astype(np.int32)
+        nh = np.repeat(nr, nr).astype(np.int32)
+
+        def ilv(a1, a2):
+            z = np.empty(2 * nrec, a1.dtype)
+            z[0::2] = a1
+            z[1::2] = a2
+            return z
+
+        iread = ilv(rec_pair.astype(np.int32) * 2,
+                    rec_pair.astype(np.int32) * 2 + 1)
+        iflag = ilv(flag1, flag2)
+        irname = ilv(tidxs[0], tidxs[1])
+        ipos = ilv((toff[0] + 1).astype(np.int32),
+                   (toff[1] + 1).astype(np.int32))
+        ipnext = ilv((toff[1] + 1).astype(np.int32),
+                     (toff[0] + 1).astype(np.int32))
+        itlen = ilv(tl1.astype(np.int32), (-tl1).astype(np.int32))
+        ic5 = ilv(cc5[0], cc5[1])
+        ic3 = ilv(cc3[0], cc3[1])
+        imid = ilv(mids[0], mids[1])
+        iscore = ilv(scs[0], scs[1])
+        inmm = ilv(nmms[0], nmms[1])
+        imapq = ilv(mq_rec, mq_rec)
+        inh = ilv(nh, nh)
+        izs = np.full(2 * nrec, INT32_MIN, np.int32)
+        iyt = np.full(2 * nrec, 1, np.int32)
+        immoff = np.zeros(2 * nrec + 1, np.int64)
+        immoff[1::2] = mms[3]
+        immoff[2::2] = mms[7]
+        np.cumsum(immoff, out=immoff)
+        immcols, immref = _interleave_runs(
+            (mms[0], mms[1], mms[2], mms[3]),
+            (mms[4], mms[5], mms[6], mms[7]), nrec)
+
+        fbuf, rec_ends = _format_pe_records(
+            al, b1, b2, frows, iread, iflag, irname, ipos, imapq,
+            ic5, imid, ic3, ipnext, itlen, iyt, iscore, inmm, izs, inh,
+            immcols, immref, immoff)
+        last_rec = 2 * np.cumsum(nr) - 1
+        pair_end[frows] = rec_ends[last_rec]
+        stats["pairs"] += int(frows.size)
+        stats["mates_al"] += 2 * int(frows.size)
+        multi = nvalid[frows] >= 2
+        stats["conc_multi"] += int(multi.sum())
+        stats["conc_uniq"] += int((~multi).sum())
+
+    # ---- slow pairs ----
+    slow_out: dict[int, list] = {}
+    if slow.size:
+        K2 = int(m1_dev.shape[1])
+        KP2 = int(pt_dev.shape[1])
+        msc1 = np.full((B, K2), NEG_INF, np.int64)
+        msc2 = np.full((B, K2), NEG_INF, np.int64)
+        mpos1 = np.zeros((B, K2), np.int64)
+        mpos2 = np.zeros((B, K2), np.int64)
+        mfw1 = np.zeros((B, K2), bool)
+        mfw2 = np.zeros((B, K2), bool)
+        mg1 = np.zeros((B, K2), bool)
+        mg2 = np.zeros((B, K2), bool)
+        ptf = np.zeros((B, KP2, 3), np.int64)
+        ptf[:, :, 0] = NEG_INF
+        if g_fut is not None:
+            ga, gb, gp = g_fut()
+            msc1[grows] = ga[:, :, 0]
+            mpos1[grows] = ga[:, :, 1]
+            mfw1[grows] = (ga[:, :, 2] & 1) > 0
+            mg1[grows] = (ga[:, :, 2] & 2) > 0
+            msc2[grows] = gb[:, :, 0]
+            mpos2[grows] = gb[:, :, 1]
+            mfw2[grows] = (gb[:, :, 2] & 1) > 0
+            mg2[grows] = (gb[:, :, 2] & 2) > 0
+            ptf[grows] = gp
+        m1h = dict(score=msc1, pos=mpos1, fw=mfw1, gapped=mg1)
+        m2h = dict(score=msc2, pos=mpos2, fw=mfw2, gapped=mg2)
+        grid = _paired._grid_from_pairtop(ptf, m1h, m2h)
+
+        def mate_cands(m, batch, i, min_sc, rdlen):
+            cs = []
+            for s, p, f, g in zip(*(m[x][i] for x in
+                                    ("score", "pos", "fw", "gapped"))):
+                if s >= min_sc:
+                    cs.append(dict(score=int(s), pos=int(p), fw=bool(f),
+                                   kind="reg", gapped=bool(g),
+                                   extent=rdlen))
+            seen = set()
+            out_cs = []
+            for c in cs:
+                key = (c["pos"], c["fw"])
+                if key not in seen:
+                    seen.add(key)
+                    out_cs.append(c)
+            return out_cs[:o.top_cands]
+
+        def finalize(batch, i, c, rdlen):
+            return al._finalize(i, batch, c["score"], c["pos"], c["fw"],
+                                c["gapped"], rdlen)
+
+        rescue: list[tuple] = []
+        prs: dict[int, object] = {}
+        for i in slow:
+            i = int(i)
+            prs[i] = _paired._pair_result_one(
+                al, i, b1, b2, m1h, m2h, grid, mate_cands, finalize,
+                rescue)
+        if rescue:
+            _paired._rescue_mates(al, b1, b2, prs, rescue, finalize)
+        for i, pr in prs.items():
+            slow_out[i] = _paired.pair_lines(al, b1, b2, i, pr, stats)
+
+    w = writer.out.write
+    if not slow_out:
+        if fbuf:
+            w(fbuf.decode("ascii"))
+        return stats
+    text = fbuf.decode("ascii") if fbuf else ""
+    last_end = np.maximum.accumulate(np.where(fast, pair_end, 0))
+    prev_end = 0
+    for i in sorted(slow_out):
+        if text and i > 0:
+            end = int(last_end[i - 1])
+            if end > prev_end:
+                w(text[prev_end:end])
+                prev_end = end
+        for ln in slow_out[i]:
+            w(ln)
+    if text and prev_end < len(text):
+        w(text[prev_end:])
+    return stats
+
+
+def _align_and_emit_pe_legacy(al: Aligner, b1: ReadBatch, b2: ReadBatch,
+                              writer) -> dict:
     """Fused paired-end align + SAM emission.
 
     One device dispatch (paired.stage_pe_fused: both mates' cores + the
@@ -1090,6 +1428,7 @@ def _format_slow(al, batch, i, res: ReadResult, sc) -> list[str]:
     mq = _mapq.mapq_v2(res.best, res.secbest, sc.perfect_score(rdlen),
                        sc.min_score(rdlen), local=sc.local)
     nh = len(res.alns)
+    omit = al.opts.omit_sec_seq
     lines = []
     for k, aln in enumerate(res.alns):
         rec = samio.SamAlignment(
@@ -1103,5 +1442,6 @@ def _format_slow(al, batch, i, res: ReadResult, sc) -> list[str]:
             xs_strand=aln.xs_strand, zs_snps=aln.zs_snps,
             nh=(aln.nh_override if aln.nh_override is not None else nh),
             secondary=k > 0)
-        lines.append(samio.format_aligned(name, seq, qual, rec))
+        lines.append(samio.format_aligned(name, seq, qual, rec,
+                                          omit_sec_seq=omit))
     return lines

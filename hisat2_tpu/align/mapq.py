@@ -97,3 +97,54 @@ def mapq_v2(best: int, secbest: int | None, perfect: int, min_score: int,
     if bestdiff > 0:
         return 11 if best_over >= diff * 0.5 else 2
     return 1 if best_over >= diff * 0.5 else 0
+
+
+# ---------------------------------------------------------------------------
+# V3 model (reference unique.h:95 BowtieMapq3, tables unique.cpp:26-66):
+# stratifies best score and best/second-best difference into 10 bins.
+# Selectable via Aligner mapq_v=3 (the reference hard-wires V2 at
+# hisat2.cpp:480; V3 kept for parity with the Mapq class family).
+# ---------------------------------------------------------------------------
+
+_UNP_NOSEC_PERF = 44
+_UNP_NOSEC = (43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0)
+_UNP_SEC_PERF = (2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42)
+_UNP_SEC = (
+    (2, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0),
+    (20, 14, 7, 3, 2, 1, 0, 0, 0, 0, 0),
+    (20, 16, 10, 6, 3, 1, 0, 0, 0, 0, 0),
+    (20, 17, 13, 9, 3, 1, 1, 0, 0, 0, 0),
+    (21, 19, 15, 9, 5, 2, 2, 0, 0, 0, 0),
+    (22, 21, 16, 11, 10, 5, 0, 0, 0, 0, 0),
+    (23, 22, 19, 16, 11, 0, 0, 0, 0, 0, 0),
+    (24, 25, 21, 30, 0, 0, 0, 0, 0, 0, 0),
+    (30, 26, 29, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+)
+_PAIR_NOSEC_PERF = 44
+
+
+def mapq_v3(best: int, secbest: int | None, perfect: int, min_score: int,
+            *, paired: bool = False, exhausted: bool = False,
+            can_max: bool = False) -> int:
+    """MAPQ under the V3 model. `best`/`secbest` are alignment scores
+    (pair-summed when paired... the reference returns a constant for
+    pairs)."""
+    if paired:
+        return _PAIR_NOSEC_PERF
+    has_sec = secbest is not None
+    if not can_max and not exhausted and not has_sec:
+        return 255
+    span = max(perfect - min_score, 1)
+    best_delta = perfect - best
+    best_bin = min(int(best_delta * (10.0 / span) + 0.5), 10)
+    if has_sec:
+        diff = best - secbest
+        diff_bin = min(int(diff * (10.0 / span) + 0.5), 10)
+        if best == perfect:
+            return _UNP_SEC_PERF[best_bin]
+        return _UNP_SEC[diff_bin][best_bin]
+    if best == perfect:
+        return _UNP_NOSEC_PERF
+    return _UNP_NOSEC[best_bin]

@@ -42,7 +42,8 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
                          B, max_seeds, n_seeds, locs_per_seg, top_cands,
                          min_seg_len, ftab_k, K2, KP, KF, max_mm,
                          fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
-                         seeder, fb_seeder, sc_const, fr_mode):
+                         seeder, fb_seeder, sc_const, fr_mode,
+                         pe_geo=(False, False, False)):
     """Both mates' SE cores + the (B, K2, K2) concordance grid + record
     finalization, ONE device dispatch (reference worker pairing loop,
     hi_aligner.h:4088 pairReads + pe.h policy, recast as a dense grid).
@@ -98,6 +99,22 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
         okdir = F1 == F2
     ok = (okdir & (frag >= minins) & (frag <= maxins)
           & v1[:, :, None] & v2[:, None, :])
+    # mate-extent geometry (pe.h PE_ALS classes). Dovetailed pairs (the
+    # coordinate order contradicting the orientation roles) already fail
+    # the direction check above — --dovetail re-admits the crossed
+    # pattern; --no-contain/--no-overlap tighten the default
+    e1g = P1 + E1
+    e2g = P2 + E2
+    up_e = jnp.where(left1, e1g, e2g)
+    dn_e = jnp.where(left1, e2g, e1g)
+    if pe_geo[0] and fr_mode in ("fr", "rf"):
+        dove_dir = (~up_fw & dn_fw) if fr_mode == "fr" else (up_fw & ~dn_fw)
+        ok |= (dove_dir & (frag >= minins) & (frag <= maxins)
+               & v1[:, :, None] & v2[:, None, :])
+    if pe_geo[1]:
+        ok &= ~(dn_e <= up_e)
+    if pe_geo[2]:
+        ok &= ~(jnp.minimum(e1g, e2g) > jnp.maximum(P1, P2))
     total = jnp.where(ok, sc1[:, :, None] + sc2[:, None, :],
                       jnp.int32(NEG_INF))
     flat = total.reshape(B, -1)
@@ -136,7 +153,266 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
     return m1, m2, pair_top, finp1, finp2, sfin1, sfin2
 
 
-_stage_pe_fused = None  # populated lazily (jit with many static args)
+# PE pack layout: int16 lanes per pair —
+#   [0] n distinct valid combos  [1] best total  [2] sec total (-32768)
+#   [3] flags: per report k in {0,1}: fw1<<4k | g1<<4k+1 | fw2<<4k+2 |
+#       g2<<4k+3
+#   per report k at base 4 + 30*k: mate1 [pos lo, pos hi, c5, c3, nmm,
+#       nmm_all, score, mm x4 (col<<3|ref)] (11 lanes), mate2 same (11),
+#       [tlen placeholder unused], ...
+PEPACK_MM = 4
+PEPACK_MATE = 7 + PEPACK_MM          # lanes per mate per report
+PEPACK_REP = 2 * PEPACK_MATE         # 22
+PEPACK_W = 4 + 2 * PEPACK_REP        # 48
+
+
+def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
+                          minsc_i, minsc_s, gap1, minins, maxins,
+                          B, L, max_seeds, n_seeds, locs_per_seg,
+                          top_cands, min_seg_len, ftab_k, K2, KP,
+                          fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
+                          seeder, fb_seeder, sc_const, fr_mode,
+                          pe_geo=(False, False, False)):
+    """Transfer-packed fused PE step: packed reads in, int16 pair-pack
+    out; per-mate merged grids and the combo list stay device-resident
+    for the slow-pair gather. Constant-qual batches only."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from .pipeline import (_se_core, _stage_fin_rows, _unpack_reads)
+
+    s1, q1 = _unpack_reads(sw1, nw1, None, qconst, l1, L)
+    s2, q2 = _unpack_reads(sw2, nw2, None, qconst, l2, L)
+    m1, st1 = _se_core(idx, sctab, s1, q1, l1, minsc_i, minsc_s, gap1,
+                       B, max_seeds, n_seeds, locs_per_seg, top_cands,
+                       min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
+                       dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
+                       sc_const)
+    m2, st2 = _se_core(idx, sctab, s2, q2, l2, minsc_i, minsc_s, gap1,
+                       B, max_seeds, n_seeds, locs_per_seg, top_cands,
+                       min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
+                       dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
+                       sc_const)
+
+    sc1, p1 = m1[:, :, 0], m1[:, :, 1]
+    sc2, p2 = m2[:, :, 0], m2[:, :, 1]
+    fw1 = (m1[:, :, 2] & 1) == 1
+    fw2 = (m2[:, :, 2] & 1) == 1
+    g1 = (m1[:, :, 2] & 2) > 0
+    g2 = (m2[:, :, 2] & 2) > 0
+    min1 = jnp.ceil(minsc_i + minsc_s * l1.astype(jnp.float32)
+                    ).astype(jnp.int32)
+    min2 = jnp.ceil(minsc_i + minsc_s * l2.astype(jnp.float32)
+                    ).astype(jnp.int32)
+    v1 = sc1 >= min1[:, None]
+    v2 = sc2 >= min2[:, None]
+    P1 = p1[:, :, None]
+    P2 = p2[:, None, :]
+    E1 = l1.astype(jnp.int32)[:, None, None]
+    E2 = l2.astype(jnp.int32)[:, None, None]
+    left1 = P1 <= P2
+    F1g = fw1[:, :, None]
+    F2g = fw2[:, None, :]
+    up_fw = jnp.where(left1, F1g, F2g)
+    dn_fw = jnp.where(left1, F2g, F1g)
+    frag = jnp.maximum(P2 + E2, P1 + E1) - jnp.minimum(P1, P2)
+    if fr_mode == "fr":
+        okdir = up_fw & ~dn_fw
+    elif fr_mode == "rf":
+        okdir = ~up_fw & dn_fw
+    else:
+        okdir = F1g == F2g
+    ok = (okdir & (frag >= minins) & (frag <= maxins)
+          & v1[:, :, None] & v2[:, None, :])
+    # mate-extent geometry (pe.h PE_ALS classes). Dovetailed pairs (the
+    # coordinate order contradicting the orientation roles) already fail
+    # the direction check above — --dovetail re-admits the crossed
+    # pattern; --no-contain/--no-overlap tighten the default
+    e1g = P1 + E1
+    e2g = P2 + E2
+    up_e = jnp.where(left1, e1g, e2g)
+    dn_e = jnp.where(left1, e2g, e1g)
+    if pe_geo[0] and fr_mode in ("fr", "rf"):
+        dove_dir = (~up_fw & dn_fw) if fr_mode == "fr" else (up_fw & ~dn_fw)
+        ok |= (dove_dir & (frag >= minins) & (frag <= maxins)
+               & v1[:, :, None] & v2[:, None, :])
+    if pe_geo[1]:
+        ok &= ~(dn_e <= up_e)
+    if pe_geo[2]:
+        ok &= ~(jnp.minimum(e1g, e2g) > jnp.maximum(P1, P2))
+    total = jnp.where(ok, sc1[:, :, None] + sc2[:, None, :],
+                      jnp.int32(NEG_INF))
+    flat = total.reshape(B, -1)
+    KP2 = min(KP, flat.shape[1])
+    ptop, pidx = lax.top_k(flat, KP2)
+    t1 = (pidx // K2).astype(jnp.int32)
+    t2 = (pidx % K2).astype(jnp.int32)
+    pair_top = jnp.stack([ptop, t1, t2], axis=2)
+
+    ridx = jnp.arange(B, dtype=jnp.int32)
+    # distinct-combo dedup over the KP list (device mirror of the host
+    # merge in align_and_emit_pe)
+    cp1 = jnp.take_along_axis(p1, t1, 1)
+    cp2 = jnp.take_along_axis(p2, t2, 1)
+    cf1 = jnp.take_along_axis(fw1, t1, 1)
+    cf2 = jnp.take_along_axis(fw2, t2, 1)
+    valid = ptop > NEG_INF // 2
+    dup = jnp.zeros((B, KP2), bool)
+    for t in range(1, KP2):
+        eq = ((cp1[:, :t] == cp1[:, t:t + 1])
+              & (cf1[:, :t] == cf1[:, t:t + 1])
+              & (cp2[:, :t] == cp2[:, t:t + 1])
+              & (cf2[:, :t] == cf2[:, t:t + 1]))
+        dup = dup.at[:, t].set(eq.any(axis=1))
+    pvalid = valid & ~dup
+    nvalid = pvalid.sum(axis=1).astype(jnp.int32)
+    vrank = jnp.where(pvalid, jnp.cumsum(pvalid, axis=1) - 1, KP2 + 1)
+    best = ptop[:, 0]
+    sec = jnp.where(nvalid >= 2, jnp.take_along_axis(
+        ptop, jnp.argmax(vrank == 1, axis=1)[:, None], 1)[:, 0],
+        jnp.int32(-32768))
+
+    flags = jnp.zeros(B, jnp.int32)
+    reps = []
+    for k in range(2):
+        selk = (jnp.zeros(B, jnp.int32) if k == 0
+                else jnp.argmax(vrank == 1, axis=1).astype(jnp.int32))
+        reps.append((jnp.take_along_axis(cp1, selk[:, None], 1)[:, 0],
+                     jnp.take_along_axis(cf1, selk[:, None], 1)[:, 0],
+                     jnp.take_along_axis(cp2, selk[:, None], 1)[:, 0],
+                     jnp.take_along_axis(cf2, selk[:, None], 1)[:, 0],
+                     jnp.take_along_axis(ptop, selk[:, None], 1)[:, 0],
+                     selk))
+        gg1 = jnp.take_along_axis(
+            jnp.take_along_axis(g1, t1, 1), selk[:, None], 1)[:, 0]
+        gg2 = jnp.take_along_axis(
+            jnp.take_along_axis(g2, t2, 1), selk[:, None], 1)[:, 0]
+        flags = (flags | (reps[k][1].astype(jnp.int32) << (4 * k))
+                 | (gg1.astype(jnp.int32) << (4 * k + 1))
+                 | (reps[k][3].astype(jnp.int32) << (4 * k + 2))
+                 | (gg2.astype(jnp.int32) << (4 * k + 3)))
+
+    # finalize both mates of both reports: 4B rows
+    fpos = jnp.concatenate([reps[0][0], reps[1][0],
+                            reps[0][2], reps[1][2]])
+    ffw = jnp.concatenate([reps[0][1], reps[1][1],
+                           reps[0][3], reps[1][3]])
+    fread = jnp.tile(ridx, 4)
+    fin1 = _stage_fin_rows(idx, sctab, st1["seqs2"], st1["quals2"],
+                           st1["lens2"], fpos[:2 * B], ffw[:2 * B],
+                           fread[:2 * B], B, PEPACK_MM).reshape(2, B, -1)
+    fin2 = _stage_fin_rows(idx, sctab, st2["seqs2"], st2["quals2"],
+                           st2["lens2"], fpos[2 * B:], ffw[2 * B:],
+                           fread[2 * B:], B, PEPACK_MM).reshape(2, B, -1)
+
+    # per-mate SE scores for the rescued/mixed detection on host is via
+    # the slow gather; the pack carries only the concordant fast path
+    def mate_lanes(fin, pos, score_m):
+        f = fin
+        mm = f[:, 5:5 + PEPACK_MM]
+        mch = f[:, 5 + PEPACK_MM:]
+        mmp = jnp.clip(mm, 0, 4095) << 3 | jnp.clip(mch, 0, 7)
+        return [pos & 0xFFFF, (pos >> 16) & 0xFFFF, f[:, 0], f[:, 1],
+                f[:, 3], f[:, 4], jnp.clip(score_m, -32768, 32767)] + \
+            [mmp[:, j] for j in range(PEPACK_MM)]
+
+    cols = [nvalid, jnp.clip(best, -32768, 32767),
+            jnp.clip(sec, -32768, 32767), flags]
+    for k in range(2):
+        sc1k = jnp.take_along_axis(
+            jnp.take_along_axis(sc1, t1, 1), reps[k][5][:, None], 1)[:, 0]
+        sc2k = jnp.take_along_axis(
+            jnp.take_along_axis(sc2, t2, 1), reps[k][5][:, None], 1)[:, 0]
+        cols += mate_lanes(fin1[k], reps[k][0], sc1k)
+        cols += mate_lanes(fin2[k], reps[k][2], sc2k)
+    pack = jnp.stack(cols, axis=1).astype(jnp.int16)
+    # per-mate unaligned flags help route mixed pairs without a gather
+    m1_has = (sc1 >= min1[:, None]).any(axis=1)
+    m2_has = (sc2 >= min2[:, None]).any(axis=1)
+    aux = (m1_has.astype(jnp.int16)
+           | (m2_has.astype(jnp.int16) << 1))
+    pack = jnp.concatenate([pack, aux[:, None]], axis=1)
+    return pack, m1, m2, pair_top
+
+
+_stage_pe_packed = None
+
+
+def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
+                    KP: int):
+    """Dispatch the packed PE step; returns (pack_dev [async-copying],
+    m1_dev, m2_dev, pt_dev)."""
+    global _stage_pe_packed
+    import jax
+    import jax.numpy as jnp
+    if _stage_pe_packed is None:
+        _stage_pe_packed = jax.jit(
+            _stage_pe_packed_impl,
+            static_argnames=(
+                "B", "L", "max_seeds", "n_seeds", "locs_per_seg",
+                "top_cands", "min_seg_len", "ftab_k", "K2", "KP",
+                "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
+                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode", "pe_geo"))
+    o = aligner.opts
+    B = len(b1)
+    L = b1.seqs.shape[1]
+    K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+    sc = aligner.scoring
+    sw1, nw1, quals1, qc1, l1 = b1.packed()
+    sw2, nw2, quals2, qc2, l2 = b2.packed()
+    if quals1 is not None or quals2 is not None or qc1 != qc2:
+        return None          # non-constant quals: caller falls back
+    out = _stage_pe_packed(
+        aligner.idx, aligner.sctab,
+        jnp.asarray(sw1), jnp.asarray(nw1), jnp.asarray(l1),
+        jnp.asarray(sw2), jnp.asarray(nw2), jnp.asarray(l2),
+        jnp.int32(qc1),
+        jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
+        jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
+        jnp.int32(o.minins), jnp.int32(o.maxins),
+        B=B, L=L, max_seeds=o.max_seeds, n_seeds=o.n_seeds,
+        locs_per_seg=o.locs_per_seg, top_cands=o.top_cands,
+        min_seg_len=aligner.min_seg_len, ftab_k=aligner.fm.ftab_k,
+        K2=K2, KP=KP,
+        fb_bucket=min(B, max(32, B // 8)),
+        dp_bucket=min(B, max(64, B // 8)),
+        dp_pad=o.dp_pad, no_dp=o.no_dp, nofw=o.nofw, norc=o.norc,
+        seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
+        sc_const=aligner.sc_const, fr_mode=o.fr,
+        pe_geo=(o.dovetail, o.no_contain, o.no_overlap))
+    pack, m1, m2, pt = out
+    try:
+        pack.copy_to_host_async()
+    except Exception:
+        pass
+    return pack, m1, m2, pt
+
+
+def _gather_pe_slow(aligner, m1_dev, m2_dev, pt_dev, rows: np.ndarray):
+    """Fetch merged grids + combo lists for slow pairs (padded bucket)."""
+    import jax
+    import jax.numpy as jnp
+    if rows.size == 0:
+        return None
+    bucket = 32
+    while bucket < rows.size:
+        bucket *= 2
+    rows_p = jnp.asarray(np.pad(rows, (0, bucket - rows.size)), jnp.int32)
+    from .pipeline import _gather_merged
+    g1 = _gather_merged(m1_dev, rows_p)
+    g2 = _gather_merged(m2_dev, rows_p)
+    gp = _gather_merged(pt_dev, rows_p)
+    for g in (g1, g2, gp):
+        try:
+            g.copy_to_host_async()
+        except Exception:
+            pass
+    n = rows.size
+    return lambda: (np.asarray(g1)[:n], np.asarray(g2)[:n],
+                    np.asarray(gp)[:n])
+
+
+_stage_pe_fused = None  # lazily-jitted (many static args)
 
 
 def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
@@ -152,7 +428,7 @@ def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
                 "min_seg_len", "ftab_k", "K2", "KP", "KF", "max_mm",
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
-                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode"))
+                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode", "pe_geo"))
     o = aligner.opts
     B = len(b1)
     K2 = min(2 * o.top_cands, max(8, o.khits + 3))
@@ -172,7 +448,8 @@ def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         dp_bucket=min(B, max(64, B // 8)),
         dp_pad=o.dp_pad, no_dp=o.no_dp, nofw=o.nofw, norc=o.norc,
         seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
-        sc_const=aligner.sc_const, fr_mode=o.fr)
+        sc_const=aligner.sc_const, fr_mode=o.fr,
+        pe_geo=(o.dovetail, o.no_contain, o.no_overlap))
     m1p, m2p, pair_top, finp1, finp2, sfin1, sfin2 = map(np.asarray, out)
 
     def unpack(m):
@@ -197,7 +474,8 @@ class PairResult:
 
 
 def _concordant(o1_fw, o1_pos, len1, o2_fw, o2_pos, len2,
-                minins: int, maxins: int, mode: str) -> tuple[bool, int]:
+                minins: int, maxins: int, mode: str,
+                geo=(False, False, False)) -> tuple[bool, int]:
     """Check one candidate combo for concordance; returns (ok, tlen).
 
     mode 'fr' (default): upstream mate forward, downstream mate reverse
@@ -215,6 +493,19 @@ def _concordant(o1_fw, o1_pos, len1, o2_fw, o2_pos, len2,
         ok = (not up_fw) and dn_fw
     else:  # ff
         ok = o1_fw == o2_fw
+    if geo[0] and mode in ("fr", "rf"):
+        # --dovetail: the crossed pattern is concordant too
+        want = (not up_fw) and dn_fw if mode == "fr" else up_fw and not dn_fw
+        ok = ok or want
+    if geo[1] or geo[2]:
+        s1e, e1e = o1_pos, o1_pos + len1
+        s2e, e2e = o2_pos, o2_pos + len2
+        up_e = e1e if s1e <= s2e else e2e
+        dn_e = e2e if s1e <= s2e else e1e
+        if geo[1] and dn_e <= up_e:
+            ok = False
+        if geo[2] and min(e1e, e2e) > max(s1e, s2e):
+            ok = False
     return ok and minins <= frag <= maxins, frag
 
 
@@ -248,6 +539,19 @@ def _concordant_grid(m1, m2, b1, b2, o, scoring):
         okdir = f1[:, :, None] == f2[:, None, :]
     ok = (okdir & (frag >= o.minins) & (frag <= o.maxins)
           & v1[:, :, None] & v2[:, None, :])
+    if o.dovetail and o.fr in ("fr", "rf"):
+        dd = (~up_fw & dn_fw) if o.fr == "fr" else (up_fw & ~dn_fw)
+        ok |= (dd & (frag >= o.minins) & (frag <= o.maxins)
+               & v1[:, :, None] & v2[:, None, :])
+    if o.no_contain or o.no_overlap:
+        e1g = P1 + E1
+        e2g = P2 + E2
+        up_e = np.where(left1, e1g, e2g)
+        dn_e = np.where(left1, e2g, e1g)
+        if o.no_contain:
+            ok &= ~(dn_e <= up_e)
+        if o.no_overlap:
+            ok &= ~(np.minimum(e1g, e2g) > np.maximum(P1, P2))
     total = np.where(ok, s1[:, :, None] + s2[:, None, :],
                      np.int64(NEG_INF))
     flat = total.reshape(B, -1)
@@ -392,7 +696,9 @@ def _pair_result_one(aligner, i, b1, b2, m1, m2, grid, mate_cands,
             for x2 in c2:
                 ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
                                        x2["fw"], x2["pos"], x2["extent"],
-                                       o.minins, o.maxins, o.fr)
+                                       o.minins, o.maxins, o.fr,
+                                       (o.dovetail, o.no_contain,
+                                        o.no_overlap))
                 if ok:
                     combos.append((x1["score"] + x2["score"], x1, x2))
         combos.sort(key=lambda x: -x[0])
@@ -538,7 +844,9 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         ok, _frag = _concordant(
             a_anchor.fw, a_anchor.joined_pos, ac["extent"],
             a_resc.fw, a_resc.joined_pos, a_resc.ref_span,
-            aligner.opts.minins, aligner.opts.maxins, aligner.opts.fr)
+            aligner.opts.minins, aligner.opts.maxins, aligner.opts.fr,
+            (aligner.opts.dovetail, aligner.opts.no_contain,
+             aligner.opts.no_overlap))
         if not ok:
             continue
         pr = results[i]
@@ -679,7 +987,9 @@ def pair_lines(aligner: Aligner, b1: ReadBatch, b2: ReadBatch, i: int,
                         proper_pair=conc, mate_mapped=True,
                         mate_rname=ref.names[other.tidx], mate_pos=other.toff,
                         mate_fw=other.fw, tlen=t)
-                    lines.append(samio.format_aligned(name, seq, q, rec))
+                    lines.append(samio.format_aligned(
+                        name, seq, q, rec,
+                        omit_sec_seq=aligner.opts.omit_sec_seq))
             stats["mates_al"] += 2
             return lines
 

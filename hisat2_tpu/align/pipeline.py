@@ -75,6 +75,15 @@ class AlignerOpts:
     seed_mode: bool = True         # stride seeds (fast) + segment fallback
     nofw: bool = False             # --nofw: skip forward orientation
     norc: bool = False             # --norc: skip reverse-complement
+    # PE mate-extent geometry (pe.h PE_ALS_* classes): dovetailed pairs
+    # are non-concordant unless --dovetail; --no-contain/--no-overlap
+    # reject containment/overlap
+    dovetail: bool = False
+    no_contain: bool = False
+    no_overlap: bool = False
+    omit_sec_seq: bool = False     # --omit-sec-seq: '*' SEQ/QUAL on
+    #                                secondary records (sam.h)
+    tmo: bool = False              # --tmo: transcriptome-mapping only
 
 
 @dataclass

@@ -44,6 +44,23 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ff", dest="orient", action="store_const", const="ff")
     ap.add_argument("--no-mixed", action="store_true")
     ap.add_argument("--no-discordant", action="store_true")
+    ap.add_argument("--dovetail", action="store_true",
+                    help="concordant pairs may dovetail")
+    ap.add_argument("--no-contain", action="store_true",
+                    help="one mate containing the other is not concordant")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="overlapping mates are not concordant")
+    ap.add_argument("--omit-sec-seq", action="store_true",
+                    help="print '*' SEQ/QUAL on secondary records")
+    ap.add_argument("--tmo", "--transcriptome-mapping-only",
+                    dest="tmo", action="store_true",
+                    help="report only alignments within known transcripts")
+    ap.add_argument("--remove-chrname", action="store_true",
+                    help="strip 'chr' from reference names in output")
+    ap.add_argument("--add-chrname", action="store_true",
+                    help="prepend 'chr' to reference names in output")
+    ap.add_argument("--qc-filter", action="store_true",
+                    help="drop reads failing the QSEQ filter field")
     ap.add_argument("--no-spliced-alignment", action="store_true")
     ap.add_argument("--min-intronlen", type=int, default=20)
     ap.add_argument("--max-intronlen", type=int, default=500000)
@@ -132,6 +149,17 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # -A <file>: one invocation per line (reference hisat2_main.cpp:55-77)
+    if argv and argv[0] in ("-A", "--arg-file") and len(argv) >= 2:
+        import shlex
+        rc = 0
+        for line in open(argv[1]):
+            line = line.strip()
+            if line and not line.startswith("#"):
+                rc |= main(shlex.split(line))
+        return rc
     args = build_argparser().parse_args(argv)
     _enable_compile_cache()
     from ..align.pipeline import Aligner, AlignerOpts, results_to_sam
@@ -142,7 +170,23 @@ def main(argv=None) -> int:
     from ..io.reads import read_reads, read_tab6, batch_iter, batchify
 
     t0 = time.time()
+    import os as _os0
+    idx_pref = args.index
+    if (not _os0.path.exists(idx_pref + ".meta.json")
+            and not _os0.path.exists(idx_pref + ".1.ht2")
+            and _os0.environ.get("HISAT2_INDEXES")):
+        cand = _os0.path.join(_os0.environ["HISAT2_INDEXES"], idx_pref)
+        if (_os0.path.exists(cand + ".meta.json")
+                or _os0.path.exists(cand + ".1.ht2")):
+            idx_pref = cand
+    args.index = idx_pref
     fm = FMIndex.load(args.index)
+    if args.remove_chrname:
+        fm.ref.names = [n[3:] if n.startswith("chr") else n
+                        for n in fm.ref.names]
+    elif args.add_chrname:
+        fm.ref.names = [n if n.startswith("chr") else "chr" + n
+                        for n in fm.ref.names]
     rep_aligner = None
     # repeat machinery activates automatically when a repeat index exists
     # next to the genome index (reference hisat2.cpp:3833-3901 loads
@@ -199,6 +243,8 @@ def main(argv=None) -> int:
         kw["canonical_splice_pen"] = args.pen_cansplice
     if args.pen_noncansplice is not None:
         kw["noncanonical_splice_pen"] = args.pen_noncansplice
+    if args.tmo:
+        kw.setdefault("noncanonical_intronlen_pen", SimpleFunc("G", -8.0, 2.0))
     if kw:
         sc = _dc_replace(sc, **kw)
 
@@ -213,7 +259,10 @@ def main(argv=None) -> int:
                        max_intron=args.max_intronlen,
                        no_temp_splicesite=args.no_temp_splicesite,
                        dta=args.dta, zs_tags=args.zs_tags,
-                       nofw=args.nofw, norc=args.norc)
+                       nofw=args.nofw, norc=args.norc,
+                       dovetail=args.dovetail, no_contain=args.no_contain,
+                       no_overlap=args.no_overlap,
+                       omit_sec_seq=args.omit_sec_seq, tmo=args.tmo)
     if args.fast:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
     elif args.very_sensitive:
@@ -342,20 +391,47 @@ def main(argv=None) -> int:
         # -s/-u count pairs; -5/-3/--ignore-quals apply to both mates
         pairs = _reindex_pairs(zip(r1s, r2s), args.skip, args.qupto,
                                args.trim5, args.trim3, args.ignore_quals)
-        for a, b in pairs:
-            a.rdid = b.rdid = rdid
-            rdid += 1
-            buf1.append(a)
-            buf2.append(b)
-            if len(buf1) == args.batch_size:
+        if args.un_conc or args.al_conc:
+            for a, b in pairs:
+                a.rdid = b.rdid = rdid
+                rdid += 1
+                buf1.append(a)
+                buf2.append(b)
+                if len(buf1) == args.batch_size:
+                    _run_pair_batch(al, buf1, buf2, writer, merge,
+                                    pairs_to_sam, batchify, align_pairs,
+                                    args)
+                    nreads += 2 * len(buf1)
+                    buf1, buf2 = [], []
+            if buf1:
                 _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
                                 batchify, align_pairs, args)
                 nreads += 2 * len(buf1)
-                buf1, buf2 = [], []
-        if buf1:
-            _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam,
-                            batchify, align_pairs, args)
-            nreads += 2 * len(buf1)
+        else:
+            # pipelined packed PE stream
+            from ..align.emit import align_and_emit_pe_stream
+
+            def pair_batches():
+                nonlocal rdid
+                bb1, bb2 = [], []
+                for a, b in pairs:
+                    a.rdid = b.rdid = rdid
+                    rdid += 1
+                    bb1.append(a)
+                    bb2.append(b)
+                    if len(bb1) == args.batch_size:
+                        yield _pad_pair(bb1, bb2, batchify)
+                        bb1, bb2 = [], []
+                if bb1:
+                    yield _pad_pair(bb1, bb2, batchify)
+
+            def _tick(bb, st):
+                nonlocal nreads
+                merge(st)
+                nreads += 2 * len(bb[0])
+
+            align_and_emit_pe_stream(al, pair_batches(), writer,
+                                     on_batch=_tick)
     else:
         print("error: provide -U or both -1 and -2", file=sys.stderr)
         return 1
@@ -422,6 +498,12 @@ def _reindex_pairs(pair_stream, skip=0, upto=None, trim5=0, trim3=0,
                 r.qual = np.full(len(r.seq), 30, r.qual.dtype)
         n += 1
         yield a, b
+
+
+def _pad_pair(buf1, buf2, batchify):
+    L = max(max(len(r) for r in buf1), max(len(r) for r in buf2))
+    L = max(8, -(-L // 8) * 8)
+    return batchify(buf1, pad_to=L), batchify(buf2, pad_to=L)
 
 
 def _run_pair_batch(al, buf1, buf2, writer, merge, pairs_to_sam, batchify,

@@ -165,7 +165,7 @@ class SamWriter:
 
 
 def format_aligned(name: str, seq_fw_codes, qual_str_fw: str,
-                   a: SamAlignment) -> str:
+                   a: SamAlignment, omit_sec_seq: bool = False) -> str:
     """Format one aligned SAM record. seq_fw_codes is the read in its
     original (input) orientation; SEQ is reverse-complemented when the
     alignment is on the reverse strand (SAM spec / sam.h)."""
@@ -183,7 +183,9 @@ def format_aligned(name: str, seq_fw_codes, qual_str_fw: str,
     if a.secondary:
         flag |= FLAG_SECONDARY
 
-    if a.fw:
+    if omit_sec_seq and a.secondary:
+        seq = qual = "*"          # --omit-sec-seq (sam.h secondary policy)
+    elif a.fw:
         seq = alphabet.decode(seq_fw_codes)
         qual = qual_str_fw
     else:

@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-c", dest="cmdline", action="store_true",
                     help="-U arguments are literal sequences")
     ap.add_argument("--qseq", action="store_true", help="QSEQ input")
+    ap.add_argument("-F", dest="fasta_cont", default=None,
+                    help="k:<int>,i:<int> continuous-FASTA windows")
     ap.add_argument("-k", dest="khits", type=int, default=5,
                     help="report up to <int> alignments per read")
     ap.add_argument("-I", "--minins", type=int, default=0)
@@ -341,13 +343,20 @@ def main(argv=None) -> int:
         elif args.cmdline:
             from ..io.reads import reads_from_cmdline
             stream = reads_from_cmdline(args.unpaired)
+        elif args.fasta_cont:
+            from ..io.reads import read_fasta_continuous
+            kv = dict(p.split(":") for p in args.fasta_cont.split(","))
+            stream = itertools.chain(*[
+                read_fasta_continuous(p, int(kv.get("k", 32)),
+                                      int(kv.get("i", 1)))
+                for p in args.unpaired.split(",")])
         else:
             readers = [read_reads(p, fmt, args.phred64)
                        for p in args.unpaired.split(",")]
             stream = itertools.chain(*readers)
         from ..align.emit import align_and_emit, align_and_emit_stream
         stream = _reindex(stream, args.skip, args.qupto, args.trim5,
-                          args.trim3, args.ignore_quals)
+                          args.trim3, args.ignore_quals, args.qc_filter)
         if args.un or args.al or rep_aligner is not None:
             for batch in batch_iter(stream, args.batch_size):
                 results = al.align_batch(batch)
@@ -455,7 +464,7 @@ def main(argv=None) -> int:
 
 
 def _reindex(stream, skip=0, upto=None, trim5=0, trim3=0,
-             ignore_quals=False):
+             ignore_quals=False, qc_filter=False):
     """rdid assignment + -s/-u/-5/-3/--ignore-quals preprocessing."""
     import numpy as np
     n = 0
@@ -471,6 +480,12 @@ def _reindex(stream, skip=0, upto=None, trim5=0, trim3=0,
                 r.qual = r.qual[trim5:end]
         if ignore_quals and r.qual is not None:
             r.qual = np.full(len(r.seq), 30, r.qual.dtype)
+        if qc_filter and not getattr(r, "qc_ok", True):
+            # --qc-filter: QSEQ filter field 0 -> treat as length-0 read
+            # (emitted unaligned with YF, reference qc-filter semantics)
+            r.seq = r.seq[:0]
+            if r.qual is not None:
+                r.qual = r.qual[:0]
         r.rdid = rdid - skip
         n += 1
         yield r

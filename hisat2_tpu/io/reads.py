@@ -31,6 +31,7 @@ class Read:
     seq: np.ndarray          # uint8 codes 0..4
     qual: np.ndarray | None  # phred scores (int), or None (FASTA)
     rdid: int = 0
+    qc_ok: bool = True       # QSEQ filter field (--qc-filter)
 
     def __len__(self) -> int:
         return int(self.seq.size)
@@ -145,8 +146,11 @@ def read_qseq(path, phred64: bool = True, start_rdid: int = 0
                 continue
             name = "_".join(f[:7])
             seq = f[8].replace(".", "N")
-            yield Read(name, alphabet.encode(seq),
-                       _parse_qual(f[9], phred64), rdid)
+            r = Read(name, alphabet.encode(seq),
+                     _parse_qual(f[9], phred64), rdid)
+            if len(f) > 10:
+                r.qc_ok = f[10].strip() != "0"
+            yield r
             rdid += 1
 
 
@@ -264,3 +268,16 @@ def batch_iter(reads: Iterable[Read], batch_size: int,
             buf = []
     if buf:
         yield batchify(buf, pad_to=pad_to)
+
+
+def read_fasta_continuous(path, k: int, step: int = 1,
+                          start_rdid: int = 0) -> Iterator[Read]:
+    """-F k:<int>,i:<int> (reference pat.h FASTA_CONT): every `step`-th
+    k-bp window of each sequence becomes a read named
+    <seqname>_<offset>."""
+    rdid = start_rdid
+    for rec in read_fasta(path):
+        codes = rec.seq
+        for off in range(0, max(codes.size - k + 1, 0), step):
+            yield Read(f"{rec.name}_{off}", codes[off:off + k], None, rdid)
+            rdid += 1

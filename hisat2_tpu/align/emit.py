@@ -73,7 +73,11 @@ def finish_se(al: Aligner, handle, writer) -> dict:
     if handle[0] == "legacy":
         return _align_and_emit_legacy(al, handle[1], writer)
     _, batch, fp_dev, merged_dev = handle
-    return _finish_fastpack(al, batch, fp_dev, merged_dev, writer)
+    import time as _t
+    t0 = _t.perf_counter()
+    st = _finish_fastpack(al, batch, fp_dev, merged_dev, writer)
+    al.metrics.t_host += _t.perf_counter() - t0
+    return st
 
 
 def align_and_emit_stream(al: Aligner, batches, writer,
@@ -115,7 +119,10 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     already-fetched candidate grid in global coordinates) instead of a
     device handle."""
     from .pipeline import FASTPACK_MM, FASTPACK_REP
+    import time as _t
+    _tf = _t.perf_counter()
     fp = np.asarray(fp_dev)
+    al.metrics.t_fetch += _t.perf_counter() - _tf
     B = len(batch)
     o = al.opts
     sc = al.scoring

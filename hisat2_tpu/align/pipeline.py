@@ -796,11 +796,14 @@ class Aligner:
         async fastpack copy immediately, keep merged on device. Returns
         (fastpack_dev, merged_dev). The caller overlaps further batches'
         dispatches with this one's host fetch (emit.align_and_emit_stream)."""
+        import time as _t
+        t0 = _t.perf_counter()
         o = self.opts
         B = len(batch)
         L = batch.seqs.shape[1]
         self.metrics.reads += B
         self.metrics.batches += 1
+        self.metrics.seeds += 2 * B * o.n_seeds
         seq_w, n_w, quals, qconst, lens = batch.packed()
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
         fp_dev, merged_dev = _stage_align_packed(
@@ -821,6 +824,7 @@ class Aligner:
             fp_dev.copy_to_host_async()
         except Exception:
             pass
+        self.metrics.t_pack += _t.perf_counter() - t0
         return fp_dev, merged_dev
 
     def gather_merged_rows(self, merged_dev, rows: np.ndarray):

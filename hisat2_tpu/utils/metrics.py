@@ -25,10 +25,17 @@ class Metrics:
     aligned: int = 0
     unaligned: int = 0
     multi: int = 0
+    # per-stage wall time (seconds) — the profile that locates the next
+    # bottleneck (reference Timer/-t + PerfMetrics timing role)
+    t_pack: float = 0.0       # host read packing + dispatch enqueue
+    t_fetch: float = 0.0      # device->host result transfer waits
+    t_gather: float = 0.0     # slow-row gather round trips
+    t_host: float = 0.0       # host selection + SAM formatting
 
     COLUMNS = ["elapsed", "reads", "batches", "seeds", "candidates",
                "dp_lanes", "splice_lanes", "fallback_reads",
-               "aligned", "unaligned", "multi", "reads_per_sec"]
+               "aligned", "unaligned", "multi", "reads_per_sec",
+               "t_pack", "t_fetch", "t_gather", "t_host"]
 
     def row(self) -> list:
         el = time.time() - self.start_time
@@ -36,7 +43,9 @@ class Metrics:
                 self.candidates, self.dp_lanes, self.splice_lanes,
                 self.fallback_reads, self.aligned, self.unaligned,
                 self.multi,
-                f"{self.reads / el:.1f}" if el > 0 else "0"]
+                f"{self.reads / el:.1f}" if el > 0 else "0",
+                f"{self.t_pack:.2f}", f"{self.t_fetch:.2f}",
+                f"{self.t_gather:.2f}", f"{self.t_host:.2f}"]
 
     def header_line(self) -> str:
         return "\t".join(self.COLUMNS)

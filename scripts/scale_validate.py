@@ -35,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bases", type=int, default=3_200_000_000)
     ap.add_argument("--reads", type=int, default=100_000)
-    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--rdlen", type=int, default=100)
     ap.add_argument("--out", default="SCALE_r02.md")
     args = ap.parse_args()
@@ -70,8 +70,51 @@ def main():
     t_gen = time.time() - t0
 
     t0 = time.time()
-    log("building sharded seed-table index")
-    sh = build_sharded(ref)
+    cache = f"/tmp/scale_shards_{args.bases}"
+    import glob
+    if glob.glob(cache + "_0.npz"):
+        log("loading cached shard tables")
+        from hisat2_tpu.index.sharded import ShardedIndex
+        from hisat2_tpu.index.fm_index import FMIndex
+        shards, bases_l = [], []
+        k = 0
+        while os.path.exists(f"{cache}_{k}.npz"):
+            z = np.load(f"{cache}_{k}.npz")
+            base = int(z["base"])
+            jend = int(z["jend"])
+            sub = JoinedReference(
+                names=ref.names, tlens=ref.tlens,
+                joined=ref.joined[base:jend],
+                frag_joined=z["frag_joined"], frag_toff=z["frag_toff"],
+                frag_tidx=z["frag_tidx"], frag_len=z["frag_len"])
+            n = int(sub.joined.size)
+            fm = FMIndex(
+                ref=sub, n=n, zoff=0, ftab_k=1,
+                bwt_packed=np.zeros(8, np.uint32),
+                text_packed=z["text_packed"],
+                occ=np.zeros((2, 4), np.int32),
+                ccount=np.asarray([1, 1, 1, 1, n + 1], np.int32),
+                sa=np.zeros(1, np.int32),
+                ftab=np.zeros((4, 2), np.int32))
+            fm.st_starts = z["st_starts"]
+            fm.st_pos = z["st_pos"]
+            fm.st_k = int(z["st_k"])
+            fm.table_only = True
+            shards.append(fm)
+            bases_l.append(base)
+            k += 1
+        sh = ShardedIndex(shards=shards, bases=bases_l, ref=ref)
+    else:
+        log("building sharded seed-table index")
+        sh = build_sharded(ref)
+        for k, (s, base) in enumerate(zip(sh.shards, sh.bases)):
+            jend = base + int(sum(s.ref.frag_len))
+            np.savez(f"{cache}_{k}.npz", base=base, jend=jend,
+                     st_starts=s.st_starts, st_pos=s.st_pos,
+                     st_k=s.st_k, text_packed=s.text_packed,
+                     frag_joined=s.ref.frag_joined,
+                     frag_toff=s.ref.frag_toff,
+                     frag_tidx=s.ref.frag_tidx, frag_len=s.ref.frag_len)
     t_build = time.time() - t0
     shard_gb = [(s.st_pos.nbytes + s.st_starts.nbytes
                  + s.text_packed.nbytes * 2) / 1e9 for s in sh.shards]

@@ -822,6 +822,11 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         window = aligner.fm.ref.get_stretch(int(wstart), W)
         s2, ref_start, cigar, mds = _sw.dp_traceback(
             sc, rd[k, :rdlen].astype(np.uint8), q[k, :rdlen], window)
+        if s2 < min_sc:
+            # device score and host traceback can disagree near window
+            # edges (clipped windows at chromosome starts) — gate the
+            # FINAL score too (advisor r1 finding)
+            continue
         jpos = int(wstart) + ref_start
         from .pipeline import Alignment
         span = sum(n for op, n in cigar if op in ("M", "D"))

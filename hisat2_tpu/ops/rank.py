@@ -115,6 +115,23 @@ def gather_rows2(rows: jax.Array, r: jax.Array) -> jax.Array:
     return jnp.concatenate([rows[r], rows[r + 1]], axis=-1)
 
 
+def _shift_right_fill(x: jax.Array, sh: jax.Array, fill: int) -> jax.Array:
+    """Per-lane RIGHT shift of the minor axis by sh (>= 0), filling with
+    `fill` on the left — log-step selects, no gather. Used to honor
+    negative window starts (chromosome-start windows pad with N instead
+    of re-anchoring at 0)."""
+    L = x.shape[-1]
+    b = 1
+    while b < L:
+        shifted = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (b,), fill, x.dtype), x[..., :-b]],
+            axis=-1)
+        x = jnp.where(((sh[..., None] >> (b.bit_length() - 1)) & 1) != 0,
+                      shifted, x)
+        b <<= 1
+    return x
+
+
 def _shift_words(w: jax.Array, ws: jax.Array, keep: int) -> jax.Array:
     """w (..., NW) uint32; per-lane left-shift of the word axis by ws
     (0 <= ws < NW), returning the first `keep` words — log-step static
@@ -159,6 +176,7 @@ def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     shifts = (4 * jnp.arange(8, dtype=jnp.uint32))
     nibs = ((aligned[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.int32)
     out = nibs.reshape(*nibs.shape[:-2], nw * 8)[..., :length]
+    out = _shift_right_fill(out, cs - start, 0)
     pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
     inb = (pos >= 0) & (pos < idx["primary_n"])
     return jnp.where(inb, out, 0)
@@ -202,6 +220,9 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
     chars = ((aligned[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
     out = chars.reshape(*chars.shape[:-2], nw * 16)[..., :length]
+    # negative starts: content was anchored at 0 — shift right so every
+    # in-bounds position holds ITS character (advisor r1 finding)
+    out = _shift_right_fill(out, cs - start, 4)
     pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
     inb = (pos >= 0) & (pos < idx["n"])
     return jnp.where(inb, out, 4)

@@ -904,7 +904,33 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                     out_cs.append(c)
             return out_cs[:o.top_cands]
 
+        # batch-prefinalize every ungapped slow-pair candidate (one
+        # vectorized pass per mate instead of per-pair NumPy)
+        fin_cache: dict[tuple, object] = {}
+        items = {0: [], 1: []}
+        for i in slow:
+            i = int(i)
+            for mi, (mh, bb, lm) in enumerate(((m1h, b1, l1),
+                                               (m2h, b2, l2))):
+                min_i = sc.min_score(int(lm[i]))
+                for c in mate_cands(mh, bb, i, min_i, int(lm[i])):
+                    if not c["gapped"]:
+                        items[mi].append((i, c["pos"], c["fw"]))
+        for mi, bb, lm in ((0, b1, l1), (1, b2, l2)):
+            if not items[mi]:
+                continue
+            ridx = np.asarray([x[0] for x in items[mi]])
+            upos = np.asarray([x[1] for x in items[mi]])
+            ufw = np.asarray([x[2] for x in items[mi]])
+            alns = al._finalize_ungapped_list(bb, ridx, upos, ufw, lm[ridx])
+            for (i, p, f), a in zip(items[mi], alns):
+                fin_cache[(mi, i, p, f)] = a
+
         def finalize(batch, i, c, rdlen):
+            mi = 0 if batch is b1 else 1
+            key = (mi, i, c["pos"], c["fw"])
+            if not c["gapped"] and key in fin_cache:
+                return fin_cache[key]
             return al._finalize(i, batch, c["score"], c["pos"], c["fw"],
                                 c["gapped"], rdlen)
 

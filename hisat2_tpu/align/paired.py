@@ -764,6 +764,7 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
     DP the unaligned mate against the window the paired-end policy implies
     from its anchored partner; a passing score upgrades the pair to
     concordant. Batched: one device DP call over all rescue lanes."""
+    import jax
     import jax.numpy as jnp
     from ..ops import sw as _sw
     from .pipeline import _rank_text_window
@@ -810,18 +811,51 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         rls[k] = rdlen
         wstarts[k] = wstart
     win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
-    scores = np.asarray(_sw.dp_score_batch(
-        aligner.sctab, jnp.asarray(rd), jnp.asarray(q), jnp.asarray(rls),
-        win))[:P]
+    if (getattr(aligner, "sc_const", None) is not None
+            and jax.default_backend() == "tpu"):
+        # Pallas DP (ops/dp_pallas.py): the XLA scan path costs ~100x
+        # the row work in loop overhead at these shapes
+        from ..ops.dp_pallas import dp_score_pallas
+        from .scoring import mm_pen_of, sc_pen_of
+        qj = jnp.clip(jnp.asarray(q), 0, 63)
+        in_read = (jnp.arange(L)[None, :] < jnp.asarray(rls)[:, None])
+        pen = mm_pen_of(aligner.sctab, qj)
+        scp = jnp.where(in_read, sc_pen_of(aligner.sctab, qj), 0)
+        scp_cum = jnp.concatenate(
+            [jnp.zeros((bucket, 1), jnp.int32),
+             jnp.cumsum(scp, axis=1)], axis=1)
+        mb, npen, ro, re, fo, fe = aligner.sc_const
+        scores = np.asarray(dp_score_pallas(
+            jnp.asarray(rd), pen, jnp.asarray(rls), win, scp_cum,
+            match_bonus=mb, n_pen=npen, rd_open=ro, rd_ext=re,
+            rf_open=fo, rf_ext=fe))[:P]
+    else:
+        scores = np.asarray(_sw.dp_score_batch(
+            aligner.sctab, jnp.asarray(rd), jnp.asarray(q),
+            jnp.asarray(rls), win))[:P]
+
+    # pass-1: vectorized UNGAPPED placement for every passing lane. Most
+    # rescued mates align without gaps, and the full host traceback costs
+    # ~5 ms/lane at W~1100 — the diagonal max-subarray scan below finds
+    # the exact same optimum whenever it is ungapped (score equality with
+    # the device DP proves it), leaving dp_traceback for true gaps only.
+    passing = [k for k, (i, a, ac, ws, mf, rl) in enumerate(lanes)
+               if scores[k] >= sc.min_score(rl)]
+    windows = {k: aligner.fm.ref.get_stretch(int(lanes[k][3]), W)
+               for k in passing}
+    ung = _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing)
 
     for k, (i, anchored, ac, wstart, mate_fw, rdlen) in enumerate(lanes):
         min_sc = sc.min_score(rdlen)
         if scores[k] < min_sc:
             continue
-        # host traceback against the window for the exact placement
-        window = aligner.fm.ref.get_stretch(int(wstart), W)
-        s2, ref_start, cigar, mds = _sw.dp_traceback(
-            sc, rd[k, :rdlen].astype(np.uint8), q[k, :rdlen], window)
+        window = windows[k]
+        if k in ung:
+            s2, ref_start, cigar, mds = ung[k]
+        else:
+            # gapped: host traceback against the window for the placement
+            s2, ref_start, cigar, mds = _sw.dp_traceback(
+                sc, rd[k, :rdlen].astype(np.uint8), q[k, :rdlen], window)
         if s2 < min_sc:
             # device score and host traceback can disagree near window
             # edges (clipped windows at chromosome starts) — gate the
@@ -863,6 +897,71 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         pr.best = ac["score"] + int(s2)
         pr.secbest = None
         pr.res1 = pr.res2 = None
+
+
+def _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing):
+    """Exact ungapped placements for rescue lanes, vectorized.
+
+    For each passing lane, scores every diagonal placement of the mate in
+    its window with the same substitution/soft-clip model as the DP
+    (ops/sw.py): per-diagonal best clip pair is a max-subarray over
+    A[i] = cumsum(sub) + SCP(i). A lane whose best ungapped score equals
+    its device DP score needs no traceback — the optimum IS ungapped.
+    Returns {lane_k: (score, ref_start, cigar, mds)}.
+    """
+    out = {}
+    if not passing:
+        return out
+    mm_pens = sc.mm_pens()
+    sc_pens = sc.sc_pens()
+    mb, npen = sc.match_bonus, sc.n_pen
+    L = rd.shape[1]
+    BAD = -(10 ** 6)
+    for c0 in range(0, len(passing), 64):
+        ks = passing[c0:c0 + 64]
+        P2 = len(ks)
+        rdp = rd[ks].astype(np.int32)                      # (P2, L)
+        qp = np.clip(q[ks].astype(np.int32), 0, 63)
+        win = np.stack([windows[k] for k in ks]).astype(np.int32)
+        W = win.shape[1]
+        T = W - L + 1
+        if T <= 0:
+            continue
+        sv = np.lib.stride_tricks.sliding_window_view(win, L, axis=1)
+        mm = sv != rdp[:, None, :]
+        isn = (sv >= 4) | (rdp >= 4)[:, None, :]
+        sub = np.where(mm & ~isn, -mm_pens[qp][:, None, :], 0)
+        sub = sub + np.where(~mm & ~isn, mb, 0)
+        sub = np.where(isn, -npen, sub)
+        in_read = np.arange(L)[None, :] < rls[ks][:, None]
+        sub = np.where(in_read[:, None, :], sub, BAD)
+        scp = np.where(in_read, sc_pens[qp], 0)
+        SCP = np.concatenate(
+            [np.zeros((P2, 1), np.int64), np.cumsum(scp, axis=1)], axis=1)
+        A = SCP[:, None, :] + np.concatenate(
+            [np.zeros((P2, T, 1), np.int64), np.cumsum(sub, axis=2)],
+            axis=2)
+        runmin = np.minimum.accumulate(A, axis=2)
+        gains = A[:, :, 1:] - runmin[:, :, :-1]            # (P2, T, L)
+        best_it = gains.max(axis=2)
+        best = best_it.max(axis=1) - SCP[:, -1]
+        for kk, k in enumerate(ks):
+            if best[kk] < scores[k]:
+                continue                                   # gapped optimum
+            t = int(best_it[kk].argmax())
+            i2 = int(gains[kk, t].argmax()) + 1
+            i1 = int(A[kk, t, :i2].argmin())
+            rdlen = int(rls[k])
+            cigar = []
+            if i1:
+                cigar.append(("S", i1))
+            cigar.append(("M", i2 - i1))
+            if rdlen - i2:
+                cigar.append(("S", rdlen - i2))
+            bad = mm[kk, t] | isn[kk, t]
+            mds = [(int(i), int(t + i)) for i in range(i1, i2) if bad[i]]
+            out[k] = (int(best[kk]), t + i1, cigar, mds)
+    return out
 
 
 def _mate_result(aligner, batch, i, cands, min_sc, rdlen, finalize

@@ -924,15 +924,19 @@ def _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing):
         qp = np.clip(q[ks].astype(np.int32), 0, 63)
         win = np.stack([windows[k] for k in ks]).astype(np.int32)
         W = win.shape[1]
-        T = W - L + 1
-        if T <= 0:
-            continue
-        sv = np.lib.stride_tricks.sliding_window_view(win, L, axis=1)
+        # pad L sentinel columns each side: covers diagonals whose clipped
+        # ends overhang the window (the DP clips them too — sentinel cols
+        # are BAD so no aligned base ever lands outside the real window)
+        wp = np.full((P2, W + 2 * L), 5, np.int32)
+        wp[:, L:L + W] = win
+        sv = np.lib.stride_tricks.sliding_window_view(wp, L, axis=1)
+        T = sv.shape[1]                                    # W + L + 1 diags
         mm = sv != rdp[:, None, :]
         isn = (sv >= 4) | (rdp >= 4)[:, None, :]
         sub = np.where(mm & ~isn, -mm_pens[qp][:, None, :], 0)
         sub = sub + np.where(~mm & ~isn, mb, 0)
         sub = np.where(isn, -npen, sub)
+        sub = np.where(sv == 5, BAD, sub)
         in_read = np.arange(L)[None, :] < rls[ks][:, None]
         sub = np.where(in_read[:, None, :], sub, BAD)
         scp = np.where(in_read, sc_pens[qp], 0)
@@ -948,9 +952,10 @@ def _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing):
         for kk, k in enumerate(ks):
             if best[kk] < scores[k]:
                 continue                                   # gapped optimum
-            t = int(best_it[kk].argmax())
-            i2 = int(gains[kk, t].argmax()) + 1
-            i1 = int(A[kk, t, :i2].argmin())
+            ti = int(best_it[kk].argmax())
+            i2 = int(gains[kk, ti].argmax()) + 1
+            i1 = int(A[kk, ti, :i2].argmin())
+            t = ti - L                                     # undo left pad
             rdlen = int(rls[k])
             cigar = []
             if i1:
@@ -958,7 +963,7 @@ def _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing):
             cigar.append(("M", i2 - i1))
             if rdlen - i2:
                 cigar.append(("S", rdlen - i2))
-            bad = mm[kk, t] | isn[kk, t]
+            bad = mm[kk, ti] | isn[kk, ti]
             mds = [(int(i), int(t + i)) for i in range(i1, i2) if bad[i]]
             out[k] = (int(best[kk]), t + i1, cigar, mds)
     return out

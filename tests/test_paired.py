@@ -126,3 +126,61 @@ def test_mate_rescue(setup):
     assert pr.aln2 is not None and not pr.aln2.fw
     ops = [op for op, n in pr.aln2.cigar]
     assert "D" in ops
+
+
+def test_rescue_ungapped_matches_traceback():
+    """The vectorized ungapped rescue placement (paired._rescue_ungapped)
+    must reproduce dp_traceback's score/position/cigar whenever the DP
+    optimum is ungapped, and decline (so the caller falls back) when the
+    optimum needs a gap."""
+    from hisat2_tpu.align.scoring import Scoring
+    from hisat2_tpu.ops import sw as _sw
+    from hisat2_tpu.align.paired import _rescue_ungapped
+
+    sc = Scoring()
+    rng = np.random.default_rng(11)
+    L, W, P = 104, 400, 12
+    rd = np.full((P, L), 4, np.int64)
+    q = np.full((P, L), 40, np.int64)
+    rls = np.zeros(P, np.int32)
+    windows, lanes = {}, []
+    gapped_lanes = set()
+    for k in range(P):
+        rdlen = int(rng.integers(60, 101))
+        win = rng.integers(0, 4, W).astype(np.uint8)
+        t = int(rng.integers(0, W - rdlen))
+        s = win[t:t + rdlen].copy()
+        mm = rng.random(rdlen) < 0.03
+        s[mm] = (s[mm] + 1) % 4
+        if k % 4 == 3:          # plant a deletion -> gapped optimum
+            s = np.concatenate([s[:rdlen // 2], s[rdlen // 2 + 3:],
+                                win[t + rdlen:t + rdlen + 3]])
+            gapped_lanes.add(k)
+        rd[k, :rdlen] = s[:rdlen]
+        rls[k] = rdlen
+        windows[k] = win
+        lanes.append((k, 1, None, 0, True, rdlen))
+    scores = np.zeros(P, np.int64)
+    tb = {}
+    for k in range(P):
+        rdlen = int(rls[k])
+        tb[k] = _sw.dp_traceback(sc, rd[k, :rdlen].astype(np.uint8),
+                                 q[k, :rdlen], windows[k])
+        scores[k] = tb[k][0]
+    ung = _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores,
+                           list(range(P)))
+    n_ung = 0
+    for k in range(P):
+        s0, rs0, cig0, mds0 = tb[k]
+        has_gap = any(op in "ID" for op, _n in cig0)
+        if k in ung:
+            s1, rs1, cig1, mds1 = ung[k]
+            assert not has_gap
+            assert s1 == s0
+            assert rs1 == rs0, (k, cig0, cig1)
+            assert cig1 == cig0
+            assert mds1 == mds0
+            n_ung += 1
+        else:
+            assert has_gap, (k, cig0)
+    assert n_ung >= 6

@@ -107,7 +107,11 @@ class FMIndex:
             # High-load tables (Gbp shards) use wider rows so the paired
             # -kmer intersect mode can scan 48 slots per bucket.
             sp = self.st_pos
-            rw = 64 if self.n > 3 * (4 ** self.st_k) else 32
+            # high-load (Gbp shard) tables use 128-wide rows: the TPU
+            # T(8,128) tile then has NO minor-axis padding, so the multi-GB
+            # position table costs exactly its unpadded bytes in HBM (at 64
+            # XLA pads 2x and materializes a tiled copy — an OOM at 3.2Gbp)
+            rw = 128 if self.n > 3 * (4 ** self.st_k) else 32
             nrp = -(-sp.size // rw)
             sp_rows = np.zeros((nrp + 1, rw), np.int32)
             sp_rows.reshape(-1)[:sp.size] = sp

@@ -229,7 +229,10 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     # compact: only the first `verify_cands` distinct loci are verified —
     # rows with more are repetitive and capped (the reference similarly
     # bounds exploration per read, hisat2.cpp:3480-3513)
-    big = jnp.int32(1 << 30)
+    # sentinel must exceed every real joined position: shards span up to
+    # ~1.9e9 bases (index/sharded.py max_bases), so 2^30 would silently
+    # invalidate all candidates above 1.07e9 (r2 scale-run bug)
+    big = jnp.int32(0x7FFFFFFF)
     key = jnp.where(valid, cand, big)
     skey = jnp.sort(key, axis=1)
     dup = jnp.concatenate(
@@ -293,7 +296,8 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
         score = _sw.dp_score_batch(sctab, rd, q, rl, ref, ov).reshape(R, T)
     # sentinel (invalid) candidates must stay invalid: their all-N windows
     # would otherwise "score" better than real but poor placements
-    ok = dp_rows[:, None] & (pos_top < (1 << 30) - (1 << 20)) & (pos_top >= 0)
+    ok = (dp_rows[:, None] & (pos_top < 0x7FFFFFFF - (1 << 20))
+          & (pos_top >= 0))
     return jnp.where(ok, score, NEG_INF)
 
 

@@ -667,7 +667,7 @@ def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
 
 
 def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
-                    writer) -> dict:
+                    writer, force_slow=None) -> dict:
     from . import paired as _paired
     from .paired import (PEPACK_MM, PEPACK_MATE, PEPACK_W)
 
@@ -708,6 +708,10 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     fast = conc & (nrep <= 2)
     if al.opts.omit_sec_seq:
         fast &= nrep <= 1
+    if force_slow is not None:
+        # cross-shard multi-placement pairs (mesh/sharded merge): NH and
+        # report interleaving need the exact per-read path
+        fast &= ~np.asarray(force_slow)
     ref = al.fm.ref
     for k in (0, 1):
         r1, r2 = reps[k]

@@ -810,9 +810,14 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         q[k, :rdlen] = qq
         rls[k] = rdlen
         wstarts[k] = wstart
-    win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
-    if (getattr(aligner, "sc_const", None) is not None
+    host_mode = not aligner.idx or "text_packed" not in aligner.idx
+    if host_mode:
+        # finalization-only aligner (sharded/mesh merge): no device
+        # index, so the traceback itself decides pass/fail per lane
+        scores = np.full(P, 1 << 30, np.int64)
+    elif (getattr(aligner, "sc_const", None) is not None
             and jax.default_backend() == "tpu"):
+        win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
         # Pallas DP (ops/dp_pallas.py): the XLA scan path costs ~100x
         # the row work in loop overhead at these shapes
         from ..ops.dp_pallas import dp_score_pallas
@@ -830,6 +835,7 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
             match_bonus=mb, n_pen=npen, rd_open=ro, rd_ext=re,
             rf_open=fo, rf_ext=fe))[:P]
     else:
+        win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
         scores = np.asarray(_sw.dp_score_batch(
             aligner.sctab, jnp.asarray(rd), jnp.asarray(q),
             jnp.asarray(rls), win))[:P]

@@ -167,3 +167,110 @@ def fused_se_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
     jf = jax.jit(f)
     return lambda sctab, seq_w, n_w, qconst, lens: jf(
         idx_stack, sctab, seq_w, n_w, qconst, lens)
+
+
+def _merge_pe_pack_device(packs, bases):
+    """Device merge of per-shard PE packs (paired.PEPACK layout):
+    packs (S, B, W) int16 -> (pack_global (B, W) int16, force_slow (B,)).
+    Mates of a genuine pair share a chromosome, hence a shard, so each
+    shard's concordance search is complete; the merge picks the
+    best-total shard, rebases the 4 position lanes, folds other shards'
+    best into secbest, and ORs the per-mate aux bits."""
+    from ..align.paired import PEPACK_MATE
+    S, B, W = packs.shape
+    pk = packs.astype(jnp.int32)
+    nv = pk[:, :, 0]
+    best = pk[:, :, 1]
+    win = jnp.argmax(jnp.where(nv > 0, best, -32768), axis=0)
+    hits = (nv > 0).sum(axis=0)
+    fp = jnp.take_along_axis(pk, win[None, :, None], axis=0)[0]
+    base_w = bases[win]
+    cols = [fp[:, :4]]
+    for k in range(2):
+        for m in range(2):
+            b0 = 4 + (2 * k + m) * PEPACK_MATE
+            lo = fp[:, b0].astype(jnp.uint32) & 0xFFFF
+            hi = fp[:, b0 + 1].astype(jnp.uint32) & 0xFFFF
+            pos = (lo | (hi << 16)) + base_w.astype(jnp.uint32)
+            cols.append(jnp.stack(
+                [(pos & 0xFFFF).astype(jnp.int32),
+                 ((pos >> 16) & 0xFFFF).astype(jnp.int32)], axis=1))
+            cols.append(fp[:, b0 + 2:b0 + PEPACK_MATE])
+    aux = pk[:, :, W - 1]
+    aux_or = (aux & 1).max(axis=0) | (((aux >> 1) & 1).max(axis=0) << 1)
+    cols.append(aux_or[:, None])
+    out = jnp.concatenate(cols, axis=1)
+    masked = jnp.where(nv > 0, best, -32768)
+    masked = masked.at[win, jnp.arange(B)].set(-32768)
+    out = out.at[:, 2].set(jnp.maximum(out[:, 2], masked.max(axis=0)))
+    lo16 = ((out << 16) >> 16)
+    return lo16.astype(jnp.int16), hits >= 2
+
+
+def fused_pe_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
+                     B: int, L: int):
+    """jit the FULL fused PE step over the (dp, shard) mesh (SE analogue:
+    fused_se_sharded). Returns fn(sctab, sw1, nw1, l1, sw2, nw2, l2,
+    qconst) -> (pack_global (B, PEPACK_W+1) int16 [dp-sharded],
+    force_slow (B,) bool, m1_all/m2_all (B, S*K2, 3) int32 [global
+    coords, UNSORTED so pair_top indices stay valid], pt_all
+    (B, S*KP, 3) [t1/t2 remapped into the concatenated grids, sorted by
+    total], conc_total [psum over dp]). Constant-quality batches only."""
+    from ..align.paired import _stage_pe_packed_impl
+
+    o = aligner.opts
+    sc = aligner.scoring
+    K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+    KP = max(8, o.khits + 3)
+    ndp = mesh.shape["dp"]
+    Bl = B // ndp
+    bases_arr = jnp.asarray(np.asarray(bases, np.int64).astype(np.int32))
+
+    def local(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst):
+        idx = {k: v[0] for k, v in idx.items()}
+        pack, m1, m2, pt = _stage_pe_packed_impl(
+            idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
+            jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
+            jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
+            jnp.int32(o.minins), jnp.int32(o.maxins),
+            Bl, L, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
+            aligner.min_seg_len, aligner.fm.ftab_k, K2, KP,
+            min(Bl, max(32, Bl // 8)), min(Bl, max(64, Bl // 8)),
+            o.dp_pad, o.no_dp, o.nofw, o.norc,
+            aligner.seeder, aligner.fb_seeder, aligner.sc_const, o.fr,
+            (o.dovetail, o.no_contain, o.no_overlap))
+        packs = jax.lax.all_gather(pack, "shard")        # (S, Bl, W+1)
+        m1g = jax.lax.all_gather(m1, "shard")            # (S, Bl, K2, 3)
+        m2g = jax.lax.all_gather(m2, "shard")
+        ptg = jax.lax.all_gather(pt, "shard")            # (S, Bl, KP, 3)
+        pack_g, force_slow = _merge_pe_pack_device(packs, bases_arr)
+
+        def glob(mg):
+            scg = mg[:, :, :, 0]
+            posg = mg[:, :, :, 1] + bases_arr[:, None, None]
+            return jnp.moveaxis(
+                jnp.stack([scg, posg, mg[:, :, :, 2]], axis=3),
+                0, 1).reshape(Bl, -1, 3)
+
+        m1_all = glob(m1g)
+        m2_all = glob(m2g)
+        S = ptg.shape[0]
+        offs = jnp.arange(S, dtype=jnp.int32)[:, None, None] * K2
+        ptm = jnp.stack([ptg[:, :, :, 0], ptg[:, :, :, 1] + offs,
+                         ptg[:, :, :, 2] + offs], axis=3)
+        ptm = jnp.moveaxis(ptm, 0, 1).reshape(Bl, -1, 3)
+        order = jnp.argsort(-ptm[:, :, 0], axis=1, stable=True)
+        ptm = jnp.take_along_axis(ptm, order[:, :, None], axis=1)
+        conc_total = jax.lax.psum((pack_g[:, 0] >= 1).sum(), "dp")
+        return pack_g, force_slow, m1_all, m2_all, ptm, conc_total
+
+    idx_specs = {k: P("shard") for k in idx_stack}
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(idx_specs, P(), P("dp"), P("dp"), P("dp"),
+                  P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        check_vma=False)
+    jf = jax.jit(f)
+    return lambda sctab, sw1, nw1, l1, sw2, nw2, l2, qconst: jf(
+        idx_stack, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst)

@@ -146,6 +146,19 @@ def main():
     t_align = time.time() - t0
     log(f"aligned {args.reads} reads in {t_align:.0f}s "
         f"({args.reads/t_align:.0f} reads/s incl. shard swaps): {stats}")
+    # steady-state device throughput (shard resident, jit warm): what a
+    # long run amortizes to once the one-off compile+upload are paid
+    import numpy as _np
+    al0 = al._activate(0)
+    fp_dev, _m = al0.device_align_fast(batches[0])
+    _np.asarray(fp_dev)
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        fp_dev, _m = al0.device_align_fast(batches[0])
+        _np.asarray(fp_dev)
+    steady = reps * len(batches[0]) / (time.time() - t0)
+    log(f"steady-state {steady:.0f} reads/s (shard-resident, warm)")
 
     # placement check from SAM (truth is encoded in QNAME)
     ok = aligned = total = 0
@@ -168,6 +181,7 @@ def main():
         reads=args.reads, gen_s=round(t_gen, 1), build_s=round(t_build, 1),
         align_s=round(t_align, 1),
         reads_per_s=round(args.reads / t_align, 1),
+        steady_reads_per_s=round(steady, 1),
         pct_aligned=round(100 * (prim - stats.get("unal", 0)) / prim, 2),
         pct_correct_of_primary=round(100 * ok / max(prim, 1), 2),
         device_gb_per_shard=[round(g, 2) for g in shard_gb],

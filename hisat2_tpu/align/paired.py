@@ -849,7 +849,34 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
                if scores[k] >= sc.min_score(rl)]
     windows = {k: aligner.fm.ref.get_stretch(int(lanes[k][3]), W)
                for k in passing}
-    ung = _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores, passing)
+    if host_mode:
+        ung = _rescue_ungapped(sc, rd, q, rls, lanes, windows, scores,
+                               passing)
+    else:
+        # device diagonal scan (ops/sw.py ungapped_place_batch); host only
+        # assembles CIGAR/MD for the accepted lanes
+        ub, ut0, ui1, ui2 = (np.asarray(x) for x in
+                             _sw.ungapped_place_batch(
+                                 aligner.sctab, jnp.asarray(rd),
+                                 jnp.asarray(q), jnp.asarray(rls), win))
+        ung = {}
+        for k in passing:
+            if int(ub[k]) < scores[k]:
+                continue                                  # gapped optimum
+            t0, i1, i2 = int(ut0[k]), int(ui1[k]), int(ui2[k])
+            rdlen = int(rls[k])
+            cigar = []
+            if i1:
+                cigar.append(("S", i1))
+            cigar.append(("M", i2 - i1))
+            if rdlen - i2:
+                cigar.append(("S", rdlen - i2))
+            wl = windows[k][t0 + i1:t0 + i2].astype(np.int64)
+            rl_ = rd[k, i1:i2]
+            bad = (wl != rl_) | (wl >= 4) | (rl_ >= 4)
+            mds = [(int(i + i1), int(t0 + i + i1))
+                   for i in np.flatnonzero(bad)]
+            ung[k] = (int(ub[k]), t0 + i1, cigar, mds)
 
     for k, (i, anchored, ac, wstart, mate_fw, rdlen) in enumerate(lanes):
         min_sc = sc.min_score(rdlen)

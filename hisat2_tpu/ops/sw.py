@@ -112,6 +112,77 @@ def dp_score_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
     return jnp.maximum(best, H.max(axis=1))
 
 
+@jax.jit
+def ungapped_place_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
+                         rdlens: jax.Array, ref: jax.Array):
+    """Best ungapped (single-diagonal) placement per lane, on device.
+
+    Scores every diagonal placement of the read in its window with the
+    same substitution/soft-clip model as dp_score_batch: per diagonal the
+    best clip pair is a max-subarray over A[i] = SCP(i) + cumsum(sub).
+    Where the returned best equals the affine DP score, the optimum IS
+    ungapped and no host traceback is needed (reference splits DP fill
+    from backtrace similarly, aligner_bt.h).
+
+    rd (C, L) codes 0..4, quals (C, L), rdlens (C,), ref (C, W).
+    Returns (best, t0, i1, i2) each (C,) int32: score, window offset of
+    read position 0 (may be negative — clipped ends can overhang), and
+    the aligned read span [i1, i2).
+    """
+    C, L = rd.shape
+    W = ref.shape[1]
+    T = W + L + 1
+    BAD = jnp.int32(-(10 ** 6))
+    rd = rd.astype(jnp.int32)
+    q = jnp.clip(quals.astype(jnp.int32), 0, 63)
+    rdlens = rdlens.astype(jnp.int32)
+    from ..align.scoring import mm_pen_of, sc_pen_of
+
+    in_read = (jnp.arange(L, dtype=jnp.int32)[None, :] < rdlens[:, None])
+    pens = mm_pen_of(sctab, q)                            # (C, L)
+    scp = jnp.where(in_read, sc_pen_of(sctab, q), 0)
+    SCP = jnp.concatenate(
+        [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(scp, axis=1)], axis=1)
+    # sentinel (code 5) pad: L columns each side so overhanging clipped
+    # ends stay representable without any aligned base landing outside
+    wp = jnp.full((C, W + 2 * L), 5, jnp.int32)
+    wp = lax.dynamic_update_slice(wp, ref.astype(jnp.int32), (0, L))
+
+    ch = min(C, 128) if C % min(C, 128) == 0 else C
+    nmc = C // ch
+
+    def chunk(args):
+        wpc, rdc, pc, irc, SCPc = args                    # (ch, ...)
+        sv = jnp.stack([wpc[:, i:i + T] for i in range(L)], axis=2)
+        mm = sv != rdc[:, None, :]
+        isn = (sv >= 4) | (rdc >= 4)[:, None, :]
+        sub = jnp.where(mm & ~isn, -pc[:, None, :], 0)
+        sub = sub + jnp.where(~mm & ~isn, sctab["match_bonus"], 0)
+        sub = jnp.where(isn, -sctab["n_pen"], sub)
+        sub = jnp.where(sv == 5, BAD, sub)
+        sub = jnp.where(irc[:, None, :], sub, BAD)
+        A = SCPc[:, None, :] + jnp.concatenate(
+            [jnp.zeros((ch, T, 1), jnp.int32), jnp.cumsum(sub, axis=2)],
+            axis=2)
+        runmin = lax.cummin(A, axis=2)
+        gains = A[:, :, 1:] - runmin[:, :, :-1]           # (ch, T, L)
+        best_it = gains.max(axis=2)                       # (ch, T)
+        ti = jnp.argmax(best_it, axis=1).astype(jnp.int32)
+        best = best_it.max(axis=1) - SCPc[:, -1]
+        A_t = jnp.take_along_axis(A, ti[:, None, None], axis=1)[:, 0]
+        g_t = jnp.take_along_axis(gains, ti[:, None, None], axis=1)[:, 0]
+        i2 = (jnp.argmax(g_t, axis=1) + 1).astype(jnp.int32)
+        big = jnp.int32(1 << 30)
+        A_m = jnp.where(jnp.arange(L + 1)[None, :] < i2[:, None], A_t, big)
+        i1 = jnp.argmin(A_m, axis=1).astype(jnp.int32)
+        return best.astype(jnp.int32), ti - L, i1, i2
+
+    args = tuple(a.reshape((nmc, ch) + a.shape[1:])
+                 for a in (wp, rd, pens, in_read, SCP))
+    best, t0, i1, i2 = lax.map(chunk, args)
+    return (best.reshape(C), t0.reshape(C), i1.reshape(C), i2.reshape(C))
+
+
 # ---------------------------------------------------------------------------
 # Host traceback (winners only)
 # ---------------------------------------------------------------------------

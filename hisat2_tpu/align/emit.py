@@ -65,17 +65,18 @@ def submit_se(al: Aligner, batch: ReadBatch):
     if (lib is None or not al.opts.seed_mode or al.opts.spliced
             or (al.opts.zs_tags and al.overlay is not None)):
         return ("legacy", batch)
-    fp_dev, merged_dev = al.device_align_fast(batch)
-    return ("fast", batch, fp_dev, merged_dev)
+    fp_dev, merged_dev, srows_dev, smerged_dev = al.device_align_fast(batch)
+    return ("fast", batch, fp_dev, merged_dev, (srows_dev, smerged_dev))
 
 
 def finish_se(al: Aligner, handle, writer) -> dict:
     if handle[0] == "legacy":
         return _align_and_emit_legacy(al, handle[1], writer)
-    _, batch, fp_dev, merged_dev = handle
+    _, batch, fp_dev, merged_dev, slow_pack = handle
     import time as _t
     t0 = _t.perf_counter()
-    st = _finish_fastpack(al, batch, fp_dev, merged_dev, writer)
+    st = _finish_fastpack(al, batch, fp_dev, merged_dev, writer,
+                          slow_pack=slow_pack)
     al.metrics.t_host += _t.perf_counter() - t0
     return st
 
@@ -109,7 +110,8 @@ def _merge_stats(tot: dict, st: dict) -> None:
 
 
 def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
-                     writer, force_slow=None, merged_full=None) -> dict:
+                     writer, force_slow=None, merged_full=None,
+                     slow_pack=None) -> dict:
     """Host half of the packed SE path: unpack the int16 fastpack,
     format fast reads natively, gather merged rows for the few slow
     reads, and stitch output in read order.
@@ -180,12 +182,23 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     mqc = _MapqCache(sc)
     stats = dict(reads=B, unal=0, uniq=0, multi=0)
 
-    # start the slow-row gather BEFORE formatting fast reads so its
-    # dispatch+transfer latency hides under the host work
+    # slow rows' merged grids normally ship with the fastpack (device
+    # slow-row prediction, _stage_align_packed SB); any rows the device
+    # missed fall back to a gather, dispatched BEFORE formatting fast
+    # reads so its dispatch+transfer latency hides under the host work
     slow = np.flatnonzero(~fast)
     grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
+    srows_h = smg_h = None
     if merged_full is None:
-        mg_fut = al.gather_merged_async(merged_dev, grows)
+        if slow_pack is not None:
+            srows_h = np.asarray(slow_pack[0])
+            smg_h = np.asarray(slow_pack[1])
+            miss = grows[~np.isin(grows, srows_h)]
+            mg_fut = (al.gather_merged_async(merged_dev, miss)
+                      if miss.size else None)
+            grows = miss
+        else:
+            mg_fut = al.gather_merged_async(merged_dev, grows)
 
     fbuf = b""
     read_end = np.zeros(B, np.int64)
@@ -253,17 +266,26 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         if merged_full is not None:
             merged = merged_full
         else:
-            mg = mg_fut()
-            K2 = mg.shape[1] if mg.ndim == 3 else 8
+            K2 = (smg_h.shape[1] if smg_h is not None
+                  else merged_dev.shape[1])
             msc = np.full((B, K2), NEG_INF, np.int64)
             mpos = np.zeros((B, K2), np.int64)
             mfw = np.zeros((B, K2), bool)
             mgap = np.zeros((B, K2), bool)
-            if mg.size:
-                msc[grows] = mg[:, :, 0]
-                mpos[grows] = mg[:, :, 1]
-                mfw[grows] = (mg[:, :, 2] & 1) > 0
-                mgap[grows] = (mg[:, :, 2] & 2) > 0
+
+            def fill(rows, g):
+                msc[rows] = g[:, :, 0]
+                mpos[rows] = g[:, :, 1]
+                mfw[rows] = (g[:, :, 2] & 1) > 0
+                mgap[rows] = (g[:, :, 2] & 2) > 0
+            if smg_h is not None:
+                sv = srows_h >= 0
+                if sv.any():
+                    fill(srows_h[sv], smg_h[sv])
+            if mg_fut is not None:
+                mg = mg_fut()
+                if mg.size:
+                    fill(grows, mg)
             merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
         plans: dict[int, list] = {}
         ug_items: list[tuple[int, int, bool]] = []

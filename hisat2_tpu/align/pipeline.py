@@ -226,22 +226,37 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     valid = lvalid.reshape(R, -1)
 
     # dedup identical positions (sort asc; invalid -> +inf sentinel), then
-    # compact: only the first `verify_cands` distinct loci are verified —
-    # rows with more are repetitive and capped (the reference similarly
-    # bounds exploration per read, hisat2.cpp:3480-3513)
+    # rank distinct loci by SEED VOTES (how many seeds landed on the same
+    # diagonal — the true locus collects one vote per error-free seed,
+    # chance diagonals almost always one) and verify only the top
+    # `verify_cands`: the text-window gather behind verification is the
+    # single hottest op in the pipeline, and vote-ranking lets 16 windows
+    # do the work 48 position-ordered ones did. Rows with more distinct
+    # loci than the budget are repetitive and capped (the reference
+    # similarly bounds exploration per read, hisat2.cpp:3480-3513).
     # sentinel must exceed every real joined position: shards span up to
     # ~1.9e9 bases (index/sharded.py max_bases), so 2^30 would silently
     # invalidate all candidates above 1.07e9 (r2 scale-run bug)
     big = jnp.int32(0x7FFFFFFF)
     key = jnp.where(valid, cand, big)
+    C = key.shape[1]
     skey = jnp.sort(key, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((R, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1)
-    skey = jnp.where(dup, big, skey)
-    verify_cands = min(3 * top_cands, skey.shape[1])
-    skey = jnp.sort(skey, axis=1)[:, :verify_cands]
-    vcand = skey
-    vvalid = skey < big
+    first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
+    first &= skey < big
+    # votes per run of equal positions: next run-start index minus own
+    ar = jnp.where(first, jnp.arange(C, dtype=jnp.int32)[None, :],
+                   jnp.int32(C))
+    nxt = lax.cummin(jnp.concatenate(
+        [ar[:, 1:], jnp.full((R, 1), C, jnp.int32)], axis=1),
+        axis=1, reverse=True)
+    votes = nxt - jnp.arange(C, dtype=jnp.int32)[None, :]
+    vote_key = jnp.where(first, votes, jnp.int32(-1))
+    verify_cands = min(max(top_cands, 16), C)
+    vk, vi = lax.top_k(vote_key, verify_cands)
+    vcand = jnp.take_along_axis(skey, vi, 1)
+    vvalid = vk > 0
+    vcand = jnp.where(vvalid, vcand, big)
 
     res = _extend.verify_ungapped(idx, sctab, seqs2, quals2, lens2,
                                   vcand, vvalid)
@@ -448,7 +463,7 @@ def fastpack_width(kf: int) -> int:
 
 
 def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
-                    KF: int):
+                    KF: int, khits=None, omit_sec: bool = False):
     """Compress everything the host fast path needs into 2 bytes x
     fastpack_width(KF) per read (device->host runs at ~30MB/s with ~27ms
     per sync over the tunnel, so the per-read payload budget is the
@@ -496,6 +511,16 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
 
     cols = [nvalid, jnp.clip(best, -32768, 32767),
             jnp.clip(secb, -32768, 32767), flags]
+    # mirror the HOST fast-read criteria on device so the slow rows'
+    # merged grids can ship with the fastpack (no follow-up gather, which
+    # would otherwise queue behind the NEXT batch's fused step in the
+    # pipelined stream)
+    kh = jnp.int32(K2) if khits is None else khits
+    nrep = jnp.minimum(nvalid, kh)
+    fast_dev = (nvalid >= 1) & (nrep <= KF)
+    if omit_sec:
+        fast_dev &= nrep <= 1
+    lens_b = st["lens2"][:B].astype(jnp.int32)
     for k in range(KF):
         f = fin[k]            # [c5, c3, score, nmm, nmm_all, cols.., chars..]
         mm = f[:, 5:5 + FASTPACK_MM]
@@ -506,14 +531,27 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
                  f[:, 0], f[:, 1], f[:, 3], f[:, 4],
                  jnp.clip(sck, -32768, 32767)]
         cols += [mmp[:, j] for j in range(FASTPACK_MM)]
+        # host okf: ungapped, <=FASTPACK_MM mismatches, fragment-contained
+        c5k, c3k = f[:, 0], f[:, 1]
+        astart = poss[k] + c5k
+        span = lens_b - c5k - c3k
+        fr = jnp.searchsorted(idx["frag_joined"], astart, side="right") - 1
+        fc = jnp.clip(fr, 0, idx["frag_joined"].shape[0] - 1)
+        gk = (fl[ridx, sels[k]] & 2) > 0
+        okf = ((fr >= 0) & (span > 0)
+               & (astart + span <= idx["frag_end"][fc])
+               & ~gk & (f[:, 4] <= FASTPACK_MM))
+        fast_dev &= (nrep <= k) | okf
     out = jnp.stack(cols, axis=1).astype(jnp.int16)
-    return out
+    need = (nvalid >= 1) & ~fast_dev
+    return out, need
 
 
 @partial(jax.jit, static_argnames=(
     "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
     "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
-    "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const"))
+    "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const", "SB",
+    "omit_sec"))
 def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         quals, qual_const, lens, minsc_i, minsc_s, gap1,
                         B: int, L: int, max_seeds: int, n_seeds: int,
@@ -521,12 +559,16 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         min_seg_len: int, ftab_k: int, K2: int, KF: int,
                         fb_bucket: int, dp_bucket: int, dp_pad: int,
                         no_dp: bool, nofw: bool, norc: bool,
-                        seeder: str, fb_seeder: str, sc_const):
+                        seeder: str, fb_seeder: str, sc_const,
+                        khits=None, SB: int = 0, omit_sec: bool = False):
     """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
     the core, and compress results to the int16 fastpack. Returns
     (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
-    stays device-resident; the host gathers only slow reads' rows
-    (_gather_merged) in a follow-up dispatch."""
+    stays device-resident. With SB > 0, also returns (slow_rows (SB,)
+    int32, slow_merged (SB, K2, 3) int32): the merged grids of the reads
+    the host fast path will reject, selected ON DEVICE so they ship in
+    the same result set — a host-driven follow-up gather would queue
+    behind the next batch's fused dispatch in the pipelined stream."""
     seqs, quals = _unpack_reads(seq_words, n_words, quals, qual_const,
                                 lens, L)
     merged, st = _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s,
@@ -536,8 +578,14 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                           fb_seeder, sc_const)
     minsc = jnp.ceil(minsc_i + minsc_s
                      * lens.astype(jnp.float32)).astype(jnp.int32)
-    fastpack = _stage_fastpack(idx, sctab, merged, st, minsc, B, K2, KF)
-    return fastpack, merged
+    fastpack, need = _stage_fastpack(idx, sctab, merged, st, minsc, B, K2,
+                                     KF, khits, omit_sec)
+    if SB == 0:
+        return fastpack, merged
+    sv, sr = lax.top_k(need.astype(jnp.int32), min(SB, B))
+    srows = jnp.where(sv > 0, sr, -1).astype(jnp.int32)
+    smerged = merged[jnp.clip(sr, 0, B - 1)]
+    return fastpack, merged, srows, smerged
 
 
 @jax.jit
@@ -810,7 +858,7 @@ class Aligner:
         self.metrics.seeds += 2 * B * o.n_seeds
         seq_w, n_w, quals, qconst, lens = batch.packed()
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
-        fp_dev, merged_dev = _stage_align_packed(
+        fp_dev, merged_dev, srows_dev, smerged_dev = _stage_align_packed(
             self.idx, self.sctab,
             jnp.asarray(seq_w), jnp.asarray(n_w),
             None if quals is None else jnp.asarray(quals),
@@ -823,13 +871,16 @@ class Aligner:
             self.min_seg_len, self.fm.ftab_k, K2, max(1, min(o.khits, 5)),
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
-            self.seeder, self.fb_seeder, self.sc_const)
-        try:
-            fp_dev.copy_to_host_async()
-        except Exception:
-            pass
+            self.seeder, self.fb_seeder, self.sc_const,
+            khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
+            omit_sec=o.omit_sec_seq)
+        for d in (fp_dev, srows_dev, smerged_dev):
+            try:
+                d.copy_to_host_async()
+            except Exception:
+                pass
         self.metrics.t_pack += _t.perf_counter() - t0
-        return fp_dev, merged_dev
+        return fp_dev, merged_dev, srows_dev, smerged_dev
 
     def gather_merged_rows(self, merged_dev, rows: np.ndarray):
         """Fetch merged candidate rows for slow reads (padded to a power

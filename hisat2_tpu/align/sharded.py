@@ -61,7 +61,7 @@ class ShardedAligner:
             al = self._activate(s)
             pend = []
             for b in batches:
-                fp_dev, merged_dev = al.device_align_fast(b)
+                fp_dev, merged_dev = al.device_align_fast(b)[:2]
                 try:
                     merged_dev.copy_to_host_async()
                 except Exception:

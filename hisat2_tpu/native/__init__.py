@@ -96,6 +96,29 @@ def samfmt_lib() -> ctypes.CDLL | None:
     return lib
 
 
+def dpkernel_lib() -> ctypes.CDLL | None:
+    lib = load("dpkernel", "dpkernel.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+        i32 = ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8 = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.dp_traceback_one.restype = ctypes.c_int32
+        lib.dp_traceback_one.argtypes = [
+            u8, u8, ctypes.c_int32,            # rd qual L
+            u8, ctypes.c_int32,                # ref W
+            i32, i32,                          # mm_pens sc_pens
+            ctypes.c_int32, ctypes.c_int32,    # match_bonus n_pen
+            ctypes.c_int32, ctypes.c_int32,    # rd_open rd_ext
+            ctypes.c_int32, ctypes.c_int32,    # rf_open rf_ext
+            ctypes.POINTER(ctypes.c_int32),    # out_score
+            ctypes.POINTER(ctypes.c_int32),    # out_ref_start
+            u8, i32, ctypes.POINTER(ctypes.c_int32),   # cigar
+            i32, ctypes.POINTER(ctypes.c_int32)]       # mds
+        lib._configured = True
+    return lib
+
+
 def sais_lib() -> ctypes.CDLL | None:
     lib = load("sais", "sais.cpp")
     if lib is not None and not getattr(lib, "_configured", False):

@@ -187,6 +187,47 @@ def ungapped_place_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
 # Host traceback (winners only)
 # ---------------------------------------------------------------------------
 
+def _dp_traceback_native(scoring, rd, qual, ref):
+    """Native dp_traceback (dpkernel.cpp); None when the lib is absent."""
+    try:
+        from ..native import dpkernel_lib
+        lib = dpkernel_lib()
+    except Exception:
+        lib = None
+    if lib is None:
+        return None
+    import ctypes
+    L, W = int(rd.size), int(ref.size)
+    if L == 0 or W == 0:
+        return None
+    mm_pens = np.ascontiguousarray(scoring.mm_pens().astype(np.int32))
+    sc_pens = np.ascontiguousarray(scoring.sc_pens().astype(np.int32))
+    rd8 = np.ascontiguousarray(rd.astype(np.uint8))
+    q8 = np.ascontiguousarray(np.clip(qual, 0, 63).astype(np.uint8))
+    rf8 = np.ascontiguousarray(ref.astype(np.uint8))
+    score = ctypes.c_int32()
+    ref_start = ctypes.c_int32()
+    ncig = ctypes.c_int32()
+    nmds = ctypes.c_int32()
+    cig_ops = np.zeros(L + W + 2, np.uint8)
+    cig_lens = np.zeros(L + W + 2, np.int32)
+    mds_buf = np.zeros(2 * L + 2, np.int32)
+    rc = lib.dp_traceback_one(
+        rd8, q8, np.int32(L), rf8, np.int32(W), mm_pens, sc_pens,
+        np.int32(scoring.match_bonus), np.int32(scoring.n_pen),
+        np.int32(scoring.read_gap_open()), np.int32(scoring.read_gap_extend()),
+        np.int32(scoring.ref_gap_open()), np.int32(scoring.ref_gap_extend()),
+        ctypes.byref(score), ctypes.byref(ref_start),
+        cig_ops, cig_lens, ctypes.byref(ncig), mds_buf, ctypes.byref(nmds))
+    if rc != 0:
+        return None
+    nc = int(ncig.value)
+    cigar = [(chr(cig_ops[k]), int(cig_lens[k])) for k in range(nc)]
+    nm = int(nmds.value)
+    mds = [(int(mds_buf[2 * k]), int(mds_buf[2 * k + 1])) for k in range(nm)]
+    return int(score.value), int(ref_start.value), cigar, mds
+
+
 def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
     """Full DP + traceback for one (read, ref window) pair — NumPy.
 
@@ -195,7 +236,14 @@ def dp_traceback(scoring, rd: np.ndarray, qual: np.ndarray, ref: np.ndarray):
     'S'/'M'/'I'/'D', ref_start is the 0-based window column where the
     aligned region begins, and mds is the list of (read_off,
     ref_off_in_window) mismatch positions (including N positions).
+
+    Delegates to the native kernel (native/dpkernel.cpp, an exact mirror
+    incl. tie-breaks) when available; this NumPy body is the reference
+    implementation and fallback.
     """
+    nat = _dp_traceback_native(scoring, rd, qual, ref)
+    if nat is not None:
+        return nat
     L, W = rd.size, ref.size
     mm_pens = scoring.mm_pens()
     sc_pens = scoring.sc_pens()

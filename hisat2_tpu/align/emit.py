@@ -693,7 +693,8 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     from . import paired as _paired
     from .paired import (PEPACK_MM, PEPACK_MATE, PEPACK_W)
 
-    pack_dev, m1_dev, m2_dev, pt_dev = out
+    pack_dev, m1_dev, m2_dev, pt_dev = out[:4]
+    extras = out[4] if len(out) > 4 else None
     fp = np.asarray(pack_dev)
     B = len(b1)
     o = al.opts
@@ -755,7 +756,22 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
 
     slow = np.flatnonzero(~fast)
     grows = slow[aux[slow] != 0]
-    g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, grows)
+    # device-predicted slow pairs (stage_pe_packed SB extras) shipped
+    # their grid rows with the pack — gather only the mispredictions
+    ex = ({k: np.asarray(v) for k, v in extras.items()}
+          if extras is not None else None)
+    pred_j: dict[int, int] = {}
+    if ex is not None and "srows" in ex:
+        for j, r in enumerate(ex["srows"]):
+            if r >= 0:
+                pred_j[int(r)] = j
+    if grows.size and pred_j:
+        hit = np.fromiter((int(r) in pred_j for r in grows), bool,
+                          grows.size)
+    else:
+        hit = np.zeros(grows.size, bool)
+    miss = grows[~hit]
+    g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, miss)
 
     fbuf = b""
     pair_end = np.zeros(B, np.int64)
@@ -900,15 +916,30 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
         ptf[:, :, 0] = NEG_INF
         if g_fut is not None:
             ga, gb, gp = g_fut()
-            msc1[grows] = ga[:, :, 0]
-            mpos1[grows] = ga[:, :, 1]
-            mfw1[grows] = (ga[:, :, 2] & 1) > 0
-            mg1[grows] = (ga[:, :, 2] & 2) > 0
-            msc2[grows] = gb[:, :, 0]
-            mpos2[grows] = gb[:, :, 1]
-            mfw2[grows] = (gb[:, :, 2] & 1) > 0
-            mg2[grows] = (gb[:, :, 2] & 2) > 0
-            ptf[grows] = gp
+            msc1[miss] = ga[:, :, 0]
+            mpos1[miss] = ga[:, :, 1]
+            mfw1[miss] = (ga[:, :, 2] & 1) > 0
+            mg1[miss] = (ga[:, :, 2] & 2) > 0
+            msc2[miss] = gb[:, :, 0]
+            mpos2[miss] = gb[:, :, 1]
+            mfw2[miss] = (gb[:, :, 2] & 1) > 0
+            mg2[miss] = (gb[:, :, 2] & 2) > 0
+            ptf[miss] = gp
+        hrows = grows[hit]
+        if hrows.size:
+            js = np.fromiter((pred_j[int(r)] for r in hrows), np.int64,
+                             hrows.size)
+            sa1 = ex["sm1"][js]
+            sa2 = ex["sm2"][js]
+            msc1[hrows] = sa1[:, :, 0]
+            mpos1[hrows] = sa1[:, :, 1]
+            mfw1[hrows] = (sa1[:, :, 2] & 1) > 0
+            mg1[hrows] = (sa1[:, :, 2] & 2) > 0
+            msc2[hrows] = sa2[:, :, 0]
+            mpos2[hrows] = sa2[:, :, 1]
+            mfw2[hrows] = (sa2[:, :, 2] & 1) > 0
+            mg2[hrows] = (sa2[:, :, 2] & 2) > 0
+            ptf[hrows] = ex["spt"][js]
         m1h = dict(score=msc1, pos=mpos1, fw=mfw1, gapped=mg1)
         m2h = dict(score=msc2, pos=mpos2, fw=mfw2, gapped=mg2)
         grid = _paired._grid_from_pairtop(ptf, m1h, m2h)
@@ -968,7 +999,12 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                 al, i, b1, b2, m1h, m2h, grid, mate_cands, finalize,
                 rescue)
         if rescue:
-            _paired._rescue_mates(al, b1, b2, prs, rescue, finalize)
+            dev_resc = None
+            if ex is not None and "rescue" in ex:
+                dev_resc = {int(row[0]): row for row in ex["rescue"]
+                            if int(row[0]) >= 0}
+            _paired._rescue_mates(al, b1, b2, prs, rescue, finalize,
+                                  dev_cache=dev_resc)
         for i, pr in prs.items():
             slow_out[i] = _paired.pair_lines(al, b1, b2, i, pr, stats)
 

@@ -172,10 +172,19 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                           top_cands, min_seg_len, ftab_k, K2, KP,
                           fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
                           seeder, fb_seeder, sc_const, fr_mode,
-                          pe_geo=(False, False, False)):
+                          pe_geo=(False, False, False), khits=None,
+                          SB: int = 0, RB: int = 0, w_resc: int = 0,
+                          omit_sec: bool = False):
     """Transfer-packed fused PE step: packed reads in, int16 pair-pack
     out; per-mate merged grids and the combo list stay device-resident
-    for the slow-pair gather. Constant-qual batches only."""
+    for the slow-pair gather. Constant-qual batches only.
+
+    With SB > 0 the pairs the host fast path will reject are predicted ON
+    DEVICE and their m1/m2/pair_top rows ship with the pack (extras dict);
+    with RB > 0 mate rescue (reference HI_Aligner::alignMate,
+    hi_aligner.h:4107) runs in the same dispatch: pairs with exactly one
+    aligned mate get the missing mate DP'd + diagonal-placed against the
+    FR-policy window, so the host finish needs no device round-trips."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -332,7 +341,101 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
     aux = (m1_has.astype(jnp.int16)
            | (m2_has.astype(jnp.int16) << 1))
     pack = jnp.concatenate([pack, aux[:, None]], axis=1)
-    return pack, m1, m2, pair_top
+    if SB == 0 and RB == 0:
+        return pack, m1, m2, pair_top
+
+    extras = {}
+    if SB:
+        # device slow-pair prediction (mirror of _finish_pe_pack's fast
+        # tests) so the slow pairs' grids ship with the pack instead of a
+        # follow-up gather that would queue behind the next batch
+        kh = jnp.int32(KP) if khits is None else khits
+        nrep = jnp.minimum(nvalid, kh)
+        fastd = (nvalid >= 1) & (nrep <= 2)
+        if omit_sec:
+            fastd &= nrep <= 1
+
+        def containd(pos, c5, c3, lm):
+            astart = pos + c5
+            span = lm.astype(jnp.int32) - c5 - c3
+            f = jnp.searchsorted(idx["frag_joined"], astart,
+                                 side="right") - 1
+            fc = jnp.clip(f, 0, idx["frag_joined"].shape[0] - 1)
+            okc = ((f >= 0) & (span > 0)
+                   & (astart + span <= idx["frag_end"][fc]))
+            return okc, fc
+
+        for k in range(2):
+            ok1c, fc1 = containd(reps[k][0], fin1[k][:, 0], fin1[k][:, 1],
+                                 l1)
+            ok2c, fc2 = containd(reps[k][2], fin2[k][:, 0], fin2[k][:, 1],
+                                 l2)
+            g1k = ((flags >> (4 * k + 1)) & 1) > 0
+            g2k = ((flags >> (4 * k + 3)) & 1) > 0
+            okk = (ok1c & ok2c
+                   & (idx["frag_tidx"][fc1] == idx["frag_tidx"][fc2])
+                   & ~g1k & ~g2k
+                   & (fin1[k][:, 4] <= PEPACK_MM)
+                   & (fin2[k][:, 4] <= PEPACK_MM))
+            fastd &= (nrep <= k) | okk
+        need = ~fastd & (aux != 0)
+        sv, srs = lax.top_k(need.astype(jnp.int32), min(SB, B))
+        rc_ = jnp.clip(srs, 0, B - 1)
+        extras["srows"] = jnp.where(sv > 0, srs, -1).astype(jnp.int32)
+        extras["sm1"] = m1[rc_]
+        extras["sm2"] = m2[rc_]
+        extras["spt"] = pair_top[rc_]
+
+    if RB:
+        # ---- device mate rescue (reference alignMate window DP) ----
+        resc = (nvalid == 0) & (m1_has ^ m2_has)
+        anch1 = m1_has
+        apos = jnp.where(anch1, p1[:, 0], p2[:, 0])
+        afw = jnp.where(anch1, fw1[:, 0], fw2[:, 0])
+        aext = jnp.where(anch1, l1, l2).astype(jnp.int32)
+        W = w_resc
+        wstart = jnp.where(afw, apos, apos + aext - W)
+        mate_fw = ~afw            # FR: rescued mate opposite orientation
+        rl_all = jnp.where(anch1, l2, l1).astype(jnp.int32)
+        resc &= rl_all > 0
+        rv, rsel = lax.top_k(resc.astype(jnp.int32), min(RB, B))
+        rows = jnp.clip(rsel, 0, B - 1)
+        a1_l = anch1[rows]
+        mf_l = mate_fw[rows]
+        ws_l = wstart[rows]
+        rl_l = rl_all[rows]
+        orow = jnp.where(mf_l, rows, rows + B)
+        rd_l = jnp.where(a1_l[:, None], st2["seqs2"][orow],
+                         st1["seqs2"][orow])
+        ql_l = jnp.where(a1_l[:, None], st2["quals2"][orow],
+                         st1["quals2"][orow])
+        from ..ops import rank as _rank
+        from ..ops import sw as _swo
+        win = _rank.text_window(idx, ws_l, W)
+        if sc_const is not None and jax.default_backend() == "tpu":
+            from ..ops.dp_pallas import dp_score_pallas
+            from .scoring import mm_pen_of, sc_pen_of
+            qj = jnp.clip(ql_l, 0, 63)
+            in_read = (jnp.arange(rd_l.shape[1])[None, :] < rl_l[:, None])
+            pen = mm_pen_of(sctab, qj)
+            scp = jnp.where(in_read, sc_pen_of(sctab, qj), 0)
+            scp_cum = jnp.concatenate(
+                [jnp.zeros((rd_l.shape[0], 1), jnp.int32),
+                 jnp.cumsum(scp, axis=1)], axis=1)
+            mb, npen, ro, re, fo, fe = sc_const
+            dsc = dp_score_pallas(
+                rd_l, pen, rl_l, win, scp_cum, match_bonus=mb, n_pen=npen,
+                rd_open=ro, rd_ext=re, rf_open=fo, rf_ext=fe)
+        else:
+            dsc = _swo.dp_score_batch(sctab, rd_l, ql_l, rl_l, win)
+        ub, t0, i1, i2 = _swo.ungapped_place_batch(sctab, rd_l, ql_l,
+                                                   rl_l, win)
+        rrows = jnp.where(rv > 0, rsel, -1).astype(jnp.int32)
+        extras["rescue"] = jnp.stack(
+            [rrows, a1_l.astype(jnp.int32), dsc.astype(jnp.int32),
+             ub, t0, i1, i2, ws_l.astype(jnp.int32),
+             mf_l.astype(jnp.int32)], axis=1)
+    return pack, m1, m2, pair_top, extras
 
 
 _stage_pe_packed = None
@@ -352,7 +455,8 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "B", "L", "max_seeds", "n_seeds", "locs_per_seg",
                 "top_cands", "min_seg_len", "ftab_k", "K2", "KP",
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
-                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode", "pe_geo"))
+                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
+                "pe_geo", "SB", "RB", "w_resc", "omit_sec"))
     o = aligner.opts
     B = len(b1)
     L = b1.seqs.shape[1]
@@ -379,13 +483,18 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         dp_pad=o.dp_pad, no_dp=o.no_dp, nofw=o.nofw, norc=o.norc,
         seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
         sc_const=aligner.sc_const, fr_mode=o.fr,
-        pe_geo=(o.dovetail, o.no_contain, o.no_overlap))
-    pack, m1, m2, pt = out
+        pe_geo=(o.dovetail, o.no_contain, o.no_overlap),
+        khits=jnp.int32(o.khits), SB=min(B, max(64, B // 8)),
+        RB=min(B, 512), w_resc=min(o.maxins, 1000) + L,
+        omit_sec=o.omit_sec_seq)
+    pack, m1, m2, pt, extras = out
     try:
         pack.copy_to_host_async()
+        for v in extras.values():
+            v.copy_to_host_async()
     except Exception:
         pass
-    return pack, m1, m2, pt
+    return pack, m1, m2, pt, extras
 
 
 def _gather_pe_slow(aligner, m1_dev, m2_dev, pt_dev, rows: np.ndarray):
@@ -759,11 +868,15 @@ def _pair_result_one(aligner, i, b1, b2, m1, m2, grid, mate_cands,
     return pr
 
 
-def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
+def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
+                  dev_cache=None) -> None:
     """Mate rescue (reference HI_Aligner::alignMate, hi_aligner.h:4107):
     DP the unaligned mate against the window the paired-end policy implies
     from its anchored partner; a passing score upgrades the pair to
-    concordant. Batched: one device DP call over all rescue lanes."""
+    concordant. Batched: one device DP call over all rescue lanes — or
+    ZERO device calls when `dev_cache` (the fused dispatch's RB extras,
+    stage_pe_packed) already carries each lane's DP score and ungapped
+    placement."""
     import jax
     import jax.numpy as jnp
     from ..ops import sw as _sw
@@ -811,7 +924,24 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
         rls[k] = rdlen
         wstarts[k] = wstart
     host_mode = not aligner.idx or "text_packed" not in aligner.idx
-    if host_mode:
+    cached = None
+    if dev_cache is not None and not host_mode:
+        cached = []
+        for (i, anchored, ac, wstart, mate_fw, rdlen) in lanes:
+            ent = dev_cache.get(i)
+            if (ent is None
+                    or int(ent[1]) != (1 if anchored == 1 else 0)
+                    or int(ent[7]) != int(wstart)
+                    or bool(int(ent[8])) != mate_fw):
+                cached = None        # misprediction → full device path
+                break
+            cached.append(ent)
+    ub = None
+    if cached is not None:
+        ce = np.asarray(cached, np.int64)
+        scores = ce[:, 2]
+        ub, ut0, ui1, ui2 = ce[:, 3], ce[:, 4], ce[:, 5], ce[:, 6]
+    elif host_mode:
         # finalization-only aligner (sharded/mesh merge): no device
         # index, so the traceback itself decides pass/fail per lane
         scores = np.full(P, 1 << 30, np.int64)
@@ -854,11 +984,13 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize) -> None:
                                passing)
     else:
         # device diagonal scan (ops/sw.py ungapped_place_batch); host only
-        # assembles CIGAR/MD for the accepted lanes
-        ub, ut0, ui1, ui2 = (np.asarray(x) for x in
-                             _sw.ungapped_place_batch(
-                                 aligner.sctab, jnp.asarray(rd),
-                                 jnp.asarray(q), jnp.asarray(rls), win))
+        # assembles CIGAR/MD for the accepted lanes. With the fused-
+        # dispatch cache the placements are already on host.
+        if ub is None:
+            ub, ut0, ui1, ui2 = (np.asarray(x) for x in
+                                 _sw.ungapped_place_batch(
+                                     aligner.sctab, jnp.asarray(rd),
+                                     jnp.asarray(q), jnp.asarray(rls), win))
         ung = {}
         for k in passing:
             if int(ub[k]) < scores[k]:

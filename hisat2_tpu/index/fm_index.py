@@ -137,6 +137,7 @@ class FMIndex:
             ftab=jnp.asarray(self.ftab),
             frag_joined=jnp.asarray(r.frag_joined.astype(np.int32)),
             frag_end=jnp.asarray((r.frag_joined + r.frag_len).astype(np.int32)),
+            frag_tidx=jnp.asarray(r.frag_tidx.astype(np.int32)),
             zoff=jnp.int32(self.zoff),
             n=jnp.int32(self.n),
             ftab_k=int(self.ftab_k),

@@ -691,7 +691,8 @@ def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
 def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                     writer, force_slow=None) -> dict:
     from . import paired as _paired
-    from .paired import (PEPACK_MM, PEPACK_MATE, PEPACK_W)
+    from .paired import (PEPACK_MM, PEPACK_MATE, PEPACK_REP, PEPACK_HDR,
+                         pepack_nr)
 
     pack_dev, m1_dev, m2_dev, pt_dev = out[:4]
     extras = out[4] if len(out) > 4 else None
@@ -700,18 +701,20 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     o = al.opts
     sc = al.scoring
     khits = o.khits
+    NR = pepack_nr(fp.shape[1])
     l1 = b1.lens.astype(np.int64)
     l2 = b2.lens.astype(np.int64)
 
     nvalid = fp[:, 0].astype(np.int64)
     best = fp[:, 1].astype(np.int64)
     sec = fp[:, 2].astype(np.int64)
-    flags = fp[:, 3].astype(np.int64)
     aux = fp[:, -1].astype(np.int64)
     has_sec = sec != -32768
 
     def mate(k, m):
-        b0 = 4 + 2 * PEPACK_MATE * k + PEPACK_MATE * m
+        rb = PEPACK_HDR + PEPACK_REP * k
+        b0 = rb + 1 + PEPACK_MATE * m
+        rfl = fp[:, rb].astype(np.int64)
         lo = fp[:, b0].astype(np.uint16).astype(np.uint32)
         hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint32)
         return dict(
@@ -722,13 +725,13 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
             nmm_all=fp[:, b0 + 5].astype(np.int64),
             score=fp[:, b0 + 6].astype(np.int64),
             mm=fp[:, b0 + 7:b0 + 7 + PEPACK_MM].astype(np.int64),
-            fw=(flags >> (4 * k + 2 * m)) & 1 > 0,
-            gapped=(flags >> (4 * k + 2 * m + 1)) & 1 > 0)
-    reps = [[mate(k, m) for m in (0, 1)] for k in (0, 1)]
+            fw=(rfl >> (2 * m)) & 1 > 0,
+            gapped=(rfl >> (2 * m + 1)) & 1 > 0)
+    reps = [[mate(k, m) for m in (0, 1)] for k in range(NR)]
 
     conc = nvalid >= 1
     nrep = np.minimum(nvalid, khits)
-    fast = conc & (nrep <= 2)
+    fast = conc & (nrep <= NR)
     if al.opts.omit_sec_seq:
         fast &= nrep <= 1
     if force_slow is not None:
@@ -736,7 +739,7 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
         # report interleaving need the exact per-read path
         fast &= ~np.asarray(force_slow)
     ref = al.fm.ref
-    for k in (0, 1):
+    for k in range(NR):
         r1, r2 = reps[k]
         ok1, fc1, as1 = _contain(ref, r1["pos"][:, None], r1["c5"][:, None],
                                  r1["c3"][:, None], l1)
@@ -784,12 +787,10 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
         nrec = rec_pair.size
 
         def take(m, fld):
-            a0 = reps[0][m][fld]
-            a1 = reps[1][m][fld]
-            if a0.ndim == 1:
-                return np.where(rec_k == 0, a0[rec_pair], a1[rec_pair])
-            return np.where((rec_k == 0)[:, None], a0[rec_pair],
-                            a1[rec_pair])
+            arrs = np.stack([reps[k][m][fld] for k in range(NR)])
+            if arrs.ndim == 2:
+                return arrs[rec_k, rec_pair]
+            return arrs[rec_k, rec_pair, :]
 
         toff = []
         cc5 = []

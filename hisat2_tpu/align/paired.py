@@ -155,15 +155,28 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
 
 # PE pack layout: int16 lanes per pair —
 #   [0] n distinct valid combos  [1] best total  [2] sec total (-32768)
-#   [3] flags: per report k in {0,1}: fw1<<4k | g1<<4k+1 | fw2<<4k+2 |
-#       g2<<4k+3
-#   per report k at base 4 + 30*k: mate1 [pos lo, pos hi, c5, c3, nmm,
-#       nmm_all, score, mm x4 (col<<3|ref)] (11 lanes), mate2 same (11),
-#       [tlen placeholder unused], ...
+#   [3] reserved
+#   per report k at base 4 + 23*k:
+#       [0] flagk: fw1 | g1<<1 | fw2<<2 | g2<<3
+#       mate1 [pos lo, pos hi, c5, c3, nmm, nmm_all, score,
+#              mm x4 (col<<3|ref)] (11 lanes), mate2 same (11)
+#   trailing aux lane: m1_has | m2_has<<1 (appended after the reports)
+# The report-slot count NR (>= 2, usually min(khits, 5)) is static per
+# jit; the host recovers it from the pack width via pepack_nr().
 PEPACK_MM = 4
 PEPACK_MATE = 7 + PEPACK_MM          # lanes per mate per report
-PEPACK_REP = 2 * PEPACK_MATE         # 22
-PEPACK_W = 4 + 2 * PEPACK_REP        # 48
+PEPACK_REP = 2 * PEPACK_MATE + 1     # 23: [flagk] + mate1 + mate2
+PEPACK_HDR = 4                       # nvalid, best, sec, reserved
+
+
+def pepack_w(nr: int) -> int:
+    """Pack width (without the trailing aux lane) for nr report slots."""
+    return PEPACK_HDR + nr * PEPACK_REP
+
+
+def pepack_nr(w_total: int) -> int:
+    """Report slots from the total pack width (including the aux lane)."""
+    return (w_total - 1 - PEPACK_HDR) // PEPACK_REP
 
 
 def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
@@ -174,7 +187,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                           seeder, fb_seeder, sc_const, fr_mode,
                           pe_geo=(False, False, False), khits=None,
                           SB: int = 0, RB: int = 0, w_resc: int = 0,
-                          omit_sec: bool = False):
+                          omit_sec: bool = False, n_rep: int = 2):
     """Transfer-packed fused PE step: packed reads in, int16 pair-pack
     out; per-mate merged grids and the combo list stay device-resident
     for the slow-pair gather. Constant-qual batches only.
@@ -281,11 +294,12 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         ptop, jnp.argmax(vrank == 1, axis=1)[:, None], 1)[:, 0],
         jnp.int32(-32768))
 
-    flags = jnp.zeros(B, jnp.int32)
+    NR = max(2, min(int(n_rep), KP2))
+    rflags = []                           # per-report 4-bit flag lanes
     reps = []
-    for k in range(2):
+    for k in range(NR):
         selk = (jnp.zeros(B, jnp.int32) if k == 0
-                else jnp.argmax(vrank == 1, axis=1).astype(jnp.int32))
+                else jnp.argmax(vrank == k, axis=1).astype(jnp.int32))
         reps.append((jnp.take_along_axis(cp1, selk[:, None], 1)[:, 0],
                      jnp.take_along_axis(cf1, selk[:, None], 1)[:, 0],
                      jnp.take_along_axis(cp2, selk[:, None], 1)[:, 0],
@@ -296,23 +310,23 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
             jnp.take_along_axis(g1, t1, 1), selk[:, None], 1)[:, 0]
         gg2 = jnp.take_along_axis(
             jnp.take_along_axis(g2, t2, 1), selk[:, None], 1)[:, 0]
-        flags = (flags | (reps[k][1].astype(jnp.int32) << (4 * k))
-                 | (gg1.astype(jnp.int32) << (4 * k + 1))
-                 | (reps[k][3].astype(jnp.int32) << (4 * k + 2))
-                 | (gg2.astype(jnp.int32) << (4 * k + 3)))
+        rflags.append(reps[k][1].astype(jnp.int32)
+                      | (gg1.astype(jnp.int32) << 1)
+                      | (reps[k][3].astype(jnp.int32) << 2)
+                      | (gg2.astype(jnp.int32) << 3))
 
-    # finalize both mates of both reports: 4B rows
-    fpos = jnp.concatenate([reps[0][0], reps[1][0],
-                            reps[0][2], reps[1][2]])
-    ffw = jnp.concatenate([reps[0][1], reps[1][1],
-                           reps[0][3], reps[1][3]])
-    fread = jnp.tile(ridx, 4)
+    # finalize both mates of all NR reports: 2*NR*B rows
+    fpos1 = jnp.concatenate([reps[k][0] for k in range(NR)])
+    ffw1 = jnp.concatenate([reps[k][1] for k in range(NR)])
+    fpos2 = jnp.concatenate([reps[k][2] for k in range(NR)])
+    ffw2 = jnp.concatenate([reps[k][3] for k in range(NR)])
+    fread = jnp.tile(ridx, NR)
     fin1 = _stage_fin_rows(idx, sctab, st1["seqs2"], st1["quals2"],
-                           st1["lens2"], fpos[:2 * B], ffw[:2 * B],
-                           fread[:2 * B], B, PEPACK_MM).reshape(2, B, -1)
+                           st1["lens2"], fpos1, ffw1,
+                           fread, B, PEPACK_MM).reshape(NR, B, -1)
     fin2 = _stage_fin_rows(idx, sctab, st2["seqs2"], st2["quals2"],
-                           st2["lens2"], fpos[2 * B:], ffw[2 * B:],
-                           fread[2 * B:], B, PEPACK_MM).reshape(2, B, -1)
+                           st2["lens2"], fpos2, ffw2,
+                           fread, B, PEPACK_MM).reshape(NR, B, -1)
 
     # per-mate SE scores for the rescued/mixed detection on host is via
     # the slow gather; the pack carries only the concordant fast path
@@ -326,12 +340,13 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
             [mmp[:, j] for j in range(PEPACK_MM)]
 
     cols = [nvalid, jnp.clip(best, -32768, 32767),
-            jnp.clip(sec, -32768, 32767), flags]
-    for k in range(2):
+            jnp.clip(sec, -32768, 32767), jnp.zeros(B, jnp.int32)]
+    for k in range(NR):
         sc1k = jnp.take_along_axis(
             jnp.take_along_axis(sc1, t1, 1), reps[k][5][:, None], 1)[:, 0]
         sc2k = jnp.take_along_axis(
             jnp.take_along_axis(sc2, t2, 1), reps[k][5][:, None], 1)[:, 0]
+        cols += [rflags[k]]
         cols += mate_lanes(fin1[k], reps[k][0], sc1k)
         cols += mate_lanes(fin2[k], reps[k][2], sc2k)
     pack = jnp.stack(cols, axis=1).astype(jnp.int16)
@@ -351,7 +366,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         # follow-up gather that would queue behind the next batch
         kh = jnp.int32(KP) if khits is None else khits
         nrep = jnp.minimum(nvalid, kh)
-        fastd = (nvalid >= 1) & (nrep <= 2)
+        fastd = (nvalid >= 1) & (nrep <= NR)
         if omit_sec:
             fastd &= nrep <= 1
 
@@ -365,13 +380,13 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                    & (astart + span <= idx["frag_end"][fc]))
             return okc, fc
 
-        for k in range(2):
+        for k in range(NR):
             ok1c, fc1 = containd(reps[k][0], fin1[k][:, 0], fin1[k][:, 1],
                                  l1)
             ok2c, fc2 = containd(reps[k][2], fin2[k][:, 0], fin2[k][:, 1],
                                  l2)
-            g1k = ((flags >> (4 * k + 1)) & 1) > 0
-            g2k = ((flags >> (4 * k + 3)) & 1) > 0
+            g1k = ((rflags[k] >> 1) & 1) > 0
+            g2k = ((rflags[k] >> 3) & 1) > 0
             okk = (ok1c & ok2c
                    & (idx["frag_tidx"][fc1] == idx["frag_tidx"][fc2])
                    & ~g1k & ~g2k
@@ -456,7 +471,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "top_cands", "min_seg_len", "ftab_k", "K2", "KP",
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
                 "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
-                "pe_geo", "SB", "RB", "w_resc", "omit_sec"))
+                "pe_geo", "SB", "RB", "w_resc", "omit_sec", "n_rep"))
     o = aligner.opts
     B = len(b1)
     L = b1.seqs.shape[1]
@@ -486,7 +501,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         pe_geo=(o.dovetail, o.no_contain, o.no_overlap),
         khits=jnp.int32(o.khits), SB=min(B, max(64, B // 8)),
         RB=min(B, 512), w_resc=min(o.maxins, 1000) + L,
-        omit_sec=o.omit_sec_seq)
+        omit_sec=o.omit_sec_seq, n_rep=max(2, min(o.khits, 5)))
     pack, m1, m2, pt, extras = out
     try:
         pack.copy_to_host_async()

@@ -176,8 +176,10 @@ def _merge_pe_pack_device(packs, bases):
     shard's concordance search is complete; the merge picks the
     best-total shard, rebases the 4 position lanes, folds other shards'
     best into secbest, and ORs the per-mate aux bits."""
-    from ..align.paired import PEPACK_MATE
+    from ..align.paired import (PEPACK_MATE, PEPACK_REP, PEPACK_HDR,
+                                pepack_nr)
     S, B, W = packs.shape
+    NR = pepack_nr(W)
     pk = packs.astype(jnp.int32)
     nv = pk[:, :, 0]
     best = pk[:, :, 1]
@@ -185,10 +187,12 @@ def _merge_pe_pack_device(packs, bases):
     hits = (nv > 0).sum(axis=0)
     fp = jnp.take_along_axis(pk, win[None, :, None], axis=0)[0]
     base_w = bases[win]
-    cols = [fp[:, :4]]
-    for k in range(2):
+    cols = [fp[:, :PEPACK_HDR]]
+    for k in range(NR):
+        rb = PEPACK_HDR + PEPACK_REP * k
+        cols.append(fp[:, rb:rb + 1])          # per-report flag lane
         for m in range(2):
-            b0 = 4 + (2 * k + m) * PEPACK_MATE
+            b0 = rb + 1 + m * PEPACK_MATE
             lo = fp[:, b0].astype(jnp.uint32) & 0xFFFF
             hi = fp[:, b0 + 1].astype(jnp.uint32) & 0xFFFF
             pos = (lo | (hi << 16)) + base_w.astype(jnp.uint32)
@@ -238,7 +242,8 @@ def fused_pe_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
             min(Bl, max(32, Bl // 8)), min(Bl, max(64, Bl // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             aligner.seeder, aligner.fb_seeder, aligner.sc_const, o.fr,
-            (o.dovetail, o.no_contain, o.no_overlap))
+            (o.dovetail, o.no_contain, o.no_overlap),
+            n_rep=max(2, min(o.khits, 5)))
         packs = jax.lax.all_gather(pack, "shard")        # (S, Bl, W+1)
         m1g = jax.lax.all_gather(m1, "shard")            # (S, Bl, K2, 3)
         m2g = jax.lax.all_gather(m2, "shard")

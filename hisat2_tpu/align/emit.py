@@ -82,25 +82,29 @@ def finish_se(al: Aligner, handle, writer) -> dict:
 
 
 def align_and_emit_stream(al: Aligner, batches, writer,
-                          on_batch=None) -> dict:
+                          on_batch=None, depth: int = 2) -> dict:
     """Pipelined SE loop: batch k+1's device work is dispatched before
     batch k's results are fetched/formatted, so transfers and host
-    formatting overlap device compute. Output order is submit order."""
+    formatting overlap device compute. Output order is submit order.
+    depth = max in-flight batches (2 rides out host-time variance)."""
+    from collections import deque
     totals: dict = {}
-    pending = None
+    pending: deque = deque()
     for b in batches:
         h = submit_se(al, b)
-        if pending is not None:
-            st = finish_se(al, pending[0], writer)
+        pending.append((h, b))
+        if len(pending) > depth:
+            ph, pb = pending.popleft()
+            st = finish_se(al, ph, writer)
             _merge_stats(totals, st)
             if on_batch:
-                on_batch(pending[1], st)
-        pending = (h, b)
-    if pending is not None:
-        st = finish_se(al, pending[0], writer)
+                on_batch(pb, st)
+    while pending:
+        ph, pb = pending.popleft()
+        st = finish_se(al, ph, writer)
         _merge_stats(totals, st)
         if on_batch:
-            on_batch(pending[1], st)
+            on_batch(pb, st)
     return totals
 
 
@@ -668,23 +672,30 @@ def finish_pe(al: Aligner, handle, writer) -> dict:
 
 
 def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
-                             on_batch=None) -> dict:
-    """Pipelined PE loop (same overlap structure as the SE stream)."""
+                             on_batch=None, depth: int = 2) -> dict:
+    """Pipelined PE loop (same overlap structure as the SE stream).
+
+    depth = max dispatched-but-unconsumed batches: 2 keeps the device busy
+    across host-side finish-time variance (the slow-pair ladder's cost
+    swings with batch content) at the price of one extra batch of HBM."""
+    from collections import deque
     totals: dict = {}
-    pending = None
+    pending: deque = deque()
     for b1, b2 in pair_batches:
         h = submit_pe(al, b1, b2)
-        if pending is not None:
-            st = finish_pe(al, pending[0], writer)
+        pending.append((h, (b1, b2)))
+        if len(pending) > depth:
+            ph, pb = pending.popleft()
+            st = finish_pe(al, ph, writer)
             _merge_stats(totals, st)
             if on_batch:
-                on_batch(pending[1], st)
-        pending = (h, (b1, b2))
-    if pending is not None:
-        st = finish_pe(al, pending[0], writer)
+                on_batch(pb, st)
+    while pending:
+        ph, pb = pending.popleft()
+        st = finish_pe(al, ph, writer)
         _merge_stats(totals, st)
         if on_batch:
-            on_batch(pending[1], st)
+            on_batch(pb, st)
     return totals
 
 

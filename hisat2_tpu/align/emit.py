@@ -708,11 +708,21 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     pack_dev, m1_dev, m2_dev, pt_dev = out[:4]
     extras = out[4] if len(out) > 4 else None
     fp = np.asarray(pack_dev)
+    ex = ({k: np.asarray(v) for k, v in extras.items()}
+          if extras is not None else None)
     B = len(b1)
     o = al.opts
     sc = al.scoring
     khits = o.khits
-    NR = pepack_nr(fp.shape[1])
+    NRB = pepack_nr(fp.shape[1])     # report slots in the base pack
+    # compacted multi-pair bucket (stage_pe_packed MB extras): reports
+    # NRB..NR-1 for pairs with >NRB placements, scattered to full-B lanes
+    mrep = mrows_ex = None
+    NR = NRB
+    if ex is not None and "mrep" in ex:
+        mrows_ex = ex["mrows"]
+        mrep = ex["mrep"].reshape(mrows_ex.size, -1, PEPACK_REP)
+        NR = NRB + mrep.shape[1]
     l1 = b1.lens.astype(np.int64)
     l2 = b2.lens.astype(np.int64)
 
@@ -722,20 +732,32 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     aux = fp[:, -1].astype(np.int64)
     has_sec = sec != -32768
 
+    bucket_has = np.zeros(B, bool)
+    if mrep is not None:
+        bok = mrows_ex >= 0
+        bucket_has[mrows_ex[bok]] = True
+
     def mate(k, m):
-        rb = PEPACK_HDR + PEPACK_REP * k
-        b0 = rb + 1 + PEPACK_MATE * m
-        rfl = fp[:, rb].astype(np.int64)
-        lo = fp[:, b0].astype(np.uint16).astype(np.uint32)
-        hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint32)
+        if k < NRB:
+            rb = PEPACK_HDR + PEPACK_REP * k
+            lanes = fp[:, rb:rb + PEPACK_REP].astype(np.int64)
+        else:
+            # scatter the bucket report to full-B lanes (garbage outside
+            # bucket rows; fast-path eligibility masks with bucket_has)
+            lanes = np.zeros((B, PEPACK_REP), np.int64)
+            lanes[mrows_ex[bok]] = mrep[bok, k - NRB].astype(np.int64)
+        b0 = 1 + PEPACK_MATE * m
+        rfl = lanes[:, 0]
+        lo = lanes[:, b0].astype(np.uint16).astype(np.uint32)
+        hi = lanes[:, b0 + 1].astype(np.uint16).astype(np.uint32)
         return dict(
             pos=(lo | (hi << 16)).astype(np.int64),
-            c5=fp[:, b0 + 2].astype(np.int64),
-            c3=fp[:, b0 + 3].astype(np.int64),
-            nmm=fp[:, b0 + 4].astype(np.int64),
-            nmm_all=fp[:, b0 + 5].astype(np.int64),
-            score=fp[:, b0 + 6].astype(np.int64),
-            mm=fp[:, b0 + 7:b0 + 7 + PEPACK_MM].astype(np.int64),
+            c5=lanes[:, b0 + 2],
+            c3=lanes[:, b0 + 3],
+            nmm=lanes[:, b0 + 4],
+            nmm_all=lanes[:, b0 + 5],
+            score=lanes[:, b0 + 6],
+            mm=lanes[:, b0 + 7:b0 + 7 + PEPACK_MM],
             fw=(rfl >> (2 * m)) & 1 > 0,
             gapped=(rfl >> (2 * m + 1)) & 1 > 0)
     reps = [[mate(k, m) for m in (0, 1)] for k in range(NR)]
@@ -763,6 +785,8 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                & ~r1["gapped"] & ~r2["gapped"]
                & (r1["nmm_all"] <= PEPACK_MM)
                & (r2["nmm_all"] <= PEPACK_MM))
+        if k >= NRB:
+            okk &= bucket_has
         fast &= (nrep <= k) | okk
 
     mqc = _MapqCache(sc)
@@ -772,8 +796,6 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     grows = slow[aux[slow] != 0]
     # device-predicted slow pairs (stage_pe_packed SB extras) shipped
     # their grid rows with the pack — gather only the mispredictions
-    ex = ({k: np.asarray(v) for k, v in extras.items()}
-          if extras is not None else None)
     pred_j: dict[int, int] = {}
     if ex is not None and "srows" in ex:
         for j, r in enumerate(ex["srows"]):

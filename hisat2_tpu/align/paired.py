@@ -187,7 +187,8 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                           seeder, fb_seeder, sc_const, fr_mode,
                           pe_geo=(False, False, False), khits=None,
                           SB: int = 0, RB: int = 0, w_resc: int = 0,
-                          omit_sec: bool = False, n_rep: int = 2):
+                          omit_sec: bool = False, n_rep: int = 2,
+                          MB: int = 0):
     """Transfer-packed fused PE step: packed reads in, int16 pair-pack
     out; per-mate merged grids and the combo list stay device-resident
     for the slow-pair gather. Constant-qual batches only.
@@ -295,9 +296,18 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         jnp.int32(-32768))
 
     NR = max(2, min(int(n_rep), KP2))
+    # with an MB bucket, the base pack carries only 2 report slots for
+    # every pair; reports 2..NR-1 ship compacted for the (few) pairs with
+    # >= 3 distinct placements (extras "mrows"/"mrep") — the tunnel cost
+    # of the wide pack dominated the PE step otherwise
+    NRB = 2 if (MB > 0 and NR > 2) else NR
+    g1t = jnp.take_along_axis(g1, t1, 1)         # gapped per combo
+    g2t = jnp.take_along_axis(g2, t2, 1)
+    sc1t = jnp.take_along_axis(sc1, t1, 1)
+    sc2t = jnp.take_along_axis(sc2, t2, 1)
     rflags = []                           # per-report 4-bit flag lanes
     reps = []
-    for k in range(NR):
+    for k in range(NRB):
         selk = (jnp.zeros(B, jnp.int32) if k == 0
                 else jnp.argmax(vrank == k, axis=1).astype(jnp.int32))
         reps.append((jnp.take_along_axis(cp1, selk[:, None], 1)[:, 0],
@@ -306,27 +316,25 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                      jnp.take_along_axis(cf2, selk[:, None], 1)[:, 0],
                      jnp.take_along_axis(ptop, selk[:, None], 1)[:, 0],
                      selk))
-        gg1 = jnp.take_along_axis(
-            jnp.take_along_axis(g1, t1, 1), selk[:, None], 1)[:, 0]
-        gg2 = jnp.take_along_axis(
-            jnp.take_along_axis(g2, t2, 1), selk[:, None], 1)[:, 0]
+        gg1 = jnp.take_along_axis(g1t, selk[:, None], 1)[:, 0]
+        gg2 = jnp.take_along_axis(g2t, selk[:, None], 1)[:, 0]
         rflags.append(reps[k][1].astype(jnp.int32)
                       | (gg1.astype(jnp.int32) << 1)
                       | (reps[k][3].astype(jnp.int32) << 2)
                       | (gg2.astype(jnp.int32) << 3))
 
-    # finalize both mates of all NR reports: 2*NR*B rows
-    fpos1 = jnp.concatenate([reps[k][0] for k in range(NR)])
-    ffw1 = jnp.concatenate([reps[k][1] for k in range(NR)])
-    fpos2 = jnp.concatenate([reps[k][2] for k in range(NR)])
-    ffw2 = jnp.concatenate([reps[k][3] for k in range(NR)])
-    fread = jnp.tile(ridx, NR)
+    # finalize both mates of the base reports: 2*NRB*B rows
+    fpos1 = jnp.concatenate([reps[k][0] for k in range(NRB)])
+    ffw1 = jnp.concatenate([reps[k][1] for k in range(NRB)])
+    fpos2 = jnp.concatenate([reps[k][2] for k in range(NRB)])
+    ffw2 = jnp.concatenate([reps[k][3] for k in range(NRB)])
+    fread = jnp.tile(ridx, NRB)
     fin1 = _stage_fin_rows(idx, sctab, st1["seqs2"], st1["quals2"],
                            st1["lens2"], fpos1, ffw1,
-                           fread, B, PEPACK_MM).reshape(NR, B, -1)
+                           fread, B, PEPACK_MM).reshape(NRB, B, -1)
     fin2 = _stage_fin_rows(idx, sctab, st2["seqs2"], st2["quals2"],
                            st2["lens2"], fpos2, ffw2,
-                           fread, B, PEPACK_MM).reshape(NR, B, -1)
+                           fread, B, PEPACK_MM).reshape(NRB, B, -1)
 
     # per-mate SE scores for the rescued/mixed detection on host is via
     # the slow gather; the pack carries only the concordant fast path
@@ -341,11 +349,9 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
 
     cols = [nvalid, jnp.clip(best, -32768, 32767),
             jnp.clip(sec, -32768, 32767), jnp.zeros(B, jnp.int32)]
-    for k in range(NR):
-        sc1k = jnp.take_along_axis(
-            jnp.take_along_axis(sc1, t1, 1), reps[k][5][:, None], 1)[:, 0]
-        sc2k = jnp.take_along_axis(
-            jnp.take_along_axis(sc2, t2, 1), reps[k][5][:, None], 1)[:, 0]
+    for k in range(NRB):
+        sc1k = jnp.take_along_axis(sc1t, reps[k][5][:, None], 1)[:, 0]
+        sc2k = jnp.take_along_axis(sc2t, reps[k][5][:, None], 1)[:, 0]
         cols += [rflags[k]]
         cols += mate_lanes(fin1[k], reps[k][0], sc1k)
         cols += mate_lanes(fin2[k], reps[k][2], sc2k)
@@ -356,10 +362,85 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
     aux = (m1_has.astype(jnp.int16)
            | (m2_has.astype(jnp.int16) << 1))
     pack = jnp.concatenate([pack, aux[:, None]], axis=1)
-    if SB == 0 and RB == 0:
+    if SB == 0 and RB == 0 and NRB == NR:
         return pack, m1, m2, pair_top
 
+    def containd(pos, c5, c3, lm):
+        astart = pos + c5
+        span = lm.astype(jnp.int32) - c5 - c3
+        f = jnp.searchsorted(idx["frag_joined"], astart,
+                             side="right") - 1
+        fc = jnp.clip(f, 0, idx["frag_joined"].shape[0] - 1)
+        okc = ((f >= 0) & (span > 0)
+               & (astart + span <= idx["frag_end"][fc]))
+        return okc, fc
+
     extras = {}
+    ok_bucket = []          # per report k >= NRB: full-B fast eligibility
+    if NRB < NR:
+        # compacted multi-pair bucket: reports NRB..NR-1 for the first MB
+        # pairs with > NRB distinct placements; pairs past the bucket (or
+        # failing the containment mirror) fall to the slow-grid path
+        MBs = min(MB, B)
+        NB2 = NR - NRB
+        multi = nvalid >= (NRB + 1)
+        mv, mrs = lax.top_k(multi.astype(jnp.int32), MBs)
+        mrows = jnp.clip(mrs, 0, B - 1)
+        vrank_b = vrank[mrows]
+        cp1_b, cf1_b, cp2_b, cf2_b = (a[mrows] for a in (cp1, cf1,
+                                                         cp2, cf2))
+        g1_b, g2_b = g1t[mrows], g2t[mrows]
+        sc1_b, sc2_b = sc1t[mrows], sc2t[mrows]
+        breps, brflags, bsc1, bsc2 = [], [], [], []
+        for k in range(NRB, NR):
+            selk = jnp.argmax(vrank_b == k, axis=1).astype(
+                jnp.int32)[:, None]
+
+            def tk(a, s=selk):
+                return jnp.take_along_axis(a, s, 1)[:, 0]
+            bp1, bf1, bp2, bf2 = tk(cp1_b), tk(cf1_b), tk(cp2_b), tk(cf2_b)
+            bg1, bg2 = tk(g1_b), tk(g2_b)
+            breps.append((bp1, bf1, bp2, bf2))
+            brflags.append(bf1.astype(jnp.int32)
+                           | (bg1.astype(jnp.int32) << 1)
+                           | (bf2.astype(jnp.int32) << 2)
+                           | (bg2.astype(jnp.int32) << 3))
+            bsc1.append(tk(sc1_b))
+            bsc2.append(tk(sc2_b))
+        bread = jnp.tile(mrows, NB2)
+        bfin1 = _stage_fin_rows(idx, sctab, st1["seqs2"], st1["quals2"],
+                                st1["lens2"],
+                                jnp.concatenate([r[0] for r in breps]),
+                                jnp.concatenate([r[1] for r in breps]),
+                                bread, B, PEPACK_MM).reshape(NB2, MBs, -1)
+        bfin2 = _stage_fin_rows(idx, sctab, st2["seqs2"], st2["quals2"],
+                                st2["lens2"],
+                                jnp.concatenate([r[2] for r in breps]),
+                                jnp.concatenate([r[3] for r in breps]),
+                                bread, B, PEPACK_MM).reshape(NB2, MBs, -1)
+        mcols = []
+        l1_b, l2_b = l1[mrows], l2[mrows]
+        tgt = jnp.where(mv > 0, mrs, B)
+        for j in range(NB2):
+            mcols += [brflags[j]]
+            mcols += mate_lanes(bfin1[j], breps[j][0], bsc1[j])
+            mcols += mate_lanes(bfin2[j], breps[j][2], bsc2[j])
+            ok1c, fc1 = containd(breps[j][0], bfin1[j][:, 0],
+                                 bfin1[j][:, 1], l1_b)
+            ok2c, fc2 = containd(breps[j][2], bfin2[j][:, 0],
+                                 bfin2[j][:, 1], l2_b)
+            okb = (ok1c & ok2c
+                   & (idx["frag_tidx"][fc1] == idx["frag_tidx"][fc2])
+                   & ~(((brflags[j] >> 1) & 1) > 0)
+                   & ~(((brflags[j] >> 3) & 1) > 0)
+                   & (bfin1[j][:, 4] <= PEPACK_MM)
+                   & (bfin2[j][:, 4] <= PEPACK_MM)
+                   & (mv > 0))
+            ok_bucket.append(
+                jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B])
+        extras["mrows"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
+        extras["mrep"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
+
     if SB:
         # device slow-pair prediction (mirror of _finish_pe_pack's fast
         # tests) so the slow pairs' grids ship with the pack instead of a
@@ -370,17 +451,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         if omit_sec:
             fastd &= nrep <= 1
 
-        def containd(pos, c5, c3, lm):
-            astart = pos + c5
-            span = lm.astype(jnp.int32) - c5 - c3
-            f = jnp.searchsorted(idx["frag_joined"], astart,
-                                 side="right") - 1
-            fc = jnp.clip(f, 0, idx["frag_joined"].shape[0] - 1)
-            okc = ((f >= 0) & (span > 0)
-                   & (astart + span <= idx["frag_end"][fc]))
-            return okc, fc
-
-        for k in range(NR):
+        for k in range(NRB):
             ok1c, fc1 = containd(reps[k][0], fin1[k][:, 0], fin1[k][:, 1],
                                  l1)
             ok2c, fc2 = containd(reps[k][2], fin2[k][:, 0], fin2[k][:, 1],
@@ -393,6 +464,8 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                    & (fin1[k][:, 4] <= PEPACK_MM)
                    & (fin2[k][:, 4] <= PEPACK_MM))
             fastd &= (nrep <= k) | okk
+        for j, full in enumerate(ok_bucket):
+            fastd &= (nrep <= NRB + j) | full
         need = ~fastd & (aux != 0)
         sv, srs = lax.top_k(need.astype(jnp.int32), min(SB, B))
         rc_ = jnp.clip(srs, 0, B - 1)
@@ -471,7 +544,8 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "top_cands", "min_seg_len", "ftab_k", "K2", "KP",
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
                 "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
-                "pe_geo", "SB", "RB", "w_resc", "omit_sec", "n_rep"))
+                "pe_geo", "SB", "RB", "w_resc", "omit_sec", "n_rep",
+                "MB"))
     o = aligner.opts
     B = len(b1)
     L = b1.seqs.shape[1]
@@ -499,9 +573,10 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
         sc_const=aligner.sc_const, fr_mode=o.fr,
         pe_geo=(o.dovetail, o.no_contain, o.no_overlap),
-        khits=jnp.int32(o.khits), SB=min(B, max(64, B // 8)),
+        khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
         RB=min(B, 512), w_resc=min(o.maxins, 1000) + L,
-        omit_sec=o.omit_sec_seq, n_rep=max(2, min(o.khits, 5)))
+        omit_sec=o.omit_sec_seq, n_rep=max(2, min(o.khits, 5)),
+        MB=min(B, max(32, B // 16)))
     pack, m1, m2, pt, extras = out
     try:
         pack.copy_to_host_async()

@@ -71,3 +71,41 @@ def test_pe_fast_matches_slow():
     assert any("\t323\t" in ln or "\t355\t" in ln or "\t339\t" in ln
                or "\t371\t" in ln or "\t403\t" in ln or "\t387\t" in ln
                for ln in a), "no secondary concordant record emitted"
+
+
+@pytest.mark.skipif(_samfmt() is None, reason="native formatter unavailable")
+def test_pe_fast_matches_slow_high_multimap():
+    """Pairs with >=3 distinct placements flow through the compacted
+    multi-report bucket (stage_pe_packed MB extras) and must still match
+    the per-pair slow path byte for byte."""
+    rng = np.random.default_rng(23)
+    seq = alphabet.decode(rng.integers(0, 4, 24000).astype(np.uint8))
+    rep = seq[3000:4200]
+    # 4 copies of the repeat: pairs inside it have 4 concordant placements
+    seq = seq[:12000] + rep + seq[12000:18000] + rep + seq[18000:] + rep
+    ref = reference_from_seqs({"chrQ": seq})
+    fm = build_fm_index(ref, ftab_k=6)
+    joined = fm.ref.joined
+    b1, b2 = _mk_pairs(joined, 160, rng)
+
+    al1 = Aligner(fm)
+    buf1 = io.StringIO()
+    w1 = samio.SamWriter(buf1, fm.ref.names, [int(x) for x in fm.ref.tlens],
+                         no_head=True)
+    st1 = align_and_emit_pe(al1, b1, b2, w1)
+
+    al2 = Aligner(fm)
+    buf2 = io.StringIO()
+    w2 = samio.SamWriter(buf2, fm.ref.names, [int(x) for x in fm.ref.tlens],
+                         no_head=True)
+    res = _paired.align_pairs(al2, b1, b2)
+    st2 = _paired.pairs_to_sam(b1, b2, res, al2, w2)
+
+    assert st1 == st2
+    a = buf1.getvalue().splitlines()
+    b = buf2.getvalue().splitlines()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x == y
+    assert any("\tNH:i:3" in ln or "\tNH:i:4" in ln for ln in a), \
+        "no >=3-way multimapped pair exercised the bucket path"

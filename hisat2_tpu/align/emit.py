@@ -65,8 +65,8 @@ def submit_se(al: Aligner, batch: ReadBatch):
     if (lib is None or not al.opts.seed_mode or al.opts.spliced
             or (al.opts.zs_tags and al.overlay is not None)):
         return ("legacy", batch)
-    fp_dev, merged_dev, srows_dev, smerged_dev = al.device_align_fast(batch)
-    return ("fast", batch, fp_dev, merged_dev, (srows_dev, smerged_dev))
+    fp_dev, merged_dev, extras = al.device_align_fast(batch)
+    return ("fast", batch, fp_dev, merged_dev, extras)
 
 
 def finish_se(al: Aligner, handle, writer) -> dict:
@@ -140,25 +140,45 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
            & (np.arange(L)[None, :] < lens[:, None])).sum(axis=1)
     filtered = (lens == 0) | (nNs > sc.n_ceil.I + sc.n_ceil.S * lens)
 
-    KF = (fp.shape[1] - 4) // FASTPACK_REP
+    KFB = (fp.shape[1] - 4) // FASTPACK_REP
+    ex = ({k: np.asarray(v) for k, v in slow_pack.items()}
+          if slow_pack is not None else None)
+    # compacted multi-report bucket (_stage_fastpack MB extras): reports
+    # KFB..KF-1 for reads with > KFB placements, scattered to full-B lanes
+    smrep = smrows_ex = None
+    KF = KFB
+    if ex is not None and "smrep" in ex:
+        smrows_ex = ex["smrows"]
+        smrep = ex["smrep"].reshape(smrows_ex.size, -1, FASTPACK_REP)
+        KF = KFB + smrep.shape[1]
     nvalid = fp[:, 0].astype(np.int64)
     best = fp[:, 1].astype(np.int64)
     secb = fp[:, 2].astype(np.int64)
     flags = fp[:, 3].astype(np.int64)
     has_sec = secb != -32768
 
+    bucket_has = np.zeros(B, bool)
+    if smrep is not None:
+        bok = smrows_ex >= 0
+        bucket_has[smrows_ex[bok]] = True
+
     def rep(k):
-        b0 = 4 + FASTPACK_REP * k
-        lo = fp[:, b0].astype(np.uint16).astype(np.uint32)
-        hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint32)
+        if k < KFB:
+            b0 = 4 + FASTPACK_REP * k
+            lanes = fp[:, b0:b0 + FASTPACK_REP].astype(np.int64)
+        else:
+            lanes = np.zeros((B, FASTPACK_REP), np.int64)
+            lanes[smrows_ex[bok]] = smrep[bok, k - KFB].astype(np.int64)
+        lo = lanes[:, 0].astype(np.uint16).astype(np.uint32)
+        hi = lanes[:, 1].astype(np.uint16).astype(np.uint32)
         return dict(
             pos=(lo | (hi << 16)).astype(np.int64),
-            c5=fp[:, b0 + 2].astype(np.int64),
-            c3=fp[:, b0 + 3].astype(np.int64),
-            nmm=fp[:, b0 + 4].astype(np.int64),
-            nmm_all=fp[:, b0 + 5].astype(np.int64),
-            score=fp[:, b0 + 6].astype(np.int64),
-            mm=fp[:, b0 + 7:b0 + 7 + FASTPACK_MM].astype(np.int64),
+            c5=lanes[:, 2],
+            c3=lanes[:, 3],
+            nmm=lanes[:, 4],
+            nmm_all=lanes[:, 5],
+            score=lanes[:, 6],
+            mm=lanes[:, 7:7 + FASTPACK_MM],
             fw=(flags >> (2 * k)) & 1 > 0,
             gapped=(flags >> (2 * k + 1)) & 1 > 0)
     reps = [rep(k) for k in range(KF)]
@@ -179,6 +199,8 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         okf &= astart + span <= ref.frag_joined[fc] + ref.frag_len[fc]
         okf &= ~r["gapped"] & (r["nmm_all"] <= FASTPACK_MM)
         r["fc"], r["astart"] = fc, astart
+        if k >= KFB:
+            okf &= bucket_has
         fast &= (nrep <= k) | okf
     if force_slow is not None:
         fast &= ~force_slow
@@ -194,9 +216,9 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
     srows_h = smg_h = None
     if merged_full is None:
-        if slow_pack is not None:
-            srows_h = np.asarray(slow_pack[0])
-            smg_h = np.asarray(slow_pack[1])
+        if ex is not None and "srows" in ex:
+            srows_h = ex["srows"]
+            smg_h = ex["smerged"]
             miss = grows[~np.isin(grows, srows_h)]
             mg_fut = (al.gather_merged_async(merged_dev, miss)
                       if miss.size else None)

@@ -463,13 +463,19 @@ def fastpack_width(kf: int) -> int:
 
 
 def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
-                    KF: int, khits=None, omit_sec: bool = False):
+                    KF: int, khits=None, omit_sec: bool = False,
+                    MB: int = 0):
     """Compress everything the host fast path needs into 2 bytes x
     fastpack_width(KF) per read (device->host runs at ~30MB/s with ~27ms
     per sync over the tunnel, so the per-read payload budget is the
     throughput ceiling). Device-side distinct-placement dedup + top-KF
     report selection replaces the host-side NumPy selection; KF covers
-    -k so multimapped reads stay on the native path."""
+    -k so multimapped reads stay on the native path.
+
+    With MB > 0 and KF > 2, the base pack carries only 2 report slots and
+    reports 2..KF-1 ship compacted for the first MB reads with >= 3
+    distinct placements (returned bucket extras smrows/smrep) — the wide
+    pack's tunnel bytes otherwise dominate the step."""
     sc = merged[:, :, 0]
     pos = merged[:, :, 1]
     fl = merged[:, :, 2]
@@ -489,6 +495,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     ridx = jnp.arange(B, dtype=jnp.int32)
     exh = st["exhausted"][:B] & st["exhausted"][B:]
     flags = exh.astype(jnp.int32) << 14
+    KFB = 2 if (MB > 0 and KF > 2) else KF
     sels, fws, poss = [], [], []
     for k in range(KF):
         selk = (jnp.zeros(B, jnp.int32) if k == 0
@@ -504,10 +511,30 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
 
     fin = _stage_fin_rows(
         idx, sctab, st["seqs2"], st["quals2"], st["lens2"],
-        jnp.concatenate(poss), jnp.concatenate(fws),
-        jnp.tile(ridx, KF), B, FASTPACK_MM)
+        jnp.concatenate(poss[:KFB]), jnp.concatenate(fws[:KFB]),
+        jnp.tile(ridx, KFB), B, FASTPACK_MM)
     D = fin.shape[1]
-    fin = fin.reshape(KF, B, D)
+    fin = fin.reshape(KFB, B, D)
+
+    def rep_lanes(f, posk, sck):
+        # [pos lo, pos hi, c5, c3, nmm, nmm_all, score, mm x4]
+        mm = f[:, 5:5 + FASTPACK_MM]
+        mch = f[:, 5 + FASTPACK_MM:]
+        mmp = jnp.clip(mm, 0, 4095) << 3 | jnp.clip(mch, 0, 7)
+        return [posk & 0xFFFF, (posk >> 16) & 0xFFFF,
+                f[:, 0], f[:, 1], f[:, 3], f[:, 4],
+                jnp.clip(sck, -32768, 32767)] + \
+            [mmp[:, j] for j in range(FASTPACK_MM)]
+
+    def contain_ok(f, posk, lens_k, gk):
+        c5k, c3k = f[:, 0], f[:, 1]
+        astart = posk + c5k
+        span = lens_k - c5k - c3k
+        fr = jnp.searchsorted(idx["frag_joined"], astart, side="right") - 1
+        fc = jnp.clip(fr, 0, idx["frag_joined"].shape[0] - 1)
+        return ((fr >= 0) & (span > 0)
+                & (astart + span <= idx["frag_end"][fc])
+                & ~gk & (f[:, 4] <= FASTPACK_MM))
 
     cols = [nvalid, jnp.clip(best, -32768, 32767),
             jnp.clip(secb, -32768, 32767), flags]
@@ -521,37 +548,51 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     if omit_sec:
         fast_dev &= nrep <= 1
     lens_b = st["lens2"][:B].astype(jnp.int32)
-    for k in range(KF):
+    for k in range(KFB):
         f = fin[k]            # [c5, c3, score, nmm, nmm_all, cols.., chars..]
-        mm = f[:, 5:5 + FASTPACK_MM]
-        mch = f[:, 5 + FASTPACK_MM:]
-        mmp = jnp.clip(mm, 0, 4095) << 3 | jnp.clip(mch, 0, 7)
         sck = jnp.take_along_axis(sc, sels[k][:, None], 1)[:, 0]
-        cols += [poss[k] & 0xFFFF, (poss[k] >> 16) & 0xFFFF,
-                 f[:, 0], f[:, 1], f[:, 3], f[:, 4],
-                 jnp.clip(sck, -32768, 32767)]
-        cols += [mmp[:, j] for j in range(FASTPACK_MM)]
-        # host okf: ungapped, <=FASTPACK_MM mismatches, fragment-contained
-        c5k, c3k = f[:, 0], f[:, 1]
-        astart = poss[k] + c5k
-        span = lens_b - c5k - c3k
-        fr = jnp.searchsorted(idx["frag_joined"], astart, side="right") - 1
-        fc = jnp.clip(fr, 0, idx["frag_joined"].shape[0] - 1)
+        cols += rep_lanes(f, poss[k], sck)
         gk = (fl[ridx, sels[k]] & 2) > 0
-        okf = ((fr >= 0) & (span > 0)
-               & (astart + span <= idx["frag_end"][fc])
-               & ~gk & (f[:, 4] <= FASTPACK_MM))
-        fast_dev &= (nrep <= k) | okf
+        fast_dev &= (nrep <= k) | contain_ok(f, poss[k], lens_b, gk)
     out = jnp.stack(cols, axis=1).astype(jnp.int16)
+
+    bex = {}
+    if KFB < KF:
+        MBs = min(MB, B)
+        NB2 = KF - KFB
+        multi = nvalid >= (KFB + 1)
+        mv, mrs = lax.top_k(multi.astype(jnp.int32), MBs)
+        mrows = jnp.clip(mrs, 0, B - 1)
+        bread = jnp.tile(mrows, NB2)
+        bfin = _stage_fin_rows(
+            idx, sctab, st["seqs2"], st["quals2"], st["lens2"],
+            jnp.concatenate([poss[k][mrows] for k in range(KFB, KF)]),
+            jnp.concatenate([fws[k][mrows] for k in range(KFB, KF)]),
+            bread, B, FASTPACK_MM).reshape(NB2, MBs, D)
+        mcols = []
+        lens_mb = lens_b[mrows]
+        tgt = jnp.where(mv > 0, mrs, B)
+        for k in range(KFB, KF):
+            f = bfin[k - KFB]
+            posk = poss[k][mrows]
+            sck = jnp.take_along_axis(
+                sc, sels[k][:, None], 1)[:, 0][mrows]
+            mcols += rep_lanes(f, posk, sck)
+            gk = ((fl[ridx, sels[k]] & 2) > 0)[mrows]
+            okb = contain_ok(f, posk, lens_mb, gk) & (mv > 0)
+            ok_full = jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B]
+            fast_dev &= (nrep <= k) | ok_full
+        bex["smrows"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
+        bex["smrep"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
     need = (nvalid >= 1) & ~fast_dev
-    return out, need
+    return out, need, bex
 
 
 @partial(jax.jit, static_argnames=(
     "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
     "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
     "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const", "SB",
-    "omit_sec"))
+    "omit_sec", "MB"))
 def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         quals, qual_const, lens, minsc_i, minsc_s, gap1,
                         B: int, L: int, max_seeds: int, n_seeds: int,
@@ -560,7 +601,8 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         fb_bucket: int, dp_bucket: int, dp_pad: int,
                         no_dp: bool, nofw: bool, norc: bool,
                         seeder: str, fb_seeder: str, sc_const,
-                        khits=None, SB: int = 0, omit_sec: bool = False):
+                        khits=None, SB: int = 0, omit_sec: bool = False,
+                        MB: int = 0):
     """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
     the core, and compress results to the int16 fastpack. Returns
     (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
@@ -578,14 +620,16 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                           fb_seeder, sc_const)
     minsc = jnp.ceil(minsc_i + minsc_s
                      * lens.astype(jnp.float32)).astype(jnp.int32)
-    fastpack, need = _stage_fastpack(idx, sctab, merged, st, minsc, B, K2,
-                                     KF, khits, omit_sec)
-    if SB == 0:
+    fastpack, need, bex = _stage_fastpack(idx, sctab, merged, st, minsc,
+                                          B, K2, KF, khits, omit_sec, MB)
+    if SB == 0 and not bex:
         return fastpack, merged
-    sv, sr = lax.top_k(need.astype(jnp.int32), min(SB, B))
-    srows = jnp.where(sv > 0, sr, -1).astype(jnp.int32)
-    smerged = merged[jnp.clip(sr, 0, B - 1)]
-    return fastpack, merged, srows, smerged
+    extras = dict(bex)
+    if SB:
+        sv, sr = lax.top_k(need.astype(jnp.int32), min(SB, B))
+        extras["srows"] = jnp.where(sv > 0, sr, -1).astype(jnp.int32)
+        extras["smerged"] = merged[jnp.clip(sr, 0, B - 1)]
+    return fastpack, merged, extras
 
 
 @jax.jit
@@ -858,7 +902,7 @@ class Aligner:
         self.metrics.seeds += 2 * B * o.n_seeds
         seq_w, n_w, quals, qconst, lens = batch.packed()
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
-        fp_dev, merged_dev, srows_dev, smerged_dev = _stage_align_packed(
+        fp_dev, merged_dev, extras = _stage_align_packed(
             self.idx, self.sctab,
             jnp.asarray(seq_w), jnp.asarray(n_w),
             None if quals is None else jnp.asarray(quals),
@@ -873,14 +917,14 @@ class Aligner:
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, self.sc_const,
             khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
-            omit_sec=o.omit_sec_seq)
-        for d in (fp_dev, srows_dev, smerged_dev):
+            omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)))
+        for d in (fp_dev, *extras.values()):
             try:
                 d.copy_to_host_async()
             except Exception:
                 pass
         self.metrics.t_pack += _t.perf_counter() - t0
-        return fp_dev, merged_dev, srows_dev, smerged_dev
+        return fp_dev, merged_dev, extras
 
     def gather_merged_rows(self, merged_dev, rows: np.ndarray):
         """Fetch merged candidate rows for slow reads (padded to a power

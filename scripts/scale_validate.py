@@ -150,12 +150,12 @@ def main():
     # long run amortizes to once the one-off compile+upload are paid
     import numpy as _np
     al0 = al._activate(0)
-    fp_dev, _m = al0.device_align_fast(batches[0])
+    fp_dev, _m = al0.device_align_fast(batches[0])[:2]
     _np.asarray(fp_dev)
     t0 = time.time()
     reps = 4
     for _ in range(reps):
-        fp_dev, _m = al0.device_align_fast(batches[0])
+        fp_dev, _m = al0.device_align_fast(batches[0])[:2]
         _np.asarray(fp_dev)
     steady = reps * len(batches[0]) / (time.time() - t0)
     log(f"steady-state {steady:.0f} reads/s (shard-resident, warm)")

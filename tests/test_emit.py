@@ -66,3 +66,46 @@ def test_emit_matches_python_path():
                 raise AssertionError(f"PY: {x}\nC : {y}")
         assert len(a) == len(b)
     assert st_py == st_c
+
+
+def test_emit_high_multimap_bucket():
+    """Reads with >= 3 placements flow through the compacted multi-report
+    bucket (_stage_fastpack MB extras) and must match the Python path."""
+    rng = np.random.default_rng(37)
+    codes = rng.integers(0, 4, 40000).astype(np.uint8)
+    rep = codes[5000:5800].copy()
+    for at in (15000, 25000, 35000):       # 4 copies total
+        codes[at:at + 800] = rep
+    ref = reference_from_seqs({"chrH": alphabet.decode(codes)})
+    al = Aligner(build_fm_index(ref, ftab_k=6))
+
+    reads = []
+    for i in range(48):
+        if i % 2 == 0:
+            p = 5000 + int(rng.integers(0, 700))     # inside the repeat
+        else:
+            p = int(rng.integers(0, 39000))
+        s = codes[p:p + 100].copy()
+        if i % 5 == 0:
+            mm = rng.integers(0, 100, 1)
+            s[mm] = (s[mm] + 1) % 4
+        q = np.full(s.size, 35, np.int8)             # constant quals: packed
+        reads.append(Read(f"h{i}", s, q, i))
+    batch = batchify(reads)
+
+    def run(fn):
+        buf = io.StringIO()
+        w = samio.SamWriter(buf, al.fm.ref.names, [40000], no_head=True)
+        stats = fn(w)
+        return buf.getvalue(), stats
+
+    out_py, st_py = run(lambda w: results_to_sam(
+        batch, al.align_batch(batch), al, w))
+    out_c, st_c = run(lambda w: align_and_emit(al, batch, w))
+    a, b = out_py.splitlines(), out_c.splitlines()
+    for x, y in zip(a, b):
+        assert x == y, f"PY: {x}\nC : {y}"
+    assert len(a) == len(b)
+    assert st_py == st_c
+    assert any("\tNH:i:4" in ln for ln in b), \
+        "no 4-way multimapped read exercised the bucket path"

@@ -143,32 +143,44 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     KFB = (fp.shape[1] - 4) // FASTPACK_REP
     ex = ({k: np.asarray(v) for k, v in slow_pack.items()}
           if slow_pack is not None else None)
-    # compacted multi-report bucket (_stage_fastpack MB extras): reports
-    # KFB..KF-1 for reads with > KFB placements, scattered to full-B lanes
-    smrep = smrows_ex = None
+    # tiered multi-report buckets (_stage_fastpack MB extras): tier t
+    # carries a slice of reports >= KFB for reads with enough placements,
+    # scattered to full-B lanes here
+    tier_rows: list = []
+    tier_reps: list = []
+    tier_has: list = []
+    k_tier: dict[int, tuple] = {}        # report k -> (tier, col)
     KF = KFB
-    if ex is not None and "smrep" in ex:
-        smrows_ex = ex["smrows"]
-        smrep = ex["smrep"].reshape(smrows_ex.size, -1, FASTPACK_REP)
-        KF = KFB + smrep.shape[1]
+    if ex is not None:
+        t = 0
+        while f"smrep{t}" in ex:
+            rows_t = ex[f"smrows{t}"]
+            rep_t = ex[f"smrep{t}"].reshape(rows_t.size, -1, FASTPACK_REP)
+            has_t = np.zeros(B, bool)
+            has_t[rows_t[rows_t >= 0]] = True
+            tier_rows.append(rows_t)
+            tier_reps.append(rep_t)
+            tier_has.append(has_t)
+            for c in range(rep_t.shape[1]):
+                k_tier[KF + c] = (t, c)
+            KF += rep_t.shape[1]
+            t += 1
     nvalid = fp[:, 0].astype(np.int64)
     best = fp[:, 1].astype(np.int64)
     secb = fp[:, 2].astype(np.int64)
     flags = fp[:, 3].astype(np.int64)
     has_sec = secb != -32768
 
-    bucket_has = np.zeros(B, bool)
-    if smrep is not None:
-        bok = smrows_ex >= 0
-        bucket_has[smrows_ex[bok]] = True
-
     def rep(k):
         if k < KFB:
             b0 = 4 + FASTPACK_REP * k
             lanes = fp[:, b0:b0 + FASTPACK_REP].astype(np.int64)
         else:
+            ti, c = k_tier[k]
+            rows_t, rep_t = tier_rows[ti], tier_reps[ti]
+            bokt = rows_t >= 0
             lanes = np.zeros((B, FASTPACK_REP), np.int64)
-            lanes[smrows_ex[bok]] = smrep[bok, k - KFB].astype(np.int64)
+            lanes[rows_t[bokt]] = rep_t[bokt, c].astype(np.int64)
         lo = lanes[:, 0].astype(np.uint16).astype(np.uint32)
         hi = lanes[:, 1].astype(np.uint16).astype(np.uint32)
         return dict(
@@ -200,7 +212,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         okf &= ~r["gapped"] & (r["nmm_all"] <= FASTPACK_MM)
         r["fc"], r["astart"] = fc, astart
         if k >= KFB:
-            okf &= bucket_has
+            okf &= tier_has[k_tier[k][0]]
         fast &= (nrep <= k) | okf
     if force_slow is not None:
         fast &= ~force_slow
@@ -737,14 +749,27 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     sc = al.scoring
     khits = o.khits
     NRB = pepack_nr(fp.shape[1])     # report slots in the base pack
-    # compacted multi-pair bucket (stage_pe_packed MB extras): reports
-    # NRB..NR-1 for pairs with >NRB placements, scattered to full-B lanes
-    mrep = mrows_ex = None
+    # tiered multi-pair buckets (stage_pe_packed MB extras): tier t
+    # carries a slice of reports >= NRB, scattered to full-B lanes here
+    tier_rows: list = []
+    tier_reps: list = []
+    tier_has: list = []
+    k_tier: dict[int, tuple] = {}
     NR = NRB
-    if ex is not None and "mrep" in ex:
-        mrows_ex = ex["mrows"]
-        mrep = ex["mrep"].reshape(mrows_ex.size, -1, PEPACK_REP)
-        NR = NRB + mrep.shape[1]
+    if ex is not None:
+        t = 0
+        while f"mrep{t}" in ex:
+            rows_t = ex[f"mrows{t}"]
+            rep_t = ex[f"mrep{t}"].reshape(rows_t.size, -1, PEPACK_REP)
+            has_t = np.zeros(B, bool)
+            has_t[rows_t[rows_t >= 0]] = True
+            tier_rows.append(rows_t)
+            tier_reps.append(rep_t)
+            tier_has.append(has_t)
+            for c in range(rep_t.shape[1]):
+                k_tier[NR + c] = (t, c)
+            NR += rep_t.shape[1]
+            t += 1
     l1 = b1.lens.astype(np.int64)
     l2 = b2.lens.astype(np.int64)
 
@@ -754,20 +779,18 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     aux = fp[:, -1].astype(np.int64)
     has_sec = sec != -32768
 
-    bucket_has = np.zeros(B, bool)
-    if mrep is not None:
-        bok = mrows_ex >= 0
-        bucket_has[mrows_ex[bok]] = True
-
     def mate(k, m):
         if k < NRB:
             rb = PEPACK_HDR + PEPACK_REP * k
             lanes = fp[:, rb:rb + PEPACK_REP].astype(np.int64)
         else:
             # scatter the bucket report to full-B lanes (garbage outside
-            # bucket rows; fast-path eligibility masks with bucket_has)
+            # bucket rows; fast-path eligibility masks with tier_has)
+            ti, c = k_tier[k]
+            rows_t, rep_t = tier_rows[ti], tier_reps[ti]
+            bokt = rows_t >= 0
             lanes = np.zeros((B, PEPACK_REP), np.int64)
-            lanes[mrows_ex[bok]] = mrep[bok, k - NRB].astype(np.int64)
+            lanes[rows_t[bokt]] = rep_t[bokt, c].astype(np.int64)
         b0 = 1 + PEPACK_MATE * m
         rfl = lanes[:, 0]
         lo = lanes[:, b0].astype(np.uint16).astype(np.uint32)
@@ -808,7 +831,7 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                & (r1["nmm_all"] <= PEPACK_MM)
                & (r2["nmm_all"] <= PEPACK_MM))
         if k >= NRB:
-            okk &= bucket_has
+            okk &= tier_has[k_tier[k][0]]
         fast &= (nrep <= k) | okk
 
     mqc = _MapqCache(sc)

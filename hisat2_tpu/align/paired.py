@@ -296,11 +296,12 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         jnp.int32(-32768))
 
     NR = max(2, min(int(n_rep), KP2))
-    # with an MB bucket, the base pack carries only 2 report slots for
-    # every pair; reports 2..NR-1 ship compacted for the (few) pairs with
-    # >= 3 distinct placements (extras "mrows"/"mrep") — the tunnel cost
-    # of the wide pack dominated the PE step otherwise
-    NRB = 2 if (MB > 0 and NR > 2) else NR
+    # with MB buckets, the base pack carries only report slot 0 for every
+    # pair; report 1 ships compacted for pairs with >= 2 distinct
+    # placements (tier 0) and reports 2..NR-1 for pairs with >= 3
+    # (tier 1), as extras mrows{t}/mrep{t} — the tunnel cost of the wide
+    # pack dominated the PE step otherwise
+    NRB = 1 if (MB > 0 and NR > 1) else NR
     g1t = jnp.take_along_axis(g1, t1, 1)         # gapped per combo
     g2t = jnp.take_along_axis(g2, t2, 1)
     sc1t = jnp.take_along_axis(sc1, t1, 1)
@@ -376,14 +377,20 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         return okc, fc
 
     extras = {}
-    ok_bucket = []          # per report k >= NRB: full-B fast eligibility
+    ok_bucket = {}          # report k >= NRB -> full-B fast eligibility
+    # tiered multi-pair buckets: tier t carries reports k0..k1-1 for the
+    # first MBt pairs with >= k0+1 distinct placements; pairs past a
+    # bucket (or failing the containment mirror) fall to the slow path
+    tiers = []
     if NRB < NR:
-        # compacted multi-pair bucket: reports NRB..NR-1 for the first MB
-        # pairs with > NRB distinct placements; pairs past the bucket (or
-        # failing the containment mirror) fall to the slow-grid path
-        MBs = min(MB, B)
-        NB2 = NR - NRB
-        multi = nvalid >= (NRB + 1)
+        # tier capacities must exceed the multimapped-pair counts with
+        # margin: overflow pairs fall to the per-pair ladder (slow)
+        tiers.append((NRB, NRB + 1, min(max(4 * MB, B // 4), B)))
+        if NR > NRB + 1:
+            tiers.append((NRB + 1, NR, min(max(MB, B // 8), B)))
+    for t, (k0, k1, MBs) in enumerate(tiers):
+        NB2 = k1 - k0
+        multi = nvalid >= (k0 + 1)
         mv, mrs = lax.top_k(multi.astype(jnp.int32), MBs)
         mrows = jnp.clip(mrs, 0, B - 1)
         vrank_b = vrank[mrows]
@@ -392,7 +399,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
         g1_b, g2_b = g1t[mrows], g2t[mrows]
         sc1_b, sc2_b = sc1t[mrows], sc2t[mrows]
         breps, brflags, bsc1, bsc2 = [], [], [], []
-        for k in range(NRB, NR):
+        for k in range(k0, k1):
             selk = jnp.argmax(vrank_b == k, axis=1).astype(
                 jnp.int32)[:, None]
 
@@ -436,10 +443,10 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                    & (bfin1[j][:, 4] <= PEPACK_MM)
                    & (bfin2[j][:, 4] <= PEPACK_MM)
                    & (mv > 0))
-            ok_bucket.append(
+            ok_bucket[k0 + j] = (
                 jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B])
-        extras["mrows"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
-        extras["mrep"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
+        extras[f"mrows{t}"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
+        extras[f"mrep{t}"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
 
     if SB:
         # device slow-pair prediction (mirror of _finish_pe_pack's fast
@@ -464,8 +471,8 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                    & (fin1[k][:, 4] <= PEPACK_MM)
                    & (fin2[k][:, 4] <= PEPACK_MM))
             fastd &= (nrep <= k) | okk
-        for j, full in enumerate(ok_bucket):
-            fastd &= (nrep <= NRB + j) | full
+        for k, full in ok_bucket.items():
+            fastd &= (nrep <= k) | full
         need = ~fastd & (aux != 0)
         sv, srs = lax.top_k(need.astype(jnp.int32), min(SB, B))
         rc_ = jnp.clip(srs, 0, B - 1)

@@ -472,9 +472,10 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     report selection replaces the host-side NumPy selection; KF covers
     -k so multimapped reads stay on the native path.
 
-    With MB > 0 and KF > 2, the base pack carries only 2 report slots and
-    reports 2..KF-1 ship compacted for the first MB reads with >= 3
-    distinct placements (returned bucket extras smrows/smrep) — the wide
+    With MB > 0 and KF > 1, the base pack carries only report slot 0;
+    report 1 ships compacted for the first 2*MB reads with >= 2 distinct
+    placements (tier-0 bucket) and reports 2..KF-1 for the first MB reads
+    with >= 3 (tier-1 bucket), as extras smrows{t}/smrep{t} — the wide
     pack's tunnel bytes otherwise dominate the step."""
     sc = merged[:, :, 0]
     pos = merged[:, :, 1]
@@ -495,7 +496,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     ridx = jnp.arange(B, dtype=jnp.int32)
     exh = st["exhausted"][:B] & st["exhausted"][B:]
     flags = exh.astype(jnp.int32) << 14
-    KFB = 2 if (MB > 0 and KF > 2) else KF
+    KFB = 1 if (MB > 0 and KF > 1) else KF
     sels, fws, poss = [], [], []
     for k in range(KF):
         selk = (jnp.zeros(B, jnp.int32) if k == 0
@@ -557,23 +558,31 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     out = jnp.stack(cols, axis=1).astype(jnp.int16)
 
     bex = {}
+    # tiered multi-report buckets: tier t carries reports k0..k1-1 for
+    # the first MBt reads with >= k0+1 distinct placements
+    tiers = []
     if KFB < KF:
-        MBs = min(MB, B)
-        NB2 = KF - KFB
-        multi = nvalid >= (KFB + 1)
+        # tier capacities must exceed the multimapped-read counts with
+        # margin: overflow rows fall to the per-read ladder (slow)
+        tiers.append((KFB, KFB + 1, min(max(4 * MB, B // 4), B)))
+        if KF > KFB + 1:
+            tiers.append((KFB + 1, KF, min(max(MB, B // 8), B)))
+    for t, (k0, k1, MBs) in enumerate(tiers):
+        NB2 = k1 - k0
+        multi = nvalid >= (k0 + 1)
         mv, mrs = lax.top_k(multi.astype(jnp.int32), MBs)
         mrows = jnp.clip(mrs, 0, B - 1)
         bread = jnp.tile(mrows, NB2)
         bfin = _stage_fin_rows(
             idx, sctab, st["seqs2"], st["quals2"], st["lens2"],
-            jnp.concatenate([poss[k][mrows] for k in range(KFB, KF)]),
-            jnp.concatenate([fws[k][mrows] for k in range(KFB, KF)]),
+            jnp.concatenate([poss[k][mrows] for k in range(k0, k1)]),
+            jnp.concatenate([fws[k][mrows] for k in range(k0, k1)]),
             bread, B, FASTPACK_MM).reshape(NB2, MBs, D)
         mcols = []
         lens_mb = lens_b[mrows]
         tgt = jnp.where(mv > 0, mrs, B)
-        for k in range(KFB, KF):
-            f = bfin[k - KFB]
+        for k in range(k0, k1):
+            f = bfin[k - k0]
             posk = poss[k][mrows]
             sck = jnp.take_along_axis(
                 sc, sels[k][:, None], 1)[:, 0][mrows]
@@ -582,8 +591,8 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
             okb = contain_ok(f, posk, lens_mb, gk) & (mv > 0)
             ok_full = jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B]
             fast_dev &= (nrep <= k) | ok_full
-        bex["smrows"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
-        bex["smrep"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
+        bex[f"smrows{t}"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
+        bex[f"smrep{t}"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
     need = (nvalid >= 1) & ~fast_dev
     return out, need, bex
 

@@ -82,29 +82,96 @@ def finish_se(al: Aligner, handle, writer) -> dict:
 
 
 def align_and_emit_stream(al: Aligner, batches, writer,
-                          on_batch=None, depth: int = 2) -> dict:
+                          on_batch=None, depth: int = 4,
+                          workers: int = 3) -> dict:
     """Pipelined SE loop: batch k+1's device work is dispatched before
     batch k's results are fetched/formatted, so transfers and host
     formatting overlap device compute. Output order is submit order.
-    depth = max in-flight batches (2 rides out host-time variance)."""
+
+    The finish half (fastpack unpack + NumPy selection + native SAM
+    formatting) runs in `workers` threads: NumPy ufuncs and the ctypes
+    formatter release the GIL, so several batches finish concurrently
+    while the main thread keeps packing/dispatching — the host-side
+    critical path drops to the submit loop. depth = max in-flight
+    batches (device queue + worker slack)."""
+    return _stream(al, ((b,) for b in batches), writer, submit_se,
+                   finish_se, on_batch, depth, workers)
+
+
+class _TextShim:
+    """Duck-typed writer capturing fast-path output for ordered replay
+    (the fastpack finishers only touch writer.out.write)."""
+    __slots__ = ("out",)
+
+    def __init__(self):
+        import io as _io
+        self.out = _io.StringIO()
+
+
+def _finish_to_text(al, handle, finish_fn):
+    shim = _TextShim()
+    st = finish_fn(al, handle, shim)
+    return shim.out.getvalue(), st
+
+
+def _stream(al, item_tuples, writer, submit_fn, finish_fn,
+            on_batch, depth: int, workers: int) -> dict:
     from collections import deque
     totals: dict = {}
-    pending: deque = deque()
-    for b in batches:
-        h = submit_se(al, b)
-        pending.append((h, b))
-        if len(pending) > depth:
-            ph, pb = pending.popleft()
-            st = finish_se(al, ph, writer)
+    if workers <= 0:
+        pending: deque = deque()
+        for tup in item_tuples:
+            h = submit_fn(al, *tup)
+            pending.append((h, tup))
+            if len(pending) > depth:
+                ph, pt = pending.popleft()
+                st = finish_fn(al, ph, writer)
+                _merge_stats(totals, st)
+                if on_batch:
+                    on_batch(pt[0] if len(pt) == 1 else pt, st)
+        while pending:
+            ph, pt = pending.popleft()
+            st = finish_fn(al, ph, writer)
             _merge_stats(totals, st)
             if on_batch:
-                on_batch(pb, st)
-    while pending:
-        ph, pb = pending.popleft()
-        st = finish_se(al, ph, writer)
+                on_batch(pt[0] if len(pt) == 1 else pt, st)
+        return totals
+
+    from concurrent.futures import ThreadPoolExecutor
+    w = writer.out.write
+    ex = ThreadPoolExecutor(max_workers=workers)
+    pending = deque()        # (kind, payload, tup) in submit order
+
+    def drain_one():
+        kind, payload, pt = pending.popleft()
+        if kind == "fut":
+            text, st = payload.result()
+            if text:
+                w(text)
+        else:                # legacy handle: per-read path, real writer
+            st = finish_fn(al, payload, writer)
         _merge_stats(totals, st)
         if on_batch:
-            on_batch(pb, st)
+            on_batch(pt[0] if len(pt) == 1 else pt, st)
+
+    try:
+        for tup in item_tuples:
+            h = submit_fn(al, *tup)
+            if h[0] == "legacy":
+                # keep order: everything queued ahead must flush first
+                while pending:
+                    drain_one()
+                pending.append(("legacy", h, tup))
+            else:
+                pending.append(
+                    ("fut", ex.submit(_finish_to_text, al, h, finish_fn),
+                     tup))
+            if len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
+    finally:
+        ex.shutdown(wait=True)
     return totals
 
 
@@ -196,6 +263,10 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     reps = [rep(k) for k in range(KF)]
 
     aligned = ~filtered & (nvalid >= 1)
+    # unaligned/filtered reads emit exactly one flag-4 record — the native
+    # formatter handles them (rname_idx -1; YF code in the mapq column), so
+    # they stay off the per-read Python path entirely
+    unal = ~aligned
     nrep = np.minimum(nvalid, khits)
     fast = aligned & (nrep <= KF)
     if al.opts.omit_sec_seq:
@@ -214,6 +285,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         if k >= KFB:
             okf &= tier_has[k_tier[k][0]]
         fast &= (nrep <= k) | okf
+    fast |= unal
     if force_slow is not None:
         fast &= ~force_slow
 
@@ -242,7 +314,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     read_end = np.zeros(B, np.int64)
     frows = np.flatnonzero(fast)
     if frows.size:
-        nr = nrep[frows]
+        nr = np.where(aligned[frows], nrep[frows], 1)
         rec_read = np.repeat(frows, nr)
         rec_lidx = np.repeat(np.arange(frows.size), nr)
         rec_k = np.arange(rec_read.size) - np.repeat(
@@ -269,7 +341,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         nh = np.repeat(nr, nr).astype(np.int32)
         # MAPQ (reference 60 fast path; table only on equal second-best)
         mapq_read = np.full(frows.size, 60, np.int32)
-        need_tab = (has_sec & (secb == best))[frows]
+        need_tab = (has_sec & (secb == best) & aligned)[frows]
         for j in np.flatnonzero(need_tab):
             i = frows[j]
             mapq_read[j] = mqc.get(int(best[i]), int(secb[i]),
@@ -277,6 +349,15 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         mapq = np.where(rec_k == 0, mapq_read[rec_lidx], 255).astype(np.int32)
         zs = np.where(has_sec[rec_read], secb[rec_read],
                       np.int64(INT32_MIN)).astype(np.int32)
+        ur = unal[rec_read]
+        if ur.any():
+            # flag-4 records: rname -1, pos1 0, YF code rides the mapq col
+            tidx = np.where(ur, -1, tidx).astype(np.int32)
+            toff = np.where(ur, -1, toff)
+            flag = np.where(ur, 4, flag).astype(np.int32)
+            yf_code = np.where(lens == 0, 2, np.where(filtered, 1, 0))
+            mapq = np.where(ur, yf_code[rec_read], mapq).astype(np.int32)
+            cnt = np.where(ur, 0, cnt)
 
         mmstk = np.stack([r["mm"] for r in reps])      # (KF, B, MM)
         mmpk = mmstk[rec_k, rec_read]
@@ -295,8 +376,10 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
             mm_cols2, mm_ref2, mm_off)
         last_rec = np.cumsum(nr) - 1
         read_end[frows] = rec_ends[last_rec]
-        stats["uniq"] += int((nvalid[frows] == 1).sum())
-        stats["multi"] += int((nvalid[frows] >= 2).sum())
+        fal = aligned[frows]
+        stats["uniq"] += int((fal & (nvalid[frows] == 1)).sum())
+        stats["multi"] += int((fal & (nvalid[frows] >= 2)).sum())
+        stats["unal"] += int((~fal).sum())
 
     # ---- slow reads ----
     slow_out: dict[int, list] = {}
@@ -706,31 +789,14 @@ def finish_pe(al: Aligner, handle, writer) -> dict:
 
 
 def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
-                             on_batch=None, depth: int = 2) -> dict:
-    """Pipelined PE loop (same overlap structure as the SE stream).
-
-    depth = max dispatched-but-unconsumed batches: 2 keeps the device busy
-    across host-side finish-time variance (the slow-pair ladder's cost
-    swings with batch content) at the price of one extra batch of HBM."""
-    from collections import deque
-    totals: dict = {}
-    pending: deque = deque()
-    for b1, b2 in pair_batches:
-        h = submit_pe(al, b1, b2)
-        pending.append((h, (b1, b2)))
-        if len(pending) > depth:
-            ph, pb = pending.popleft()
-            st = finish_pe(al, ph, writer)
-            _merge_stats(totals, st)
-            if on_batch:
-                on_batch(pb, st)
-    while pending:
-        ph, pb = pending.popleft()
-        st = finish_pe(al, ph, writer)
-        _merge_stats(totals, st)
-        if on_batch:
-            on_batch(pb, st)
-    return totals
+                             on_batch=None, depth: int = 4,
+                             workers: int = 3) -> dict:
+    """Pipelined PE loop (same overlap structure as the SE stream):
+    finish halves run in `workers` threads (NumPy/ctypes release the
+    GIL), output replays in submit order. depth = max
+    dispatched-but-unconsumed batches (device queue + worker slack)."""
+    return _stream(al, iter(pair_batches), writer, submit_pe,
+                   finish_pe, on_batch, depth, workers)
 
 
 def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,

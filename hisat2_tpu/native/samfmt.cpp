@@ -207,6 +207,26 @@ int64_t format_se_batch2(
         int name_len = (int)(name_off[rd + 1] - name_off[rd]);
         int seq_len = (int)(seq_off[rd + 1] - seq_off[rd]);
         int32_t r = rname_idx[i];
+        if (r < 0) {
+            // unaligned record (flag 4); mapq column carries the YF code
+            // (0 none, 1 NS, 2 LN, 3 QC) — matches io/sam.format_unaligned
+            int64_t worst = 64 + name_len + 2 * (int64_t)seq_len;
+            if ((p - out) + worst > cap) return -1 - (int64_t)i;
+            p = put_str(p, (const char*)(name_buf + name_off[rd]), name_len);
+            *p++ = '\t';
+            p = put_str(p, "4\t*\t0\t0\t*\t*\t0\t0\t", 16);
+            p = put_str(p, (const char*)(seq_f + seq_off[rd]), seq_len);
+            *p++ = '\t';
+            p = put_str(p, (const char*)(qual_f + seq_off[rd]), seq_len);
+            int32_t yf = mapq[i];
+            if (yf == 1) p = put_str(p, "\tYF:Z:NS", 8);
+            else if (yf == 2) p = put_str(p, "\tYF:Z:LN", 8);
+            else if (yf == 3) p = put_str(p, "\tYF:Z:QC", 8);
+            p = put_str(p, "\tYT:Z:UU", 8);
+            *p++ = '\n';
+            rec_ends[i] = p - out;
+            continue;
+        }
         int rn_len = (int)(refname_off[r + 1] - refname_off[r]);
         int64_t n_mm = mm_off[i + 1] - mm_off[i];
         // worst case: fixed fields/tags ~200 + variable parts

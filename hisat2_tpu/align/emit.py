@@ -1526,9 +1526,17 @@ def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
     in_read = ar[None, :] < lens[:, None]
     seq_f = _DEC_ASCII[np.clip(raw, 0, 4)]
     qual_f = (np.clip(quals, 0, 93) + 33).astype(np.uint8)
-    rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
-    seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
-    qual_r = np.take_along_axis(qual_f, rcidx, 1)
+    if Nf and (lens == lens[0]).all():
+        # uniform read length (the common batch): reversal is a plain flip
+        l0 = int(lens[0])
+        seq_r = np.zeros_like(seq_f)
+        qual_r = np.zeros_like(qual_f)
+        seq_r[:, :l0] = _COMP_ASCII[seq_f[:, l0 - 1::-1]]
+        qual_r[:, :l0] = qual_f[:, l0 - 1::-1]
+    else:
+        rcidx = np.clip(lens[:, None] - 1 - ar[None, :], 0, Lp - 1)
+        seq_r = _COMP_ASCII[np.take_along_axis(seq_f, rcidx, 1)]
+        qual_r = np.take_along_axis(qual_f, rcidx, 1)
     seq_off = np.zeros(2 * Nf + 1, np.int64)
     np.cumsum(lens, out=seq_off[1:])
     sf = np.ascontiguousarray(seq_f[in_read])

@@ -43,7 +43,7 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
                          min_seg_len, ftab_k, K2, KP, KF, max_mm,
                          fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
                          seeder, fb_seeder, sc_const, fr_mode,
-                         pe_geo=(False, False, False)):
+                         pe_geo=(False, False, False), VC=0):
     """Both mates' SE cores + the (B, K2, K2) concordance grid + record
     finalization, ONE device dispatch (reference worker pairing loop,
     hi_aligner.h:4088 pairReads + pe.h policy, recast as a dense grid).
@@ -63,12 +63,12 @@ def _stage_pe_fused_impl(idx, sctab, s1, q1, l1, s2, q2, l2,
                        B, max_seeds, n_seeds, locs_per_seg, top_cands,
                        min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
                        dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
-                       sc_const)
+                       sc_const, verify_cands=VC)
     m2, st2 = _se_core(idx, sctab, s2, q2, l2, minsc_i, minsc_s, gap1,
                        B, max_seeds, n_seeds, locs_per_seg, top_cands,
                        min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
                        dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
-                       sc_const)
+                       sc_const, verify_cands=VC)
 
     sc1, p1 = m1[:, :, 0], m1[:, :, 1]
     sc2, p2 = m2[:, :, 0], m2[:, :, 1]
@@ -188,7 +188,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                           pe_geo=(False, False, False), khits=None,
                           SB: int = 0, RB: int = 0, w_resc: int = 0,
                           omit_sec: bool = False, n_rep: int = 2,
-                          MB: int = 0):
+                          MB: int = 0, VC: int = 0):
     """Transfer-packed fused PE step: packed reads in, int16 pair-pack
     out; per-mate merged grids and the combo list stay device-resident
     for the slow-pair gather. Constant-qual batches only.
@@ -210,12 +210,12 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                        B, max_seeds, n_seeds, locs_per_seg, top_cands,
                        min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
                        dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
-                       sc_const)
+                       sc_const, verify_cands=VC)
     m2, st2 = _se_core(idx, sctab, s2, q2, l2, minsc_i, minsc_s, gap1,
                        B, max_seeds, n_seeds, locs_per_seg, top_cands,
                        min_seg_len, ftab_k, K2, fb_bucket, dp_bucket,
                        dp_pad, no_dp, nofw, norc, seeder, fb_seeder,
-                       sc_const)
+                       sc_const, verify_cands=VC)
 
     sc1, p1 = m1[:, :, 0], m1[:, :, 1]
     sc2, p2 = m2[:, :, 0], m2[:, :, 1]
@@ -552,7 +552,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
                 "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
                 "pe_geo", "SB", "RB", "w_resc", "omit_sec", "n_rep",
-                "MB"))
+                "MB", "VC"))
     o = aligner.opts
     B = len(b1)
     L = b1.seqs.shape[1]
@@ -583,7 +583,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
         RB=min(B, 512), w_resc=min(o.maxins, 1000) + L,
         omit_sec=o.omit_sec_seq, n_rep=max(2, min(o.khits, 5)),
-        MB=min(B, max(32, B // 16)))
+        MB=min(B, max(32, B // 16)), VC=o.verify_cands)
     pack, m1, m2, pt, extras = out
     try:
         pack.copy_to_host_async()
@@ -634,7 +634,8 @@ def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
                 "min_seg_len", "ftab_k", "K2", "KP", "KF", "max_mm",
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
-                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode", "pe_geo"))
+                "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
+                "pe_geo", "VC"))
     o = aligner.opts
     B = len(b1)
     K2 = min(2 * o.top_cands, max(8, o.khits + 3))
@@ -655,7 +656,8 @@ def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         dp_pad=o.dp_pad, no_dp=o.no_dp, nofw=o.nofw, norc=o.norc,
         seeder=aligner.seeder, fb_seeder=aligner.fb_seeder,
         sc_const=aligner.sc_const, fr_mode=o.fr,
-        pe_geo=(o.dovetail, o.no_contain, o.no_overlap))
+        pe_geo=(o.dovetail, o.no_contain, o.no_overlap),
+        VC=o.verify_cands)
     m1p, m2p, pair_top, finp1, finp2, sfin1, sfin2 = map(np.asarray, out)
 
     def unpack(m):

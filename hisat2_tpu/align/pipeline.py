@@ -53,6 +53,7 @@ class AlignerOpts:
     n_seeds: int = 8               # stride seeds per orientation (seed mode)
     locs_per_seg: int = 8          # SA rows expanded per segment
     top_cands: int = 16            # candidates kept after ungapped ranking
+    verify_cands: int = 16         # vote-ranked loci verified per orientation
     dp_pad: int = 16               # ref-window padding each side for DP
     no_dp: bool = False            # disable gapped rescue
     minins: int = 0                # -I
@@ -155,11 +156,12 @@ def _with_revcomp(seqs: jax.Array, quals: jax.Array, lens: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("max_seeds", "locs_per_seg", "top_cands",
-                                   "min_seg_len", "seeder", "ftab_k"))
+                                   "min_seg_len", "seeder", "ftab_k",
+                                   "verify_cands"))
 def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
                       max_seeds: int, locs_per_seg: int, top_cands: int,
                       min_seg_len: int = 3, seeder: str = "segments",
-                      ftab_k: int = 10):
+                      ftab_k: int = 10, verify_cands: int = 0):
     """Stages 1-5: orientations, search, expand, dedup, verify, top-K.
 
     seeder 'seeds' uses fixed stride seeds (ftab jump + ~12 LF steps —
@@ -252,7 +254,7 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
         axis=1, reverse=True)
     votes = nxt - jnp.arange(C, dtype=jnp.int32)[None, :]
     vote_key = jnp.where(first, votes, jnp.int32(-1))
-    verify_cands = min(max(top_cands, 16), C)
+    verify_cands = min(verify_cands or max(top_cands, 16), C)
     vk, vi = lax.top_k(vote_key, verify_cands)
     vcand = jnp.take_along_axis(skey, vi, 1)
     vvalid = vk > 0
@@ -261,9 +263,16 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     res = _extend.verify_ungapped(idx, sctab, seqs2, quals2, lens2,
                                   vcand, vvalid)
     T = top_cands
-    sc_top, ti = lax.top_k(res["score"], T)
+    Tv = min(T, verify_cands)
+    sc_top, ti = lax.top_k(res["score"], Tv)
     pos_top = jnp.take_along_axis(vcand, ti, 1)
     nmm_top = jnp.take_along_axis(res["nmm"], ti, 1)
+    if Tv < T:
+        # pad back to the standard T columns (stable downstream shapes)
+        padc = ((0, 0), (0, T - Tv))
+        pos_top = jnp.pad(pos_top, padc, constant_values=0x7FFFFFFF)
+        sc_top = jnp.pad(sc_top, padc, constant_values=NEG_INF)
+        nmm_top = jnp.pad(nmm_top, padc)
     return dict(pos=pos_top, score=sc_top, nmm=nmm_top, exhausted=exhausted,
                 seqs2=seqs2, quals2=quals2, lens2=lens2)
 
@@ -394,7 +403,7 @@ def _stage_fin_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
 @partial(jax.jit, static_argnames=(
     "B", "max_seeds", "n_seeds", "locs_per_seg", "top_cands", "min_seg_len",
     "ftab_k", "K2", "max_mm", "fb_bucket", "dp_bucket", "dp_pad", "no_dp",
-    "nofw", "norc", "seeder", "fb_seeder", "KF", "sc_const"))
+    "nofw", "norc", "seeder", "fb_seeder", "KF", "sc_const", "VC"))
 def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        minsc_i, minsc_s, gap1,
                        B: int, max_seeds: int, n_seeds: int,
@@ -404,7 +413,7 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                        dp_pad: int, no_dp: bool,
                        nofw: bool = False, norc: bool = False,
                        seeder: str = "seeds", fb_seeder: str = "segments",
-                       KF: int = 1, sc_const=None):
+                       KF: int = 1, sc_const=None, VC: int = 0):
     """The ENTIRE single-end device path in one dispatch: seed candidates,
     segment fallback for failing reads (device-side top-k compaction), DP
     rescue, merge, and primary finalization. One round trip matters: on a
@@ -415,7 +424,7 @@ def _stage_align_fused(idx: dict, sctab: dict, seqs, quals, lens,
                           gap1, B, max_seeds, n_seeds, locs_per_seg,
                           top_cands, min_seg_len, ftab_k, K2, fb_bucket,
                           dp_bucket, dp_pad, no_dp, nofw, norc, seeder,
-                          fb_seeder, sc_const)
+                          fb_seeder, sc_const, verify_cands=VC)
     # finalize the top-KF candidates of every read in one flattened pass
     # (multimapped reads ride the native fast path too, k records each)
     KF2 = max(1, min(KF, K2))
@@ -601,7 +610,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
     "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
     "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const", "SB",
-    "omit_sec", "MB"))
+    "omit_sec", "MB", "VC"))
 def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         quals, qual_const, lens, minsc_i, minsc_s, gap1,
                         B: int, L: int, max_seeds: int, n_seeds: int,
@@ -611,7 +620,7 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         no_dp: bool, nofw: bool, norc: bool,
                         seeder: str, fb_seeder: str, sc_const,
                         khits=None, SB: int = 0, omit_sec: bool = False,
-                        MB: int = 0):
+                        MB: int = 0, VC: int = 0):
     """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
     the core, and compress results to the int16 fastpack. Returns
     (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
@@ -626,7 +635,7 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                           gap1, B, max_seeds, n_seeds, locs_per_seg,
                           top_cands, min_seg_len, ftab_k, K2, fb_bucket,
                           dp_bucket, dp_pad, no_dp, nofw, norc, seeder,
-                          fb_seeder, sc_const)
+                          fb_seeder, sc_const, verify_cands=VC)
     minsc = jnp.ceil(minsc_i + minsc_s
                      * lens.astype(jnp.float32)).astype(jnp.int32)
     fastpack, need, bex = _stage_fastpack(idx, sctab, merged, st, minsc,
@@ -651,13 +660,13 @@ def _gather_merged(merged, rows):
 def _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s, gap1,
              B, max_seeds, n_seeds, locs_per_seg, top_cands, min_seg_len,
              ftab_k, K2, fb_bucket, dp_bucket, dp_pad, no_dp, nofw, norc,
-             seeder, fb_seeder, sc_const):
+             seeder, fb_seeder, sc_const, verify_cands: int = 0):
     """Candidates + sensitive fallback + DP rescue + fw/rc merge for one
     read batch: the shared device core of the SE and PE fused paths.
     Returns (merged (B, K2, 3) packed [score, pos, flags], st dict)."""
     st = _stage_candidates(idx, sctab, seqs, quals, lens, n_seeds,
                            locs_per_seg, top_cands, min_seg_len, seeder,
-                           ftab_k)
+                           ftab_k, verify_cands=verify_cands)
     if nofw:
         st["score"] = st["score"].at[:B].set(NEG_INF)
     if norc:
@@ -926,7 +935,8 @@ class Aligner:
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, self.sc_const,
             khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
-            omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)))
+            omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)),
+            VC=o.verify_cands)
         for d in (fp_dev, *extras.values()):
             try:
                 d.copy_to_host_async()
@@ -981,7 +991,7 @@ class Aligner:
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, max(1, min(o.khits, K2)),
-            self.sc_const)
+            self.sc_const, o.verify_cands)
         packed = np.asarray(merged_d)
         merged = dict(score=packed[:, :, 0].astype(np.int64),
                       pos=packed[:, :, 1],

@@ -267,8 +267,10 @@ def main(argv=None) -> int:
                        omit_sec_seq=args.omit_sec_seq, tmo=args.tmo)
     if args.fast:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 8, 4, 8
+        opts.n_seeds, opts.verify_cands = 6, 8
     elif args.very_sensitive:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 24, 16, 24
+        opts.verify_cands = 24
     al = Aligner(fm, sc, opts)
     # splice sites baked into a transcriptome-aware index (--ss at build)
     ks = getattr(fm, "known_ss", None)

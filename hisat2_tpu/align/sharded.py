@@ -31,6 +31,20 @@ class ShardedAligner:
         self.scoring = scoring
         self.opts = opts or AlignerOpts()
         self.host = Aligner.host_only(sh.ref, scoring, self.opts)
+        if getattr(sh, "snps", None) is not None:
+            # graph mode: the host finalization path needs the GLOBAL SNV
+            # overlay (free alt-allele mismatches, Zs edits) and SNP table
+            from ..io.annotations import SNP_DEL, SNP_INS
+            self.host.overlay = sh.snv_overlay
+            self.host.snps = sh.snps
+            for si in range(len(sh.snps)):
+                t = int(sh.snps.types[si])
+                if t == SNP_DEL:
+                    self.host._del_snps.add((int(sh.snps.jpos[si]),
+                                             int(sh.snps.lens[si])))
+                elif t == SNP_INS:
+                    self.host._ins_snps[int(sh.snps.jpos[si])] = \
+                        sh.snps.ins_seqs[si]
         self._active: Aligner | None = None
         self._active_i = -1
 

@@ -182,7 +182,17 @@ def main(argv=None) -> int:
                 or _os0.path.exists(cand + ".1.ht2")):
             idx_pref = cand
     args.index = idx_pref
-    fm = FMIndex.load(args.index)
+    sharded = None
+    if _os0.path.exists(idx_pref + ".sharded.json"):
+        # genome-sharded index (>2^31-bp references; reference .ht2l role)
+        from ..index.sharded import ShardedIndex
+        sharded = ShardedIndex.load(idx_pref)
+        fm = sharded.shards[0]
+        fm = type("_R", (), {})()      # name/ref carrier for the writer
+        fm.ref = sharded.ref
+        fm.known_ss = None
+    else:
+        fm = FMIndex.load(args.index)
     if args.remove_chrname:
         fm.ref.names = [n[3:] if n.startswith("chr") else n
                         for n in fm.ref.names]
@@ -271,7 +281,19 @@ def main(argv=None) -> int:
     elif args.very_sensitive:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 24, 16, 24
         opts.verify_cands = 24
-    al = Aligner(fm, sc, opts)
+    if sharded is not None:
+        from ..align.sharded import ShardedAligner
+        if (args.m1 or args.m2 or args.tab6 or opts.spliced or args.un
+                or args.al or args.repeat):
+            print("hisat2-tpu: sharded indexes currently support unpaired "
+                  "DNA alignment (-U --no-spliced-alignment) only",
+                  file=sys.stderr)
+            return 2
+        sal = ShardedAligner(sharded, sc, opts)
+        al = sal.host
+    else:
+        sal = None
+        al = Aligner(fm, sc, opts)
     # splice sites baked into a transcriptome-aware index (--ss at build)
     ks = getattr(fm, "known_ss", None)
     if ks is not None and getattr(ks, "size", 0):
@@ -359,7 +381,20 @@ def main(argv=None) -> int:
         from ..align.emit import align_and_emit, align_and_emit_stream
         stream = _reindex(stream, args.skip, args.qupto, args.trim5,
                           args.trim3, args.ignore_quals, args.qc_filter)
-        if args.un or args.al or rep_aligner is not None:
+        if sal is not None:
+            # sharded genome: shards stream through HBM per batch GROUP
+            # (bounded read buffering), global-coordinate merge + emit
+            group: list = []
+            for batch in batch_iter(stream, args.batch_size):
+                group.append(batch)
+                if len(group) >= 32:
+                    merge(sal.align_and_emit(group, writer))
+                    nreads += sum(len(b) for b in group)
+                    group = []
+            if group:
+                merge(sal.align_and_emit(group, writer))
+                nreads += sum(len(b) for b in group)
+        elif args.un or args.al or rep_aligner is not None:
             for batch in batch_iter(stream, args.batch_size):
                 results = al.align_batch(batch)
                 if rep_aligner is not None:

@@ -29,6 +29,9 @@ def main(argv=None) -> int:
                     help="splice-site file (.ss, transcriptome-aware index)")
     ap.add_argument("--exon", default=None,
                     help="exon file (.exon; splice sites derived from exons)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="force the genome-sharded index (automatic for "
+                         "references over 2^31-2^28 joined bases)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,12 +44,30 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"  joined reference: {ref.n} bp in {len(ref.names)} sequence(s)",
               file=sys.stderr)
+    snps = haps = None
     if args.snp:
-        from ..index.graph_index import build_graph_index
         from ..io.annotations import read_snps, read_haplotypes
         snps = read_snps(args.snp, ref)
         haps = (read_haplotypes(args.haplotype, ref, snps)
                 if args.haplotype else None)
+    from ..index.sharded import MAX_SHARD_BASES
+    if args.sharded or ref.n > MAX_SHARD_BASES:
+        # >2^31-bp (or forced) genomes: int32 shards, one fused-pipeline
+        # compile for all shards (reference large-index .ht2l role)
+        from ..index.sharded import build_sharded
+        sh = build_sharded(ref, snps=snps, haplotypes=haps)
+        if args.ss or args.exon:
+            print("warning: --ss/--exon not yet supported on sharded "
+                  "indexes", file=sys.stderr)
+        sh.save(args.prefix)
+        if not args.quiet:
+            print(f"  sharded index ({len(sh)} shard(s)"
+                  f"{', graph' if snps is not None else ''}) written to "
+                  f"{args.prefix}.shard*.npz ({time.time()-t0:.1f}s)",
+                  file=sys.stderr)
+        return 0
+    if args.snp:
+        from ..index.graph_index import build_graph_index
         fm = build_graph_index(ref, snps, ftab_k=args.ftabchars,
                                haplotypes=haps)
     else:

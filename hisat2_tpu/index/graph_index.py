@@ -155,15 +155,12 @@ def _pack4(overlay: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(lanes << shifts, axis=1).astype(np.uint32)
 
 
-def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
-                      flank: int = DEFAULT_FLANK,
-                      haplotypes: list[list[int]] | None = None
-                      ) -> GraphFMIndex:
-    """haplotypes: optional lists of SNP indices to co-apply in one patch
-    (reference .haplotype input — phased variant combinations get their own
-    indexed alt sequence, so a read carrying several nearby variants still
-    seeds through all of them at once)."""
-    text = ref.joined
+def build_patches(text: np.ndarray, snps: SNPDB,
+                  haplotypes: list[list[int]] | None = None,
+                  flank: int = DEFAULT_FLANK):
+    """Patch-fragment construction shared by the FM and table-only graph
+    builders: returns (aug_text, patch arrays, snv overlay). Patch arrays
+    are offsets into aug_text; overlay covers the primary text only."""
     n0 = int(text.size)
     chunks = [text]
     p_start, p_ref, p_vpos, p_shift, p_len = [], [], [], [], []
@@ -237,6 +234,24 @@ def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
         cur += patch.size
 
     aug = np.concatenate(chunks)
+    return (aug,
+            np.asarray(p_start, np.int64), np.asarray(p_ref, np.int64),
+            np.asarray(p_vpos, np.int32), np.asarray(p_shift, np.int32),
+            np.asarray(p_len, np.int32), overlay)
+
+
+def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
+                      flank: int = DEFAULT_FLANK,
+                      haplotypes: list[list[int]] | None = None
+                      ) -> GraphFMIndex:
+    """haplotypes: optional lists of SNP indices to co-apply in one patch
+    (reference .haplotype input — phased variant combinations get their own
+    indexed alt sequence, so a read carrying several nearby variants still
+    seeds through all of them at once)."""
+    text = ref.joined
+    n0 = int(text.size)
+    (aug, p_start, p_ref, p_vpos, p_shift, p_len,
+     overlay) = build_patches(text, snps, haplotypes, flank)
     aug_ref = JoinedReference(
         names=ref.names, tlens=ref.tlens, joined=aug,
         frag_joined=ref.frag_joined, frag_toff=ref.frag_toff,
@@ -255,10 +270,44 @@ def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
         bwt_packed=base.bwt_packed, text_packed=base.text_packed,
         occ=base.occ, ccount=base.ccount, sa=base.sa, ftab=base.ftab,
         snps=snps, primary_n=n0,
-        patch_start=np.asarray(p_start, np.int64),
-        patch_ref=np.asarray(p_ref, np.int64),
-        patch_vpos=np.asarray(p_vpos, np.int32),
-        patch_shift=np.asarray(p_shift, np.int32),
-        patch_len=np.asarray(p_len, np.int32),
+        patch_start=p_start, patch_ref=p_ref, patch_vpos=p_vpos,
+        patch_shift=p_shift, patch_len=p_len,
         snv_overlay=overlay,
         st_starts=base.st_starts, st_pos=base.st_pos, st_k=base.st_k)
+
+
+def build_graph_table_index(ref: JoinedReference, snps: SNPDB,
+                            haplotypes: list[list[int]] | None = None,
+                            kt: int | None = None,
+                            flank: int = DEFAULT_FLANK) -> GraphFMIndex:
+    """Seed-table-only graph index (the Gbp-shard builder): augmented
+    text + patches + SNV overlay WITHOUT the FM components — the fused
+    table-seeded pipeline never touches BWT/SA, and skipping the suffix
+    array keeps GRCh38+SNP shard builds tractable (index/sharded.py)."""
+    from .seed_table import build_seed_table, pick_kt
+
+    text = ref.joined
+    n0 = int(text.size)
+    (aug, p_start, p_ref, p_vpos, p_shift, p_len,
+     overlay) = build_patches(text, snps, haplotypes, flank)
+    packed = alphabet.pack_2bit(aug)
+    pad = (-packed.size) % 8
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint32)])
+    fm = GraphFMIndex(
+        ref=ref, n=int(aug.size), zoff=0, ftab_k=1,
+        bwt_packed=np.zeros(8, np.uint32),
+        text_packed=packed,
+        occ=np.zeros((2, 4), np.int32),
+        ccount=np.asarray([1, 1, 1, 1, aug.size + 1], np.int32),
+        sa=np.zeros(1, np.int32),
+        ftab=np.zeros((4, 2), np.int32),
+        snps=snps, primary_n=n0,
+        patch_start=p_start, patch_ref=p_ref, patch_vpos=p_vpos,
+        patch_shift=p_shift, patch_len=p_len,
+        snv_overlay=overlay)
+    if kt is None:
+        kt = pick_kt(int(aug.size))
+    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(aug, kt=kt)
+    fm.table_only = True
+    return fm

@@ -126,6 +126,20 @@ class FMIndex:
         trows = np.zeros((nr + 1, 16), np.uint32)
         trows.reshape(-1)[:tp.size] = tp
         extra["text_rows"] = jnp.asarray(trows)
+        # 50%-overlapping row view (16 words at 8-word stride): every
+        # window of <= 128 chars sits entirely inside ONE row, so the
+        # verify/finalize fetch is a single gather lane instead of two —
+        # the gather ISSUE RATE (~65M rows/s), not bandwidth, bounds the
+        # hot path (scripts/sol_bench.py). Costs one extra text copy
+        # (0.25 B/base) in HBM.
+        flat = np.zeros((nr + 1) * 16, np.uint32)
+        flat[:tp.size] = tp
+        nro = max(1, -(-tp.size // 8))
+        ov = np.zeros((nro + 1, 16), np.uint32)
+        for j in range(2):
+            seg = flat[8 * j: 8 * (nro + j)].reshape(nro, 8)
+            ov[:nro, 8 * j: 8 * (j + 1)] = seg
+        extra["text_rows_ov"] = jnp.asarray(ov)
         return dict(
             **extra,
             sides=jnp.asarray(sides),

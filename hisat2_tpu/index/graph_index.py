@@ -70,6 +70,16 @@ class GraphFMIndex(FMIndex):
         srows = np.zeros((nrn + 1, 32), np.uint32)
         srows.reshape(-1)[:packed.size] = packed
         d["snv_rows"] = jnp.asarray(srows)
+        # 50%-overlapping row view (32 words at 16-word stride): overlay
+        # windows <= 113 chars need ONE gather lane (see text_rows_ov)
+        flat = np.zeros((nrn + 1) * 32, np.uint32)
+        flat[:packed.size] = packed
+        nro = max(1, -(-packed.size // 16))
+        sov = np.zeros((nro + 1, 32), np.uint32)
+        for j in range(2):
+            seg = flat[16 * j: 16 * (nro + j)].reshape(nro, 16)
+            sov[:nro, 16 * j: 16 * (j + 1)] = seg
+        d["snv_rows_ov"] = jnp.asarray(sov)
         d.update(
             primary_n=jnp.int32(self.primary_n),
             patch_start=jnp.asarray(self.patch_start.astype(np.int32)),

@@ -163,7 +163,12 @@ def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     cs = jnp.clip(start, 0, None)
     base = cs >> 3
     sh = (4 * (cs & 7)).astype(jnp.uint32)
-    if "snv_rows" in idx and length <= 256:
+    if "snv_rows_ov" in idx and length <= 113:
+        rows = idx["snv_rows_ov"]
+        r = jnp.clip(cs >> 7, 0, rows.shape[0] - 1)
+        w32 = rows[r]                                       # (..., 32)
+        words = _shift_words(w32, base & 15, nw + 1)
+    elif "snv_rows" in idx and length <= 256:
         w64 = gather_rows2(idx["snv_rows"], cs >> 8)        # (..., 64)
         words = _shift_words(w64, base & 31, nw + 1)
     else:
@@ -204,7 +209,14 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     cs = jnp.clip(start, 0, None)
     base = cs >> 4                                          # first word
     sh = (2 * (cs & 15)).astype(jnp.uint32)                 # bit offset
-    if "text_rows" in idx and length <= 256:
+    if "text_rows_ov" in idx and length <= 128:
+        # 50%-overlapping rows: whole window inside ONE row -> a single
+        # gather lane (the hot-path op is gather-issue-rate-bound)
+        rows = idx["text_rows_ov"]
+        r = jnp.clip(cs >> 7, 0, rows.shape[0] - 1)
+        w16 = rows[r]                                       # (..., 16)
+        words = _shift_words(w16, base & 7, nw + 1)
+    elif "text_rows" in idx and length <= 256:
         w32 = gather_rows2(idx["text_rows"], cs >> 8)       # (..., 32)
         words = _shift_words(w32, base & 15, nw + 1)
     else:

@@ -62,7 +62,7 @@ def submit_se(al: Aligner, batch: ReadBatch):
     result copy). Pair with finish_se; overlap several submits to hide
     the tunnel's per-sync latency (align_and_emit_stream)."""
     lib = _samfmt()
-    if (lib is None or not al.opts.seed_mode or al.opts.spliced
+    if (lib is None or not al.opts.seed_mode
             or (al.opts.zs_tags and al.overlay is not None)):
         return ("legacy", batch)
     fp_dev, merged_dev, extras = al.device_align_fast(batch)
@@ -94,6 +94,10 @@ def align_and_emit_stream(al: Aligner, batches, writer,
     while the main thread keeps packing/dispatching — the host-side
     critical path drops to the submit loop. depth = max in-flight
     batches (device queue + worker slack)."""
+    if al.opts.spliced:
+        # splice rescue mutates the novel-junction DB; finishes must run
+        # serially so later batches see earlier discoveries in order
+        workers = 0
     return _stream(al, ((b,) for b in batches), writer, submit_se,
                    finish_se, on_batch, depth, workers)
 
@@ -286,6 +290,26 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
             okf &= tier_has[k_tier[k][0]]
         fast &= (nrep <= k) | okf
     fast |= unal
+    rna = o.spliced
+    if rna:
+        # splice-rescue trigger (host source of truth; the device ships
+        # grids for its own prediction of this set): imperfect beyond the
+        # min-anchor clip margin, or a known junction inside the primary
+        # span. Unfiltered unaligned reads may hide junction-only
+        # placements in their sub-threshold grids — they stay slow too.
+        perfect = (sc.match_bonus * lens).astype(np.int64)
+        margin = al._spl_margin(batch)
+        p0 = reps[0]["pos"]
+        trig = aligned & (best < perfect - margin)
+        if len(al.ssdb):
+            kl, _kr = al.ssdb.lefts_rights()
+            kr_sorted, _klr = al.ssdb.rights_sorted()
+            trig |= aligned & (
+                (np.searchsorted(kl, p0 + lens - 1)
+                 > np.searchsorted(kl, p0 + 1))
+                | (np.searchsorted(kr_sorted, p0 + lens - 1)
+                   > np.searchsorted(kr_sorted, p0 + 1)))
+        fast &= ~(trig | (unal & ~filtered))
     if force_slow is not None:
         fast &= ~force_slow
 
@@ -297,7 +321,12 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     # missed fall back to a gather, dispatched BEFORE formatting fast
     # reads so its dispatch+transfer latency hides under the host work
     slow = np.flatnonzero(~fast)
-    grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
+    if rna:
+        # junction reads often have NO contiguous candidate above min
+        # score — their sub-threshold grids still seed the diagonal pairs
+        grows = slow[~filtered[slow]]
+    else:
+        grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
     srows_h = smg_h = None
     if merged_full is None:
         if ex is not None and "srows" in ex:
@@ -408,6 +437,65 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 if mg.size:
                     fill(grows, mg)
             merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
+        if rna:
+            # spliced finish: junction rescue over the slow rows' grids,
+            # then the shared contiguous/spliced per-read selection —
+            # the packed-path equivalent of align_batch's RNA flow
+            allowed = np.zeros(B, bool)
+            allowed[slow] = True
+            allowed &= ~filtered
+            n_ss0 = len(al.ssdb)
+            al._splice_rescue(batch, merged, rows=allowed)
+            demoted = np.zeros(0, np.int64)
+            if len(al.ssdb) != n_ss0:
+                # newly published junctions unlock short-anchor reads
+                # (reference cross-thread splice-site sharing, P5). Fast
+                # reads whose span now contains a known junction are
+                # DEMOTED to the per-read path (their native records get
+                # skipped in the stitch below) — matching the legacy
+                # second pass exactly.
+                frows_f = np.flatnonzero(fast & aligned)
+                if frows_f.size:
+                    kl, _kr2 = al.ssdb.lefts_rights()
+                    kr_sorted, _klr2 = al.ssdb.rights_sorted()
+                    p0f = reps[0]["pos"][frows_f]
+                    s_l = p0f + 1
+                    s_r = p0f + lens[frows_f] - 1
+                    hit = ((np.searchsorted(kl, s_r)
+                            > np.searchsorted(kl, s_l))
+                           | (np.searchsorted(kr_sorted, s_r)
+                              > np.searchsorted(kr_sorted, s_l)))
+                    demoted = frows_f[hit]
+                if demoted.size and merged_dev is not None:
+                    mg2 = al.gather_merged_async(merged_dev, demoted)()
+                    merged["score"][demoted] = mg2[:, :, 0]
+                    merged["pos"][demoted] = mg2[:, :, 1]
+                    merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
+                    merged["gapped"][demoted] = (mg2[:, :, 2] & 2) > 0
+                    allowed[demoted] = True
+                    # reverse their fast-path stat contribution
+                    stats["uniq"] -= int((nvalid[demoted] == 1).sum())
+                    stats["multi"] -= int((nvalid[demoted] >= 2).sum())
+                elif demoted.size:
+                    demoted = np.zeros(0, np.int64)
+                al._splice_rescue(batch, merged, rows=allowed)
+            res_map = al._finalize_results(
+                batch, merged, only_rows=np.flatnonzero(allowed))
+            for i in np.concatenate([slow, demoted]):
+                i = int(i)
+                res = res_map.get(i)
+                if res is None:
+                    res = ReadResult(filtered="NS" if lens[i] else "LN")
+                lines = _format_slow(al, batch, i, res, sc)
+                if not res.aligned:
+                    stats["unal"] += 1
+                elif len(res.alns) > 1 or (res.secbest is not None
+                                           and res.secbest >= min_scs[i]):
+                    stats["multi"] += 1
+                else:
+                    stats["uniq"] += 1
+                slow_out[i] = lines
+            slow = np.zeros(0, np.int64)      # handled
         plans: dict[int, list] = {}
         ug_items: list[tuple[int, int, bool]] = []
         for i in slow:
@@ -478,6 +566,10 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 prev_end = end
         for ln in slow_out[i]:
             w(ln)
+        if text and read_end[i] > 0:
+            # demoted read (RNA second pass): its already-formatted native
+            # record is replaced by the slow lines — skip its bytes
+            prev_end = max(prev_end, int(read_end[i]))
     if text and prev_end < len(text):
         w(text[prev_end:])
     return stats

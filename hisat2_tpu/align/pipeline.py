@@ -610,7 +610,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
     "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
     "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const", "SB",
-    "omit_sec", "MB", "VC"))
+    "omit_sec", "MB", "VC", "spliced"))
 def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         quals, qual_const, lens, minsc_i, minsc_s, gap1,
                         B: int, L: int, max_seeds: int, n_seeds: int,
@@ -620,7 +620,8 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         no_dp: bool, nofw: bool, norc: bool,
                         seeder: str, fb_seeder: str, sc_const,
                         khits=None, SB: int = 0, omit_sec: bool = False,
-                        MB: int = 0, VC: int = 0):
+                        MB: int = 0, VC: int = 0, spliced: bool = False,
+                        spl_margin=None):
     """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
     the core, and compress results to the int16 fastpack. Returns
     (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
@@ -640,6 +641,15 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                      * lens.astype(jnp.float32)).astype(jnp.int32)
     fastpack, need, bex = _stage_fastpack(idx, sctab, merged, st, minsc,
                                           B, K2, KF, khits, omit_sec, MB)
+    if spliced:
+        # RNA mode: reads whose contiguous score can hide a junction
+        # (best < perfect - min-anchor clip cost) fall off the fast path —
+        # ship their merged grids so the host splice rescue needs no
+        # follow-up gather. The HOST trigger (emit) is the source of
+        # truth; this only pre-ships grids.
+        perfect = (sctab["match_bonus"]
+                   * lens.astype(jnp.int32)).astype(jnp.int32)
+        need = need | (merged[:, 0, 0] < perfect - spl_margin)
     if SB == 0 and not bex:
         return fastpack, merged
     extras = dict(bex)
@@ -934,9 +944,11 @@ class Aligner:
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, self.sc_const,
-            khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
+            khits=jnp.int32(o.khits), SB=min(B, max(64, B // (4 if o.spliced
+                                                               else 16))),
             omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)),
-            VC=o.verify_cands)
+            VC=o.verify_cands, spliced=o.spliced,
+            spl_margin=jnp.int32(self._spl_margin(batch)))
         for d in (fp_dev, *extras.values()):
             try:
                 d.copy_to_host_async()
@@ -944,6 +956,20 @@ class Aligner:
                 pass
         self.metrics.t_pack += _t.perf_counter() - t0
         return fp_dev, merged_dev, extras
+
+    def _spl_margin(self, batch: ReadBatch) -> int:
+        """Splice-rescue trigger margin: a read crossing a junction with
+        the canonical minimum far anchor (7bp, tp.h) scores at most
+        perfect - 7 * min-clip-penalty contiguously, so reads above that
+        need no junction search (mismatch-only imperfection). Uses the
+        batch's lowest base quality for the clip-penalty floor."""
+        from ..ops.splice import MIN_ANCHOR_CANON
+        qmin = int(batch.quals.min()) if batch.quals.size else 0
+        pen = int(self.scoring.sc_pens()[max(0, min(qmin, 63))])
+        # mismatching (not clipping) the anchor could be cheaper only if
+        # mm_pen < clip_pen — take the floor of both
+        mmp = int(self.scoring.mm_pens()[max(0, min(qmin, 63))])
+        return MIN_ANCHOR_CANON * min(pen, mmp)
 
     def gather_merged_rows(self, merged_dev, rows: np.ndarray):
         """Fetch merged candidate rows for slow reads (padded to a power
@@ -1062,11 +1088,14 @@ class Aligner:
 
     # ---- spliced rescue (RNA mode) ----
 
-    def _splice_rescue(self, batch: ReadBatch, merged) -> None:
+    def _splice_rescue(self, batch: ReadBatch, merged, rows=None) -> None:
         """Junction search for reads whose contiguous alignment is poor:
         enumerate same-orientation diagonal pairs from the candidate lists,
         score the best junction per pair on device (ops/splice.py), and
-        attach winning spliced candidates to `merged['splice']`."""
+        attach winning spliced candidates to `merged['splice']`.
+
+        rows: optional (B,) bool mask restricting which reads may trigger
+        (the packed RNA path only fetches slow rows' candidate grids)."""
         from ..ops import splice as _splice
         o = self.opts
         lens = batch.lens.astype(np.int64)
@@ -1090,67 +1119,23 @@ class Aligner:
             has_right = (np.searchsorted(kr_sorted, span_r)
                          > np.searchsorted(kr_sorted, span_l))
             trig_mask |= has_left | has_right
+        if rows is not None:
+            trig_mask &= rows
         trigger = np.flatnonzero(trig_mask)
         if trigger.size == 0:
             return
         sc, pos = merged["score"], merged["pos"]
         fw = merged["fw"]
-        lanes = []        # (read_i, posA, posB, fw)
-        for i in trigger:
-            cands = []
-            seen = set()
-            for t in range(sc.shape[1]):
-                if sc[i, t] <= NEG_INF // 2:
-                    continue
-                key = (int(pos[i, t]), bool(fw[i, t]))
-                if key in seen:
-                    continue
-                seen.add(key)
-                cands.append(key)
-            # known-site-driven pairs first: a single anchored diagonal
-            # plus a known junction inside the read span implies the other
-            # diagonal even when the far anchor is too short to seed
-            pairs = []
-            kl, kr = self.ssdb.lefts_rights()
-            if kl.size:
-                rl = int(lens[i])
-                kr_sorted, kl_by_r = self.ssdb.rights_sorted()
-                for pa, fa in cands:
-                    lo = np.searchsorted(kl, pa)
-                    hi = np.searchsorted(kl, pa + rl - 1)
-                    for si in range(lo, min(hi, lo + 4)):
-                        pb = int(kr[si]) - (int(kl[si]) - pa + 1)
-                        if pb > pa:
-                            pairs.append((pa, pb, fa))
-                    # downstream anchor: sites whose right lands in span
-                    lo2 = np.searchsorted(kr_sorted, pa)
-                    hi2 = np.searchsorted(kr_sorted, pa + rl)
-                    for si in range(lo2, min(hi2, lo2 + 4)):
-                        intron = int(kr_sorted[si]) - int(kl_by_r[si]) - 1
-                        pA2 = pa - intron
-                        if pA2 < pa:
-                            pairs.append((pA2, pa, fa))
-            for pa, fa in cands:
-                for pb, fb in cands:
-                    if fa != fb:
-                        continue
-                    d = pb - pa
-                    if o.min_intron <= d <= o.max_intron:
-                        pairs.append((pa, pb, fa))
-            seenp = set()
-            for pa, pb, fa in pairs:
-                if (pa, pb, fa) in seenp:
-                    continue
-                seenp.add((pa, pb, fa))
-                if len(seenp) > o.pairs_per_read:
-                    break
-                lanes.append((int(i), pa, pb, fa))
+        lanes = self._junction_lanes(trigger, sc, pos, fw, lens)
         if not lanes:
             return
         P = len(lanes)
         self.metrics.splice_lanes += P
-        # pad lane count to a power of two: bounded set of compiled shapes
-        bucket = 32
+        # pad lane count: x2 growth from 1024 bounds both the compiled
+        # shape count (~6; each tunnel compile costs ~30s, but the
+        # persistent cache holds them) and the padding waste (the padded
+        # kernel+transfer cost is the RNA path's floor)
+        bucket = 1024
         while bucket < P:
             bucket *= 2
         lanes_p = lanes + [lanes[0]] * (bucket - P)
@@ -1172,71 +1157,71 @@ class Aligner:
         q = np.where(lfw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
 
         kleft, kright = self.ssdb.device_arrays()
-        res = _splice.junction_score(
+        res = np.asarray(_splice.junction_score_packed(
             self.idx, self.sctab, jnp.asarray(rd), jnp.asarray(q),
             jnp.asarray(rls.astype(np.int32)), jnp.asarray(posA),
-            jnp.asarray(posB), kleft, kright)
-        jsc = np.asarray(res["score"])[:P]
-        jj = np.asarray(res["j"])[:P]
-        jstr = np.asarray(res["strand"])[:P]
-        jcan = np.asarray(res["canon"])[:P]
-        jps = np.asarray(res["probscore"])[:P]
-        jmmL = np.asarray(res["mmL"])[:P]
-        jmmR = np.asarray(res["mmR"])[:P]
+            jnp.asarray(posB), kleft, kright))[:P]
+        jsc = res[:, 0]
+        jj = res[:, 1]
+        jstr = res[:, 2]
+        jcan = res[:, 3]
+        jps = res[:, 4].view(np.float32)
+        jmmL = res[:, 5]
+        jmmR = res[:, 6]
 
         from . import splice_model as _sm
         spl: dict[int, list] = merged.setdefault("splice", {})
         partial: dict[int, list] = merged.setdefault("splice_partial", {})
-        for k, (i, pa, pb, fa) in enumerate(lanes):
-            min_sc = int(np.ceil(self.scoring.score_min.I
-                                 + self.scoring.score_min.S * lens[i]))
-            if jstr[k] == 0:
-                continue
-            if jsc[k] < min_sc:
-                # below threshold as a single junction, but a canonical or
-                # known junction can still anchor a 2+-intron chain (the
-                # residual segment may hide another junction)
-                if jcan[k] != 0 and jsc[k] > NEG_INF // 2:
-                    cp = dict(score=int(jsc[k]), posA=pa, posB=pb,
-                              fw=bool(fa), j=int(jj[k]), delta=pb - pa,
-                              strand="+" if jstr[k] == 1 else "-",
-                              canon=int(jcan[k]), probscore=float(jps[k]))
-                    cur = partial.setdefault(i, [])
-                    if len(cur) < 4:
-                        cur.append(cp)
-                continue
-            if jcan[k] != 1:
-                # novel junction acceptance (reference hi_aligner.h:
-                # 3753-3786): mismatch-discounted shorter anchor bounds
-                # the intron length; canonical junctions additionally
-                # need the splice-signal probscore over the
-                # length-dependent threshold
-                delta_k = pb - pa
-                aL = int(jj[k]) - 2 * int(jmmL[k])
-                aR = int(lens[i]) - int(jj[k]) - 2 * int(jmmR[k])
-                shorter = max(min(aL, aR), 1)
-                # the gates apply only while the anchor-derived ceiling is
-                # tighter than --max-intronlen (hi_aligner.h:3770)
-                if jcan[k] == 2:
-                    limit = int(_sm.max_intron_len(shorter))
-                    if limit < o.max_intron:
-                        if delta_k > limit:
-                            continue
-                        if jps[k] < float(_sm.probscore_thresh(delta_k)):
-                            continue
-                else:
-                    limit = int(_sm.max_intron_len_noncan(shorter))
-                    if limit < o.max_intron and delta_k > limit:
-                        continue
-            if o.dta and jcan[k] == 2:
-                # assembler mode: novel canonical junctions need long
-                # anchors on both sides (reference --dta)
-                anchor = min(int(jj[k]), int(lens[i]) - int(jj[k]))
-                if anchor < 14:
-                    continue
-            c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=bool(fa),
+        # vectorized acceptance gates (reference hi_aligner.h:3753-3786) —
+        # only accepted/partial lanes reach the per-lane Python below
+        ri = np.fromiter((l[0] for l in lanes), np.int64, P)
+        pa_v = np.fromiter((l[1] for l in lanes), np.int64, P)
+        pb_v = np.fromiter((l[2] for l in lanes), np.int64, P)
+        min_sc_v = np.ceil(self.scoring.score_min.I
+                           + self.scoring.score_min.S * lens[ri]
+                           ).astype(np.int64)
+        alive = jstr != 0
+        below = jsc < min_sc_v
+        partial_v = alive & below & (jcan != 0) & (jsc > NEG_INF // 2)
+        delta_v = pb_v - pa_v
+        aL = jj - 2 * jmmL
+        aR = lens[ri] - jj - 2 * jmmR
+        shorter = np.maximum(np.minimum(aL, aR), 1)
+        # the gates apply only while the anchor-derived ceiling is
+        # tighter than --max-intronlen (hi_aligner.h:3770)
+        lim_c = _sm.max_intron_len(shorter)
+        lim_n = _sm.max_intron_len_noncan(shorter)
+        ok_gate = np.ones(P, bool)
+        is_can = jcan == 2
+        gate_c = (lim_c < o.max_intron)
+        ok_gate &= ~(is_can & gate_c & (delta_v > lim_c))
+        ok_gate &= ~(is_can & gate_c
+                     & (jps < _sm.probscore_thresh(delta_v)))
+        is_non = jcan == 0
+        ok_gate &= ~(is_non & (lim_n < o.max_intron) & (delta_v > lim_n))
+        if o.dta:
+            # assembler mode: novel canonical junctions need long anchors
+            anchor = np.minimum(jj, lens[ri] - jj)
+            ok_gate &= ~(is_can & (anchor < 14))
+        accept_v = alive & ~below & ok_gate
+        strands = np.where(jstr == 1, "+", "-")
+        for k in np.flatnonzero(partial_v):
+            k = int(k)
+            i = int(ri[k])
+            cur = partial.setdefault(i, [])
+            if len(cur) < 4:
+                cur.append(dict(
+                    score=int(jsc[k]), posA=int(pa_v[k]), posB=int(pb_v[k]),
+                    fw=bool(lanes[k][3]), j=int(jj[k]), delta=int(delta_v[k]),
+                    strand=str(strands[k]), canon=int(jcan[k]),
+                    probscore=float(jps[k])))
+        for k in np.flatnonzero(accept_v):
+            k = int(k)
+            i = int(ri[k])
+            pa, pb, fa = int(pa_v[k]), int(pb_v[k]), bool(lanes[k][3])
+            c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=fa,
                      j=int(jj[k]), delta=pb - pa,
-                     strand="+" if jstr[k] == 1 else "-", canon=int(jcan[k]),
+                     strand=str(strands[k]), canon=int(jcan[k]),
                      probscore=float(jps[k]))
             cur = spl.setdefault(i, [])
             if any(x["posA"] == pa and x["posB"] == pb and x["fw"] == fa
@@ -1245,13 +1230,106 @@ class Aligner:
             cur.append(c)
             # publish confidently-discovered canonical junctions so later
             # reads (and the second pass) can use them as known sites
-            if (not self.opts.no_temp_splicesite and c["canon"] == 2
-                    and c["score"] >= min_sc):
+            if not self.opts.no_temp_splicesite and c["canon"] == 2:
                 self.ssdb.add_novel(pa + c["j"] - 1, pb + c["j"], c["strand"])
         for i in list(spl):
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
         self._splice_second_pass(batch, merged, spl, lens, perfect)
+
+    def _junction_lanes(self, trigger, sc, pos, fw, lens):
+        """Vectorized diagonal-pair enumeration for the junction kernel:
+        per triggered read, known-site-implied pairs (in candidate order,
+        left sites then right sites) followed by same-orientation
+        candidate-pair diagonals, deduped, capped at pairs_per_read —
+        the NumPy equivalent of the former per-read loop (identical lane
+        sets and order)."""
+        o = self.opts
+        K2 = sc.shape[1]
+        T = trigger.astype(np.int64)
+        scs = sc[T]                                  # (N, K2)
+        poss = pos[T].astype(np.int64)
+        fws = fw[T]
+        live = scs > NEG_INF // 2
+        # first-occurrence dedup of (pos, fw) per row, in t order
+        samep = (poss[:, :, None] == poss[:, None, :]) \
+            & (fws[:, :, None] == fws[:, None, :])
+        earlier = np.tril(np.ones((K2, K2), bool), -1)
+        first = ~(samep & earlier[None]).any(axis=2)
+        live &= first
+
+        rowl, pal, pbl, fal, rankl = [], [], [], [], []
+        kl, kr = self.ssdb.lefts_rights()
+        if kl.size:
+            kr_sorted, kl_by_r = self.ssdb.rights_sorted()
+            rlen = lens[T]
+            lo = np.searchsorted(kl, poss)                    # (N, K2)
+            hi = np.searchsorted(kl, poss + rlen[:, None] - 1)
+            lo2 = np.searchsorted(kr_sorted, poss)
+            hi2 = np.searchsorted(kr_sorted, poss + rlen[:, None])
+            for s in range(4):
+                # upstream anchor: known left site inside [pa, pa+rl-1)
+                ok = live & (lo + s < hi)
+                si = np.minimum(lo + s, kl.size - 1)
+                pb = kr[si] - (kl[si] - poss + 1)
+                ok &= pb > poss
+                r, c = np.nonzero(ok)
+                rowl.append(r)
+                pal.append(poss[r, c])
+                pbl.append(pb[r, c])
+                fal.append(fws[r, c])
+                rankl.append(c * 8 + s)
+                # downstream anchor: known right site inside [pa, pa+rl)
+                ok = live & (lo2 + s < hi2)
+                si = np.minimum(lo2 + s, kr_sorted.size - 1)
+                intron = kr_sorted[si] - kl_by_r[si] - 1
+                pa2 = poss - intron
+                ok &= pa2 < poss
+                r, c = np.nonzero(ok)
+                rowl.append(r)
+                pal.append(pa2[r, c])
+                pbl.append(poss[r, c])
+                fal.append(fws[r, c])
+                rankl.append(c * 8 + 4 + s)
+        # candidate-pair diagonals (same orientation, intron-range delta)
+        d = poss[:, None, :] - poss[:, :, None]               # pb - pa
+        okcc = (live[:, :, None] & live[:, None, :]
+                & (fws[:, :, None] == fws[:, None, :])
+                & (d >= o.min_intron) & (d <= o.max_intron))
+        r, ci, cj = np.nonzero(okcc)
+        rowl.append(r)
+        pal.append(poss[r, ci])
+        pbl.append(poss[r, cj])
+        fal.append(fws[r, ci])
+        rankl.append(8 * K2 + ci * K2 + cj)
+        row = np.concatenate(rowl) if rowl else np.zeros(0, np.int64)
+        if row.size == 0:
+            return []
+        pa = np.concatenate(pal)
+        pb = np.concatenate(pbl)
+        fa = np.concatenate(fal)
+        rank = np.concatenate(rankl)
+        # dedup (row, pa, pb, fa) keeping the lowest rank, then order by
+        # rank and cap at pairs_per_read per row (legacy break semantics:
+        # the cap counts DISTINCT pairs seen in rank order)
+        ordd = np.lexsort((rank, fa, pb, pa, row))
+        row, pa, pb, fa, rank = (x[ordd] for x in (row, pa, pb, fa, rank))
+        keep = np.ones(row.size, bool)
+        keep[1:] = ((row[1:] != row[:-1]) | (pa[1:] != pa[:-1])
+                    | (pb[1:] != pb[:-1]) | (fa[1:] != fa[:-1]))
+        row, pa, pb, fa, rank = (x[keep] for x in (row, pa, pb, fa, rank))
+        ordr = np.lexsort((rank, row))
+        row, pa, pb, fa = (x[ordr] for x in (row, pa, pb, fa))
+        newrow = np.ones(row.size, bool)
+        newrow[1:] = row[1:] != row[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(newrow, np.arange(row.size), 0))
+        nth = np.arange(row.size) - grp_start
+        capped = nth < o.pairs_per_read
+        row, pa, pb, fa = (x[capped] for x in (row, pa, pb, fa))
+        ri = T[row]
+        return list(zip(ri.tolist(), pa.tolist(), pb.tolist(),
+                        (fa.astype(bool)).tolist()))
 
     def _splice_second_pass(self, batch, merged, spl, lens, perfect):
         """Chain a further intron on either side of each read's best
@@ -1295,11 +1373,20 @@ class Aligner:
                         lanes2.append((i, c, "R", pd))
         if not lanes2:
             return
-        lanes2 = lanes2[:4 * o.pairs_per_read]
+        # cap per READ (a global cap would starve multi-intron reads in
+        # large batches — r2 bug, capped whole 16K batches at 32 lanes)
+        cap2 = 4 * o.pairs_per_read
+        ncnt: dict[int, int] = {}
+        capped2 = []
+        for ln in lanes2:
+            if ncnt.get(ln[0], 0) < cap2:
+                capped2.append(ln)
+                ncnt[ln[0]] = ncnt.get(ln[0], 0) + 1
+        lanes2 = capped2
         P = len(lanes2)
-        bucket = 32
+        bucket = 64
         while bucket < P:
-            bucket *= 2
+            bucket *= 4
         lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
         rd2 = np.full((bucket, L), 4, np.int64)
         q2 = np.zeros((bucket, L), np.int64)
@@ -1325,15 +1412,15 @@ class Aligner:
             rd2[k, :sub.size] = sub
             q2[k, :qs.size] = qs
         kleft, kright = self.ssdb.device_arrays()
-        res2 = _splice.junction_score(
+        res2 = np.asarray(_splice.junction_score_packed(
             self.idx, self.sctab, jnp.asarray(rd2), jnp.asarray(q2),
             jnp.asarray(rls2), jnp.asarray(pA2), jnp.asarray(pB2),
-            kleft, kright)
-        j2 = np.asarray(res2["j"])[:P]
-        st2 = np.asarray(res2["strand"])[:P]
-        cn2 = np.asarray(res2["canon"])[:P]
-        ps2 = np.asarray(res2["probscore"])[:P]
-        sc2 = np.asarray(res2["score"])[:P]
+            kleft, kright))[:P]
+        j2 = res2[:, 1]
+        st2 = res2[:, 2]
+        cn2 = res2[:, 3]
+        ps2 = res2[:, 4].view(np.float32)
+        sc2 = res2[:, 0]
         for k, (i, c, side, pd) in enumerate(lanes2):
             if st2[k] == 0 or sc2[k] <= NEG_INF // 2:
                 continue
@@ -1540,10 +1627,13 @@ class Aligner:
         _dedup_alns(res, self.opts.khits)
         return res
 
-    def _finalize_results(self, batch: ReadBatch, merged) -> list[ReadResult]:
+    def _finalize_results(self, batch: ReadBatch, merged, only_rows=None):
         """Vectorized host finalization: primary-winner clips/MD/coords are
         computed batch-wide with NumPy; only gapped winners, secondaries,
-        and fragment-boundary rejects drop to per-read slow paths."""
+        and fragment-boundary rejects drop to per-read slow paths.
+
+        only_rows: optional sorted row indices — finalize just those reads
+        and return {row: ReadResult} (the packed RNA path's slow rows)."""
         B = len(batch)
         L = batch.seqs.shape[1]
         lens = batch.lens.astype(np.int64)
@@ -1562,48 +1652,64 @@ class Aligner:
 
         # ---- batched primary ungapped finalization ----
         prim_un = aligned & ~mgap[:, 0]
+        if only_rows is not None:
+            sel = np.zeros(B, bool)
+            sel[only_rows] = True
+            prim_un &= sel
         rows = np.flatnonzero(prim_un)
         fin: dict[int, Alignment] = {}
         if rows.size:
             fin = self._finalize_ungapped_rows(
                 batch, rows, mpos[rows, 0], mfw[rows, 0], lens[rows])
         spl = merged.get("splice", {})
+        if only_rows is not None:
+            out: dict[int, ReadResult] = {}
+            for i in only_rows:
+                i = int(i)
+                out[i] = self._finalize_one(
+                    batch, merged, i, filtered, aligned, has_sec, nvalid,
+                    lens, min_scs, msc, mpos, mfw, mgap, fin, spl)
+            return out
         results: list[ReadResult] = []
         for i in range(B):
-            if filtered[i]:
-                results.append(ReadResult(filtered="NS" if lens[i] else "LN"))
-                continue
-            if i in spl and (not aligned[i]
-                             or spl[i][0]["score"] > msc[i, 0]
-                             or (spl[i][0]["score"] == msc[i, 0]
-                                 and spl[i][0]["canon"] == 1)):
-                results.append(self._select_with_splice(
-                    i, batch, merged, spl[i], int(min_scs[i]), int(lens[i])))
-                continue
-            if not aligned[i]:
-                results.append(ReadResult())
-                continue
-            res = ReadResult(best=int(msc[i, 0]),
-                             secbest=int(msc[i, 1]) if has_sec[i] else None)
-            a0 = fin.get(i) if not mgap[i, 0] else self._finalize(
-                i, batch, int(msc[i, 0]), int(mpos[i, 0]), bool(mfw[i, 0]),
-                True, int(lens[i]))
-            if a0 is None:  # fragment-boundary reject: try remaining cands
-                cands = self._ranked_candidates(merged, i, int(min_scs[i]))
-                results.append(self._select(i, batch, cands,
-                                            int(min_scs[i]), int(lens[i])))
-                continue
-            res.alns.append(a0)
-            if nvalid[i] > 1 and self.opts.khits > 1:
-                for t in range(1, min(int(nvalid[i]), self.opts.khits + 1)):
-                    a = self._finalize(i, batch, int(msc[i, t]),
-                                       int(mpos[i, t]), bool(mfw[i, t]),
-                                       bool(mgap[i, t]), int(lens[i]))
-                    if a is not None:
-                        res.alns.append(a)
-            _dedup_alns(res, self.opts.khits)
-            results.append(res)
+            results.append(self._finalize_one(
+                batch, merged, i, filtered, aligned, has_sec, nvalid,
+                lens, min_scs, msc, mpos, mfw, mgap, fin, spl))
         return results
+
+    def _finalize_one(self, batch, merged, i, filtered, aligned, has_sec,
+                      nvalid, lens, min_scs, msc, mpos, mfw, mgap, fin,
+                      spl) -> ReadResult:
+        """One read's host finalization (contiguous or spliced winner)."""
+        if filtered[i]:
+            return ReadResult(filtered="NS" if lens[i] else "LN")
+        if i in spl and (not aligned[i]
+                         or spl[i][0]["score"] > msc[i, 0]
+                         or (spl[i][0]["score"] == msc[i, 0]
+                             and spl[i][0]["canon"] == 1)):
+            return self._select_with_splice(
+                i, batch, merged, spl[i], int(min_scs[i]), int(lens[i]))
+        if not aligned[i]:
+            return ReadResult()
+        res = ReadResult(best=int(msc[i, 0]),
+                         secbest=int(msc[i, 1]) if has_sec[i] else None)
+        a0 = fin.get(i) if not mgap[i, 0] else self._finalize(
+            i, batch, int(msc[i, 0]), int(mpos[i, 0]), bool(mfw[i, 0]),
+            True, int(lens[i]))
+        if a0 is None:  # fragment-boundary reject: try remaining cands
+            cands = self._ranked_candidates(merged, i, int(min_scs[i]))
+            return self._select(i, batch, cands,
+                                int(min_scs[i]), int(lens[i]))
+        res.alns.append(a0)
+        if nvalid[i] > 1 and self.opts.khits > 1:
+            for t in range(1, min(int(nvalid[i]), self.opts.khits + 1)):
+                a = self._finalize(i, batch, int(msc[i, t]),
+                                   int(mpos[i, t]), bool(mfw[i, t]),
+                                   bool(mgap[i, t]), int(lens[i]))
+                if a is not None:
+                    res.alns.append(a)
+        _dedup_alns(res, self.opts.khits)
+        return res
 
     def _ungapped_arrays(self, batch, rows, pos, fw, rdlens) -> dict:
         """Vectorized clips + mismatch extraction + coordinate mapping for

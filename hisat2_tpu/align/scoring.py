@@ -96,16 +96,24 @@ class Scoring:
         return not self.local and self.match_bonus == 0
 
     def mm_pens(self) -> np.ndarray:
-        """(64,) int32 penalty per phred quality."""
-        return _qual_pens(self.mm_pen_min, self.mm_pen_max)
+        """(64,) int32 penalty per phred quality (memoized — per-read
+        slow paths call this in loops)."""
+        t = getattr(self, "_mm_pens_memo", None)
+        if t is None:
+            t = _qual_pens(self.mm_pen_min, self.mm_pen_max)
+            object.__setattr__(self, "_mm_pens_memo", t)
+        return t
 
     def sc_pens(self) -> np.ndarray:
         """Per-quality soft-clip penalty (--sp 1,2 default); a prohibitive
         constant under --no-softclip so the max-subarray scorer degenerates
-        to full-length alignment."""
-        if self.no_softclip:
-            return np.full(64, 1 << 20, dtype=np.int32)
-        return _qual_pens(self.sc_pen_min, self.sc_pen_max)
+        to full-length alignment. Memoized."""
+        t = getattr(self, "_sc_pens_memo", None)
+        if t is None:
+            t = (np.full(64, 1 << 20, dtype=np.int32) if self.no_softclip
+                 else _qual_pens(self.sc_pen_min, self.sc_pen_max))
+            object.__setattr__(self, "_sc_pens_memo", t)
+        return t
 
     def read_gap_open(self) -> int:
         return self.read_gap_const + self.read_gap_linear

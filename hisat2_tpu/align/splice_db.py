@@ -67,11 +67,25 @@ class SpliceSiteDB:
 
     def device_arrays(self):
         """(left, right) int32 arrays sorted lexicographically by (left,
-        right), for the junction kernel's known-site check."""
+        right), for the junction kernel's known-site check.
+
+        Padded to a power of two with INT32_MAX sentinels (sorted order
+        preserved; sentinel lefts never equal a real query) so the
+        junction kernel compiles once per size CLASS — novel-site
+        discovery grows the table every batch, and unpadded shapes would
+        recompile the kernel each time (a 30s tunnel compile per batch)."""
         import jax.numpy as jnp
         arr = self._sorted_pairs()
-        return (jnp.asarray(arr[:, 0].astype(np.int32)),
-                jnp.asarray(arr[:, 1].astype(np.int32)))
+        n = arr.shape[0]
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        big = np.int32(0x7FFFFFFF)
+        lp = np.full(cap, big, np.int32)
+        rp = np.full(cap, big, np.int32)
+        lp[:n] = arr[:, 0]
+        rp[:n] = arr[:, 1]
+        return jnp.asarray(lp), jnp.asarray(rp)
 
     def lefts_rights(self) -> tuple[np.ndarray, np.ndarray]:
         """Host view for known-site-driven pair generation."""

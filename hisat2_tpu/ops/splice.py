@@ -205,3 +205,17 @@ def junction_score(idx: dict, sctab: dict,
         mmL=mmL.astype(jnp.int32),
         mmR=mmR.astype(jnp.int32),
     )
+
+
+@jax.jit
+def junction_score_packed(idx: dict, sctab: dict, rd, q, rdlens,
+                          posA, posB, known_left, known_right):
+    """junction_score with the seven per-lane outputs packed into ONE
+    (C, 7) int32 tensor (probscore float32 bit-cast into column 4) — a
+    single device->host fetch instead of seven tunnel syncs."""
+    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
+                       known_left, known_right)
+    return jnp.stack(
+        [r["score"], r["j"], r["strand"], r["canon"],
+         lax.bitcast_convert_type(r["probscore"], jnp.int32),
+         r["mmL"], r["mmR"]], axis=1)

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""RNA (spliced) throughput bench: simulated transcriptome reads over a
+1Mbp genome with planted gene structures, aligned in spliced mode.
+Prints one JSON line (reads/s + %aligned + %junction-reads correct)."""
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench as B
+
+RDLEN = 100
+
+
+def make_genes(joined, rng, n_genes=400):
+    """Plant gene structures: lists of (exon_start, exon_len) per gene.
+    Introns get canonical GT..AG motifs written into the genome (the
+    simulators' convention) so novel-junction discovery has real signal."""
+    genes = []
+    g = 0
+    pos = 1000
+    while g < n_genes and pos < joined.size - 20000:
+        nex = int(rng.integers(2, 5))
+        exons = []
+        for _ in range(nex):
+            elen = int(rng.integers(80, 300))
+            exons.append((pos, elen))
+            ie = pos + elen            # intron start
+            ilen = int(rng.integers(200, 2000))
+            joined[ie:ie + 2] = [2, 3]             # GT
+            joined[ie + ilen - 2:ie + ilen] = [0, 2]   # AG
+            pos += elen + ilen
+        genes.append(exons)
+        pos += int(rng.integers(500, 3000))
+        g += 1
+    return genes
+
+
+def make_rna_reads(fm, genes, n, rng):
+    """Reads sampled from spliced transcripts (~1% mismatches); returns
+    (batch, truth) with truth = (start_joined, njunc) per read."""
+    from hisat2_tpu.io.reads import Read, batchify
+    from hisat2_tpu.utils import alphabet
+
+    joined = fm.ref.joined
+    reads, truth = [], []
+    for i in range(n):
+        exons = genes[int(rng.integers(0, len(genes)))]
+        jmap = np.concatenate([np.arange(s, s + l) for s, l in exons])
+        if jmap.size < RDLEN + 1:
+            continue
+        toff = int(rng.integers(0, jmap.size - RDLEN))
+        jpos = jmap[toff:toff + RDLEN]
+        seq = joined[jpos].copy()
+        mm = rng.random(RDLEN) < 0.01
+        seq[mm] = (seq[mm] + rng.integers(1, 4, int(mm.sum()))) % 4
+        start = int(jpos[0])
+        njunc = int((np.diff(jpos) != 1).sum())
+        rc = rng.random() < 0.5
+        if rc:
+            seq = alphabet.revcomp(seq)
+        reads.append(Read(f"t{i}_{start}_{njunc}", seq,
+                          np.full(RDLEN, 40, np.int8), len(reads)))
+        truth.append((start, njunc))
+    return batchify(reads, pad_to=104), truth
+
+
+def main():
+    B._enable_compile_cache()
+    from hisat2_tpu.align.pipeline import Aligner
+    from hisat2_tpu.align import emit
+    from hisat2_tpu.io import sam as samio
+
+    from hisat2_tpu.index.fm_index import build_fm_index, FMIndex
+    from hisat2_tpu.io.reference import reference_from_seqs
+    from hisat2_tpu.utils import alphabet
+
+    rng = np.random.default_rng(11)
+    cache = "/tmp/hisat2_tpu_rna_idx"
+    genome = np.asarray(rng.integers(0, 4, 10 ** 6), np.uint8)
+    genes = make_genes(genome, rng)       # writes GT..AG motifs in place
+    if os.path.exists(cache + ".npz"):
+        fm = FMIndex.load(cache)
+        assert (fm.ref.joined == genome).all(), "stale RNA index cache"
+    else:
+        fm = build_fm_index(reference_from_seqs(
+            {"chrR": alphabet.decode(genome)}))
+        fm.save(cache)
+    NB = int(os.environ.get("RNA_NBATCH", "4"))
+    BS = int(os.environ.get("RNA_BATCH", "8192"))
+    batches = [make_rna_reads(fm, genes, BS, rng) for _ in range(NB)]
+
+    al = Aligner(fm)
+    al.opts.spliced = True
+    buf = io.StringIO()
+    w = samio.SamWriter(buf, fm.ref.names, [int(x) for x in fm.ref.tlens],
+                        no_head=True)
+    emit.align_and_emit(al, batches[0][0], w)      # warm
+    al2 = Aligner(fm)
+    al2.opts.spliced = True
+    buf = io.StringIO()
+    w = samio.SamWriter(buf, fm.ref.names, [int(x) for x in fm.ref.tlens],
+                        no_head=True)
+    t0 = time.perf_counter()
+    tot = emit.align_and_emit_stream(al2, [b for b, _ in batches], w)
+    dt = time.perf_counter() - t0
+    n = sum(len(b) for b, _ in batches)
+
+    # correctness on primary positions
+    ok = bad = junc_ok = junc_bad = 0
+    recs = {}
+    for ln in buf.getvalue().splitlines():
+        f = ln.split("\t")
+        if int(f[1]) & (4 | 256):
+            continue
+        recs[f[0]] = (int(f[3]) - 1, f[5])
+    for (b, truth) in batches:
+        for rd, (start, njunc) in zip(b.names, truth):
+            if rd not in recs:
+                continue
+            pos, cig = recs[rd]
+            tstart = int(rd.split("_")[1])
+            good = pos == tstart
+            if njunc > 0:
+                junc_ok += 1 if (good and "N" in cig) else 0
+                junc_bad += 0 if (good and "N" in cig) else 1
+            else:
+                ok += 1 if good else 0
+                bad += 0 if good else 1
+    print(json.dumps(dict(
+        metric="rna_reads_per_sec_1chip", value=round(n / dt, 1),
+        unit="reads/s", reads=n, aligned=n - tot.get("unal", 0),
+        exonic_correct=ok, exonic_wrong=bad,
+        junction_correct=junc_ok, junction_wrong=junc_bad)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -479,10 +479,62 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 elif demoted.size:
                     demoted = np.zeros(0, np.int64)
                 al._splice_rescue(batch, merged, rows=allowed)
+            # batched finalization + native formatting for the dominant
+            # junction outcome — a unique single-junction winner with no
+            # valid contiguous placement (the per-read ladder costs
+            # ~200us/read; this path is ~2us/record)
+            spl_map = merged.get("splice", {})
+            vec_done = np.zeros(B, bool)
+            if al.overlay is None and spl_map:
+                cand_rows = [i for i in spl_map
+                             if allowed[i] and len(spl_map[i]) == 1
+                             and "segs" not in spl_map[i][0]
+                             and nvalid[i] == 0
+                             and spl_map[i][0]["score"] >= min_scs[i]]
+                if cand_rows:
+                    vr = np.asarray(sorted(cand_rows), np.int64)
+                    c0 = [spl_map[int(i)][0] for i in vr]
+                    vA = np.asarray([c["posA"] for c in c0], np.int64)
+                    vB = np.asarray([c["posB"] for c in c0], np.int64)
+                    vJ = np.asarray([c["j"] for c in c0], np.int64)
+                    vF = np.asarray([c["fw"] for c in c0], bool)
+                    vStr = np.asarray([c["strand"] for c in c0])
+                    vSc = np.asarray([c["score"] for c in c0], np.int32)
+                    fin2 = al._spliced_fin_rows(batch, vr, vA, vB, vJ, vF,
+                                                vStr, lens[vr])
+                    okm = fin2["ok"]
+                    if okm.any():
+                        sel = np.flatnonzero(okm)
+                        elig = vr[sel]
+                        ntrip = np.diff(fin2["mm_off"])
+                        keep3 = np.repeat(okm, ntrip)
+                        mm_off2 = np.zeros(sel.size + 1, np.int64)
+                        np.cumsum(ntrip[sel], out=mm_off2[1:])
+                        flag2 = np.where(vF[sel], 0, 16).astype(np.int32)
+                        ones = np.ones(sel.size, np.int32)
+                        sbuf, sends = _format_records(
+                            al, batch, elig, elig, flag2,
+                            fin2["tidx"][sel], fin2["toff"][sel],
+                            60 * ones, fin2["c5"][sel], fin2["mid"][sel],
+                            fin2["c3"][sel], vSc[sel], fin2["nm"][sel],
+                            np.full(sel.size, INT32_MIN, np.int32), ones,
+                            fin2["mm_cols"][keep3], fin2["mm_ref"][keep3],
+                            mm_off2, m1=fin2["m1"][sel],
+                            gapn=fin2["gap"][sel], xs=fin2["xs"][sel])
+                        stext = sbuf.decode("ascii")
+                        prev = 0
+                        for k, i in enumerate(elig):
+                            slow_out[int(i)] = [stext[prev:int(sends[k])]]
+                            prev = int(sends[k])
+                        vec_done[elig] = True
+                        allowed[elig] = False
+                        stats["uniq"] += int(elig.size)
             res_map = al._finalize_results(
                 batch, merged, only_rows=np.flatnonzero(allowed))
             for i in np.concatenate([slow, demoted]):
                 i = int(i)
+                if vec_done[i]:
+                    continue
                 res = res_map.get(i)
                 if res is None:
                     res = ReadResult(filtered="NS" if lens[i] else "LN")
@@ -1677,9 +1729,10 @@ def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
 
 def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
                     c5, mid, c3, score, nmm, zs, nh,
-                    mm_cols, mm_ref, mm_off):
+                    mm_cols, mm_ref, mm_off, m1=None, gapn=None, xs=None):
     """Column arrays -> native formatter. frows: fast read indices (name/
-    seq data is per read); rec_*: per-record arrays with read indices."""
+    seq data is per read); rec_*: per-record arrays with read indices.
+    m1/gapn/xs: spliced-record columns (one intron + XS:A strand)."""
     ref = al.fm.ref
     Nf = frows.size
     lens = batch.lens.astype(np.int64)[frows]
@@ -1731,9 +1784,14 @@ def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
 
     # exact-ish capacity from true lengths (no heuristic; ADVICE r1 #1)
     nrec = rec_read.size
-    per_rec = (210 + name_lens[read_of] + rn_lens[tidx]
+    per_rec = (240 + name_lens[read_of] + rn_lens[tidx]
                + 2 * lens[read_of] + 12 * np.diff(mm_off))
     cap = int(per_rec.sum()) + 1024
+
+    z = np.zeros(nrec, np.int32)
+    m1 = z if m1 is None else np.ascontiguousarray(m1.astype(np.int32))
+    gapn = z if gapn is None else np.ascontiguousarray(gapn.astype(np.int32))
+    xs = z if xs is None else np.ascontiguousarray(xs.astype(np.int32))
 
     import ctypes
     lib = _samfmt()
@@ -1748,7 +1806,7 @@ def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
         sf, qf, sr, qr, seq_off,
         np.ascontiguousarray(mm_cols), mm_ref, mm_off,
         np.ascontiguousarray(rn_buf), rn_off,
-        out, np.int64(cap), ends)
+        out, np.int64(cap), ends, m1, gapn, xs)
     assert total >= 0, "SAM buffer overflow despite exact sizing"
     return out.raw[:total], ends
 

@@ -35,6 +35,8 @@ from ..io.reads import ReadBatch
 from ..io import sam as samio
 from ..ops import search as _search, locate as _locate, extend as _extend, sw as _sw
 from ..ops.extend import NEG_INF
+
+_DEC5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
 from ..utils import alphabet
 from . import mapq as _mapq
 from .scoring import Scoring, DEFAULT_SCORING
@@ -1346,10 +1348,31 @@ class Aligner:
         partial = merged.get("splice_partial", {})
         lanes2 = []      # (i, c, side, pd)
         bases: dict[int, list] = {}
-        for i, cands in spl.items():
-            c = cands[0]
-            if "segs" not in c and c["score"] < int(perfect[i]):
-                bases.setdefault(i, []).append(c)
+        # a second junction needs a residual exon: gate on the same
+        # min-anchor margin as the main trigger (a winner within the
+        # margin of perfect has only scattered mismatches left), unless a
+        # KNOWN junction falls inside either residual diagonal's span
+        margin = self._spl_margin(batch)
+        kl_all, _kr_all = self.ssdb.lefts_rights()
+        cand_items = [(i, cands[0]) for i, cands in spl.items()
+                      if "segs" not in cands[0]
+                      and cands[0]["score"] < int(perfect[i])]
+        if cand_items:
+            csc = np.asarray([c["score"] for _, c in cand_items])
+            cperf = perfect[np.asarray([i for i, _ in cand_items])]
+            keep = csc < cperf - margin
+            if kl_all.size and not keep.all():
+                pa0 = np.asarray([c["posA"] for _, c in cand_items])
+                pb0 = np.asarray([c["posB"] for _, c in cand_items])
+                rl0 = lens[np.asarray([i for i, _ in cand_items])]
+                known_res = ((np.searchsorted(kl_all, pa0 + rl0)
+                              > np.searchsorted(kl_all, pa0))
+                             | (np.searchsorted(kl_all, pb0 + rl0)
+                                > np.searchsorted(kl_all, pb0)))
+                keep |= known_res
+            for (i, c), k in zip(cand_items, keep):
+                if k:
+                    bases.setdefault(i, []).append(c)
         for i, cands in partial.items():
             cands.sort(key=lambda x: -x["score"])
             for c in cands[:2]:
@@ -1388,29 +1411,35 @@ class Aligner:
         while bucket < P:
             bucket *= 4
         lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
-        rd2 = np.full((bucket, L), 4, np.int64)
-        q2 = np.zeros((bucket, L), np.int64)
-        rls2 = np.zeros(bucket, np.int32)
-        pA2 = np.zeros(bucket, np.int32)
-        pB2 = np.zeros(bucket, np.int32)
-        for k, (i, c, side, pd) in enumerate(lanes_p):
-            rl = int(lens[i])
-            ro = batch.seqs[i, :rl].astype(np.uint8)
-            qo = np.clip(batch.quals[i, :rl].astype(np.int64), 0, 63)
-            if not c["fw"]:
-                ro = alphabet.revcomp(ro)
-                qo = qo[::-1].copy()
-            j = c["j"]
-            if side == "L":
-                sub, qs = ro[:j], qo[:j]
-                rls2[k] = j
-                pA2[k], pB2[k] = pd, c["posA"]
-            else:
-                sub, qs = ro[j:rl], qo[j:rl]
-                rls2[k] = rl - j
-                pA2[k], pB2[k] = c["posB"] + j, pd + j
-            rd2[k, :sub.size] = sub
-            q2[k, :qs.size] = qs
+        # vectorized lane read/qual construction: oriented reads gathered
+        # once, residual segments shifted into lane rows with one fancy
+        # index (the former per-lane loop was the second pass's hot spot)
+        li = np.asarray([l[0] for l in lanes_p], np.int64)
+        lfw = np.asarray([l[1]["fw"] for l in lanes_p], bool)
+        lj = np.asarray([l[1]["j"] for l in lanes_p], np.int64)
+        lside_L = np.asarray([l[2] == "L" for l in lanes_p], bool)
+        lpd = np.asarray([l[3] for l in lanes_p], np.int64)
+        lpA = np.asarray([l[1]["posA"] for l in lanes_p], np.int64)
+        lpB = np.asarray([l[1]["posB"] for l in lanes_p], np.int64)
+        rlv = lens[li]
+        seqs_l = batch.seqs[li].astype(np.int64)
+        quals_l = np.clip(batch.quals[li].astype(np.int64), 0, 63)
+        arL = np.arange(L)
+        rci = np.clip(rlv[:, None] - 1 - arL[None, :], 0, L - 1)
+        compT = np.array([3, 2, 1, 0, 4], np.int64)
+        ro_v = np.where(lfw[:, None], seqs_l,
+                        compT[np.take_along_axis(seqs_l, rci, 1)])
+        qo_v = np.where(lfw[:, None], quals_l,
+                        np.take_along_axis(quals_l, rci, 1))
+        start = np.where(lside_L, 0, lj)
+        seglen = np.where(lside_L, lj, rlv - lj)
+        colidx = np.clip(start[:, None] + arL[None, :], 0, L - 1)
+        inseg = arL[None, :] < seglen[:, None]
+        rd2 = np.where(inseg, np.take_along_axis(ro_v, colidx, 1), 4)
+        q2 = np.where(inseg, np.take_along_axis(qo_v, colidx, 1), 0)
+        rls2 = seglen.astype(np.int32)
+        pA2 = np.where(lside_L, lpd, lpB + lj).astype(np.int32)
+        pB2 = np.where(lside_L, lpA, lpd + lj).astype(np.int32)
         kleft, kright = self.ssdb.device_arrays()
         res2 = np.asarray(_splice.junction_score_packed(
             self.idx, self.sctab, jnp.asarray(rd2), jnp.asarray(q2),
@@ -1517,6 +1546,90 @@ class Aligner:
             if canons[k] == 0:
                 pen += NONCANON_PEN
         return base - pen
+
+    def _spliced_fin_rows(self, batch, rows, posA, posB, jj, fw, strands,
+                          rdlens):
+        """Vectorized single-junction finalization (the NumPy mirror of
+        _finalize_spliced for segs == [(posA,0),(posB,j)]): optimal outer
+        clips, per-segment M lengths, NM, and mismatch (col, refchar)
+        triples for the native MD builder. Returns column dict with an
+        `ok` mask (fragment containment; ineligible rows fall back to the
+        per-read path)."""
+        ref = self.fm.ref
+        N = rows.size
+        L = batch.seqs.shape[1]
+        seqs = batch.seqs[rows].astype(np.int64)
+        quals = np.clip(batch.quals[rows].astype(np.int64), 0, 63)
+        ar = np.arange(L)
+        rcidx = np.clip(rdlens[:, None] - 1 - ar[None, :], 0, L - 1)
+        comp = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(fw[:, None], seqs,
+                      comp[np.take_along_axis(seqs, rcidx, 1)])
+        q = np.where(fw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
+        in_read = ar[None, :] < rdlens[:, None]
+        rd = np.where(in_read, rd, 4)
+
+        joined = ref.joined
+        posx = np.where(ar[None, :] < jj[:, None], posA[:, None],
+                        posB[:, None]) + ar[None, :]
+        inb = (posx >= 0) & (posx < joined.size)
+        win = np.where(inb, joined[np.clip(posx, 0, joined.size - 1)], 4
+                       ).astype(np.int64)
+
+        isn = ((rd >= 4) | (win >= 4)) & in_read
+        mm = (rd != win) & ~isn & in_read
+        s = np.where(mm, -self.scoring.mm_pens()[q], 0)
+        s = np.where(isn, -self.scoring.n_pen, s)
+        scp = np.where(in_read, self.scoring.sc_pens()[q], 0)
+        A = np.zeros((N, L + 1), np.int64)
+        np.cumsum(s, axis=1, out=A[:, 1:])
+        SCP = np.zeros((N, L + 1), np.int64)
+        np.cumsum(scp, axis=1, out=SCP[:, 1:])
+        idx = np.arange(L + 1)[None, :]
+        BIG = np.int64(1) << 40
+        # c5 = argmin (A+SCP)[:j+1] (ties toward smaller c5 = np.argmin)
+        c5 = np.argmin(np.where(idx <= jj[:, None], A + SCP, BIG),
+                       axis=1).astype(np.int64)
+        # e in [j, rdlen] maximizing tail score - trailing clip, ties
+        # toward larger e (reference reversed-argmax)
+        SL = np.take_along_axis(SCP, rdlens[:, None], 1)
+        vals = np.where((idx >= jj[:, None]) & (idx <= rdlens[:, None]),
+                        (A - np.take_along_axis(A, jj[:, None], 1))
+                        - (SL - SCP), -BIG)
+        e = (L - np.argmax(vals[:, ::-1], axis=1)).astype(np.int64)
+        degen = (jj - c5 <= 0) | (e - jj <= 0)
+        c5 = np.where(degen, 0, c5)
+        e = np.where(degen, rdlens, e)
+        c3 = rdlens - e
+        aligned_mask = (ar[None, :] >= c5[:, None]) & (ar[None, :] < e[:, None])
+        nm = ((mm | isn) & aligned_mask).sum(axis=1).astype(np.int32)
+
+        # fragment containment of the full spliced span
+        delta = posB - posA
+        astart = posA + c5
+        span = (e - c5) + delta
+        f = np.searchsorted(ref.frag_joined, astart, side="right") - 1
+        fc = np.clip(f, 0, len(ref.frag_joined) - 1)
+        ok = (f >= 0) & (astart + span
+                         <= ref.frag_joined[fc] + ref.frag_len[fc])
+
+        mmsel = (mm | isn) & aligned_mask
+        ri, cols = np.nonzero(mmsel)
+        cnt = mmsel.sum(axis=1).astype(np.int64)
+        mm_off = np.zeros(N + 1, np.int64)
+        np.cumsum(cnt, out=mm_off[1:])
+        mm_cols = (cols - c5[ri]).astype(np.int32)
+        mm_ref = np.ascontiguousarray(
+            _DEC5[np.clip(win[ri, cols], 0, 4)])
+        return dict(ok=ok, c5=c5.astype(np.int32), c3=c3.astype(np.int32),
+                    m1=(jj - c5).astype(np.int32),
+                    mid=(e - c5).astype(np.int32),
+                    gap=delta.astype(np.int32), nm=nm,
+                    tidx=ref.frag_tidx[fc].astype(np.int32),
+                    toff=(ref.frag_toff[fc] + astart
+                          - ref.frag_joined[fc]).astype(np.int64),
+                    mm_cols=mm_cols, mm_ref=mm_ref, mm_off=mm_off,
+                    xs=np.where(strands == "+", 1, 2).astype(np.int32))
 
     def _finalize_spliced(self, i, batch, c: dict, rdlen: int
                           ) -> Alignment | None:

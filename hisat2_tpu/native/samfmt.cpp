@@ -186,6 +186,9 @@ int64_t format_pe_batch(
 // that did not fit) so the host can retry with a larger buffer — fixed
 // buffer sizing is computed host-side from the true name/refname/seq
 // lengths.
+// Spliced columns (optional, may be null): gapn[i] > 0 writes the CIGAR
+// as c5S m1M gapN (mid-m1)M c3S (one intron); xs[i] (0 none / 1 '+' /
+// 2 '-') adds the XS:A strand tag between MD and YT (sam.h:930-940).
 int64_t format_se_batch2(
     int32_t nrec,
     const int32_t* read_of, const int32_t* flag,
@@ -199,7 +202,8 @@ int64_t format_se_batch2(
     const uint8_t* seq_r, const uint8_t* qual_r, const int64_t* seq_off,
     const int32_t* mm_cols, const uint8_t* mm_ref, const int64_t* mm_off,
     const uint8_t* refname_buf, const int64_t* refname_off,
-    char* out, int64_t cap, int64_t* rec_ends)
+    char* out, int64_t cap, int64_t* rec_ends,
+    const int32_t* m1, const int32_t* gapn, const int32_t* xs)
 {
     char* p = out;
     for (int32_t i = 0; i < nrec; i++) {
@@ -229,8 +233,8 @@ int64_t format_se_batch2(
         }
         int rn_len = (int)(refname_off[r + 1] - refname_off[r]);
         int64_t n_mm = mm_off[i + 1] - mm_off[i];
-        // worst case: fixed fields/tags ~200 + variable parts
-        int64_t worst = 200 + name_len + rn_len + 2 * (int64_t)seq_len
+        // worst case: fixed fields/tags ~230 + variable parts
+        int64_t worst = 230 + name_len + rn_len + 2 * (int64_t)seq_len
                         + 12 * n_mm;
         if ((p - out) + worst > cap) return -1 - (int64_t)i;
         p = put_str(p, (const char*)(name_buf + name_off[rd]), name_len);
@@ -241,7 +245,13 @@ int64_t format_se_batch2(
         p = put_int(p, pos1[i]); *p++ = '\t';
         p = put_int(p, mapq[i]); *p++ = '\t';
         if (c5[i]) { p = put_int(p, c5[i]); *p++ = 'S'; }
-        p = put_int(p, mid[i]); *p++ = 'M';
+        if (gapn && gapn[i] > 0) {
+            p = put_int(p, m1[i]); *p++ = 'M';
+            p = put_int(p, gapn[i]); *p++ = 'N';
+            p = put_int(p, mid[i] - m1[i]); *p++ = 'M';
+        } else {
+            p = put_int(p, mid[i]); *p++ = 'M';
+        }
         if (c3[i]) { p = put_int(p, c3[i]); *p++ = 'S'; }
         p = put_str(p, "\t*\t0\t0\t", 7);
         const uint8_t* sq = (flag[i] & 16) ? seq_r : seq_f;
@@ -264,6 +274,10 @@ int64_t format_se_batch2(
             last = mm_cols[m];
         }
         p = put_int(p, mid[i] - 1 - last);
+        if (xs && xs[i]) {
+            p = put_str(p, "\tXS:A:", 6);
+            *p++ = (xs[i] == 1) ? '+' : '-';
+        }
         p = put_str(p, "\tYT:Z:UU", 8);
         p = put_tag_i(p, "NH", nh[i]);
         *p++ = '\n';

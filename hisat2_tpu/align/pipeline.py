@@ -1159,53 +1159,31 @@ class Aligner:
         q = np.where(lfw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
 
         kleft, kright = self.ssdb.device_arrays()
-        res = np.asarray(_splice.junction_score_packed(
+        res = np.asarray(_splice.junction_gated(
             self.idx, self.sctab, jnp.asarray(rd), jnp.asarray(q),
             jnp.asarray(rls.astype(np.int32)), jnp.asarray(posA),
-            jnp.asarray(posB), kleft, kright))[:P]
-        jsc = res[:, 0]
-        jj = res[:, 1]
-        jstr = res[:, 2]
-        jcan = res[:, 3]
-        jps = res[:, 4].view(np.float32)
-        jmmL = res[:, 5]
-        jmmR = res[:, 6]
+            jnp.asarray(posB), kleft, kright,
+            jnp.float32(self.scoring.score_min.I),
+            jnp.float32(self.scoring.score_min.S),
+            jnp.int32(o.max_intron), dta=o.dta))[:P]
+        jsc = res[:, 0].astype(np.int64)
+        jj = res[:, 1].astype(np.int64)
+        fl = res[:, 2].astype(np.int64)
+        jstr = fl & 3
+        jcan = (fl >> 2) & 3
 
-        from . import splice_model as _sm
         spl: dict[int, list] = merged.setdefault("splice", {})
         partial: dict[int, list] = merged.setdefault("splice_partial", {})
-        # vectorized acceptance gates (reference hi_aligner.h:3753-3786) —
-        # only accepted/partial lanes reach the per-lane Python below
+        # acceptance gates ran ON DEVICE (ops/splice.junction_gated,
+        # reference hi_aligner.h:3753-3786) — only accepted/partial lanes
+        # reach the per-lane Python below. probscore stays device-side
+        # (nothing downstream reads the stored value).
         ri = np.fromiter((l[0] for l in lanes), np.int64, P)
         pa_v = np.fromiter((l[1] for l in lanes), np.int64, P)
         pb_v = np.fromiter((l[2] for l in lanes), np.int64, P)
-        min_sc_v = np.ceil(self.scoring.score_min.I
-                           + self.scoring.score_min.S * lens[ri]
-                           ).astype(np.int64)
-        alive = jstr != 0
-        below = jsc < min_sc_v
-        partial_v = alive & below & (jcan != 0) & (jsc > NEG_INF // 2)
         delta_v = pb_v - pa_v
-        aL = jj - 2 * jmmL
-        aR = lens[ri] - jj - 2 * jmmR
-        shorter = np.maximum(np.minimum(aL, aR), 1)
-        # the gates apply only while the anchor-derived ceiling is
-        # tighter than --max-intronlen (hi_aligner.h:3770)
-        lim_c = _sm.max_intron_len(shorter)
-        lim_n = _sm.max_intron_len_noncan(shorter)
-        ok_gate = np.ones(P, bool)
-        is_can = jcan == 2
-        gate_c = (lim_c < o.max_intron)
-        ok_gate &= ~(is_can & gate_c & (delta_v > lim_c))
-        ok_gate &= ~(is_can & gate_c
-                     & (jps < _sm.probscore_thresh(delta_v)))
-        is_non = jcan == 0
-        ok_gate &= ~(is_non & (lim_n < o.max_intron) & (delta_v > lim_n))
-        if o.dta:
-            # assembler mode: novel canonical junctions need long anchors
-            anchor = np.minimum(jj, lens[ri] - jj)
-            ok_gate &= ~(is_can & (anchor < 14))
-        accept_v = alive & ~below & ok_gate
+        partial_v = (fl >> 5) & 1
+        accept_v = (fl >> 4) & 1
         strands = np.where(jstr == 1, "+", "-")
         for k in np.flatnonzero(partial_v):
             k = int(k)
@@ -1216,7 +1194,7 @@ class Aligner:
                     score=int(jsc[k]), posA=int(pa_v[k]), posB=int(pb_v[k]),
                     fw=bool(lanes[k][3]), j=int(jj[k]), delta=int(delta_v[k]),
                     strand=str(strands[k]), canon=int(jcan[k]),
-                    probscore=float(jps[k])))
+                    probscore=0.0))
         for k in np.flatnonzero(accept_v):
             k = int(k)
             i = int(ri[k])
@@ -1224,7 +1202,7 @@ class Aligner:
             c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=fa,
                      j=int(jj[k]), delta=pb - pa,
                      strand=str(strands[k]), canon=int(jcan[k]),
-                     probscore=float(jps[k]))
+                     probscore=0.0)
             cur = spl.setdefault(i, [])
             if any(x["posA"] == pa and x["posB"] == pb and x["fw"] == fa
                    for x in cur):

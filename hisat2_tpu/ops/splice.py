@@ -110,28 +110,35 @@ def junction_score(idx: dict, sctab: dict,
     base = prefix + suffix                           # (C, L+1), junction at j
 
     jcol = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
-    # splice motifs at junction j: intron = [posA+j, posB+j)
-    don1 = jnp.take_along_axis(winA, jnp.minimum(jcol, L + 15), axis=1)
-    don2 = jnp.take_along_axis(winA, jnp.minimum(jcol + 1, L + 15), axis=1)
-    acc1 = jnp.take_along_axis(winB_ext, jnp.minimum(jcol + 14, L + 17),
-                               axis=1)
-    acc2 = jnp.take_along_axis(winB_ext, jnp.minimum(jcol + 15, L + 17),
-                               axis=1)
+    # splice motifs at junction j: intron = [posA+j, posB+j). The per-j
+    # motif reads are STATIC slices of the fetched windows (a
+    # take_along_axis here is a multi-million-lane gather — measured 4x
+    # ~35ms/launch at 32K lanes)
+    don1 = winA[:, 0:L + 1]
+    don2 = winA[:, 1:L + 2]
+    acc1 = winB_ext[:, 14:L + 15]
+    acc2 = winB_ext[:, 15:L + 16]
     # + strand: GT...AG;  - strand: CT...AC  (G=2,T=3,A=0,C=1)
     plus = (don1 == 2) & (don2 == 3) & (acc1 == 0) & (acc2 == 2)
     minus = (don1 == 1) & (don2 == 3) & (acc1 == 0) & (acc2 == 1)
     canonical = plus | minus
 
-    # known splice sites: (left, right) = (posA+j-1, posB+j); lower-bound
-    # by left then probe a few successive entries (duplicate lefts)
+    # known splice sites: (left, right) = (posA+j-1, posB+j) — ONE
+    # searchsorted per LANE at posA, then probe the next 12 sites and
+    # scatter their implied junction offsets into the (C, L+1) mask
+    # (the per-(lane, j) searchsorted was a ~10M-lane gather ladder)
     if known_left.shape[0] > 0:
-        left = posA[:, None] + jcol - 1
-        right = posB[:, None] + jcol
-        ki = jnp.searchsorted(known_left, left)
-        known = jnp.zeros(left.shape, bool)
-        for dpr in range(4):
-            kk = jnp.clip(ki + dpr, 0, known_left.shape[0] - 1)
-            known |= (known_left[kk] == left) & (known_right[kk] == right)
+        base_l = jnp.searchsorted(known_left, posA)            # (C,)
+        known = jnp.zeros((rd.shape[0], L + 1), bool)
+        nk = known_left.shape[0]
+        for dpr in range(12):
+            kk = jnp.clip(base_l + dpr, 0, nk - 1)
+            l_p = known_left[kk]
+            r_p = known_right[kk]
+            jv = (l_p - posA + 1).astype(jnp.int32)            # (C,)
+            okp = (l_p < posA + L) & (r_p == posB + jv) \
+                & (jv >= 0) & (jv <= L)
+            known |= okp[:, None] & (jcol == jv[:, None])
     else:
         known = jnp.zeros_like(canonical)
 
@@ -219,3 +226,67 @@ def junction_score_packed(idx: dict, sctab: dict, rd, q, rdlens,
         [r["score"], r["j"], r["strand"], r["canon"],
          lax.bitcast_convert_type(r["probscore"], jnp.int32),
          r["mmL"], r["mmR"]], axis=1)
+
+
+def _max_intron_len_dev(anchor, min_anchor):
+    """jnp port of splice_model.max_intron_len (hi_aligner.h:48)."""
+    a = jnp.maximum(anchor, 2)
+    shift = jnp.clip(2 * a - 4, 13, 30)
+    return jnp.where(anchor >= min_anchor, jnp.int32(1) << shift, 0)
+
+
+def _max_intron_len_noncan_dev(anchor, min_anchor=14):
+    a = jnp.maximum(anchor, 5)
+    shift = jnp.minimum(2 * a - 10, 30)
+    return jnp.where(anchor >= min_anchor, jnp.int32(1) << shift, 0)
+
+
+def _probscore_thresh_dev(il):
+    t = jnp.full(il.shape, 0.8, jnp.float32)
+    t = jnp.where(il >> 12 != 0, 0.88, t)
+    t = jnp.where(il >> 13 != 0, 0.91, t)
+    t = jnp.where(il >> 14 != 0, 0.94, t)
+    t = jnp.where(il >> 15 != 0, 0.97, t)
+    return t
+
+
+@partial(jax.jit, static_argnames=("dta",))
+def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
+                   known_left, known_right, minsc_i, minsc_s,
+                   max_intron, dta: bool = False):
+    """junction_score + the novel-junction acceptance gates
+    (hi_aligner.h:3753-3786) evaluated ON DEVICE, results compressed to a
+    (C, 3) int16 pack [score, j, flags] with flags =
+    strand | canon<<2 | accept<<4 | partial<<5 — the device->host fetch
+    shrinks ~5x and the tunnel sync count per rescue drops to one."""
+    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
+                       known_left, known_right)
+    score, j, strand, canon = r["score"], r["j"], r["strand"], r["canon"]
+    delta = posB - posA
+    min_sc = jnp.ceil(minsc_i + minsc_s
+                      * rdlens.astype(jnp.float32)).astype(jnp.int32)
+    alive = strand != 0
+    below = score < min_sc
+    part = alive & below & (canon != 0) & (score > NEG // 2)
+    aL = j - 2 * r["mmL"]
+    aR = rdlens - j - 2 * r["mmR"]
+    shorter = jnp.maximum(jnp.minimum(aL, aR), 1)
+    lim_c = _max_intron_len_dev(shorter, MIN_ANCHOR_CANON)
+    lim_n = _max_intron_len_noncan_dev(shorter)
+    ok = jnp.ones(score.shape, bool)
+    is_can = canon == 2
+    gate_c = lim_c < max_intron
+    ok &= ~(is_can & gate_c & (delta > lim_c))
+    ok &= ~(is_can & gate_c
+            & (r["probscore"] < _probscore_thresh_dev(delta)))
+    is_non = canon == 0
+    ok &= ~(is_non & (lim_n < max_intron) & (delta > lim_n))
+    if dta:
+        anchor = jnp.minimum(j, rdlens - j)
+        ok &= ~(is_can & (anchor < 14))
+    accept = alive & ~below & ok
+    flags = (strand | (canon << 2) | (accept.astype(jnp.int32) << 4)
+             | (part.astype(jnp.int32) << 5))
+    return jnp.stack(
+        [jnp.clip(score, -32768, 32767), j, flags], axis=1
+    ).astype(jnp.int16)

@@ -1428,50 +1428,82 @@ class Aligner:
         cn2 = res2[:, 3]
         ps2 = res2[:, 4].view(np.float32)
         sc2 = res2[:, 0]
-        for k, (i, c, side, pd) in enumerate(lanes2):
-            if st2[k] == 0 or sc2[k] <= NEG_INF // 2:
-                continue
-            strand2 = "+" if st2[k] == 1 else "-"
-            if strand2 != c["strand"]:
-                continue          # conflicting strands (reference 1e6 pen)
+        # vectorized gates + chain scoring: only lanes passing every gate
+        # AND beating their base candidate reach the per-lane Python
+        liP = li[:P]
+        ljP = lj[:P]
+        lLP = lside_L[:P]
+        lpdP = lpd[:P]
+        lpAP = lpA[:P]
+        lpBP = lpB[:P]
+        rlP = lens[liP]
+        lstr = np.asarray([l[1]["strand"] for l in lanes2])
+        lsc0 = np.asarray([l[1]["score"] for l in lanes2], np.int64)
+        str2 = np.where(st2 == 1, "+", "-")
+        okv = (st2 != 0) & (sc2 > NEG_INF // 2) & (str2 == lstr)
+        gj_v = ljP + j2
+        okv &= np.where(lLP, (0 < j2) & (j2 < ljP),
+                        (ljP < gj_v) & (gj_v < rlP))
+        delta2_v = np.where(lLP, lpAP - lpdP, lpdP - lpBP)
+        aL_v = j2
+        aR_v = np.where(lLP, ljP, rlP - ljP) - j2
+        shorter_v = np.maximum(np.minimum(aL_v, aR_v), 1)
+        lim_c = _sm.max_intron_len(shorter_v)
+        lim_n = _sm.max_intron_len_noncan(shorter_v)
+        is_can2 = cn2 == 2
+        gate_c2 = lim_c < o.max_intron
+        okv &= ~(is_can2 & gate_c2 & (delta2_v > lim_c))
+        okv &= ~(is_can2 & gate_c2
+                 & (ps2 < _sm.probscore_thresh(delta2_v)))
+        is_non2 = cn2 == 0
+        okv &= ~(is_non2 & (lim_n < o.max_intron) & (delta2_v > lim_n))
+        score2_v = np.full(P, NEG_INF, np.int64)
+        surv = np.flatnonzero(okv)
+        if surv.size and self.overlay is None:
+            p0 = np.where(lLP, lpdP, lpAP)[surv]
+            p1 = np.where(lLP, lpAP, lpBP)[surv]
+            p2v = np.where(lLP, lpBP, lpdP)[surv]
+            b1 = np.where(lLP[surv], j2[surv], ljP[surv])
+            b2 = np.where(lLP[surv], ljP[surv], gj_v[surv])
+            cA = np.where(lLP[surv], cn2[surv],
+                          np.asarray([lanes2[int(k)][1]["canon"]
+                                      for k in surv]))
+            cB = np.where(lLP[surv],
+                          np.asarray([lanes2[int(k)][1]["canon"]
+                                      for k in surv]), cn2[surv])
+            score2_v[surv] = self._score_segs_rows(
+                batch, liP[surv], p0, p1, p2v, b1, b2,
+                np.asarray([lanes2[int(k)][1]["fw"] for k in surv], bool),
+                cA, cB, rlP[surv])
+        elif surv.size:
+            for k in surv:
+                k = int(k)
+                i, c, side, pd = lanes2[k]
+                segs_t = ([(pd, 0), (c["posA"], int(j2[k])),
+                           (c["posB"], c["j"])] if side == "L"
+                          else [(c["posA"], 0), (c["posB"], c["j"]),
+                                (pd, c["j"] + int(j2[k]))])
+                canons_t = ([int(cn2[k]), c["canon"]] if side == "L"
+                            else [c["canon"], int(cn2[k])])
+                score2_v[k] = self._score_segs(i, batch, segs_t, c["fw"],
+                                               canons_t, int(lens[i]))
+        min_sc_v2 = np.ceil(self.scoring.score_min.I
+                            + self.scoring.score_min.S * rlP
+                            ).astype(np.int64)
+        okv &= (score2_v >= min_sc_v2) & (score2_v > lsc0)
+        for k in np.flatnonzero(okv):
+            k = int(k)
+            i, c, side, pd = lanes2[k]
             jj2 = int(j2[k])
             rl = int(lens[i])
             if side == "L":
-                if not (0 < jj2 < c["j"]):
-                    continue
                 segs = [(pd, 0), (c["posA"], jj2), (c["posB"], c["j"])]
             else:
-                gj = c["j"] + jj2
-                if not (c["j"] < gj < rl):
-                    continue
-                segs = [(c["posA"], 0), (c["posB"], c["j"]), (pd, gj)]
+                segs = [(c["posA"], 0), (c["posB"], c["j"]),
+                        (pd, c["j"] + jj2)]
             canons = ([int(cn2[k]), c["canon"]] if side == "L"
                       else [c["canon"], int(cn2[k])])
-            # novel-junction gates on the new junction
-            delta2 = segs[1][0] - segs[0][0] if side == "L" \
-                else segs[2][0] - segs[1][0]
-            if int(cn2[k]) != 1:
-                bnds = [j for _, j in segs] + [rl]
-                which = 0 if side == "L" else 1
-                aL = bnds[which + 1] - bnds[which]
-                aR = bnds[which + 2] - bnds[which + 1]
-                shorter = max(min(aL, aR), 1)
-                if int(cn2[k]) == 2:
-                    lim = int(_sm.max_intron_len(shorter))
-                    if lim < o.max_intron:
-                        if delta2 > lim:
-                            continue
-                        if ps2[k] < float(_sm.probscore_thresh(delta2)):
-                            continue
-                else:
-                    lim = int(_sm.max_intron_len_noncan(shorter))
-                    if lim < o.max_intron and delta2 > lim:
-                        continue
-            score2 = self._score_segs(i, batch, segs, c["fw"], canons, rl)
-            min_sc = int(np.ceil(self.scoring.score_min.I
-                                 + self.scoring.score_min.S * rl))
-            if score2 < min_sc or score2 <= c["score"]:
-                continue
+            score2 = int(score2_v[k])
             c2 = dict(score=int(score2), posA=segs[0][0], posB=segs[1][0],
                       j=segs[1][1], delta=segs[1][0] - segs[0][0],
                       fw=c["fw"], strand=c["strand"],
@@ -1482,6 +1514,60 @@ class Aligner:
             cur.append(c2)
             cur.sort(key=lambda x: (-x["score"],
                                     0 if x["canon"] == 1 else 1))
+
+    def _score_segs_rows(self, batch, li, p0, p1, p2, b1, b2, fw, cA, cB,
+                         rdlens):
+        """Vectorized _score_segs for 3-segment chains: exact clip-aware
+        score of segs [(p0,0),(p1,b1),(p2,b2)] per lane (linear index —
+        no overlay; graph callers use the per-lane path)."""
+        from ..ops.splice import NONCANON_PEN
+        ref = self.fm.ref
+        N = li.size
+        L = batch.seqs.shape[1]
+        seqs = batch.seqs[li].astype(np.int64)
+        quals = np.clip(batch.quals[li].astype(np.int64), 0, 63)
+        ar = np.arange(L)
+        rci = np.clip(rdlens[:, None] - 1 - ar[None, :], 0, L - 1)
+        compT = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(fw[:, None], seqs,
+                      compT[np.take_along_axis(seqs, rci, 1)])
+        q = np.where(fw[:, None], quals, np.take_along_axis(quals, rci, 1))
+        in_read = ar[None, :] < rdlens[:, None]
+        rd = np.where(in_read, rd, 4)
+        joined = ref.joined
+        posx = np.where(ar[None, :] < b1[:, None], p0[:, None],
+                        np.where(ar[None, :] < b2[:, None], p1[:, None],
+                                 p2[:, None])) + ar[None, :]
+        inb = (posx >= 0) & (posx < joined.size)
+        win = np.where(inb, joined[np.clip(posx, 0, joined.size - 1)], 4
+                       ).astype(np.int64)
+        isn = ((rd >= 4) | (win >= 4)) & in_read
+        mm = (rd != win) & ~isn & in_read
+        s = np.where(mm, -self.scoring.mm_pens()[q], 0)
+        s = np.where(isn, -self.scoring.n_pen, s)
+        scp = np.where(in_read, self.scoring.sc_pens()[q], 0)
+        A = np.zeros((N, L + 1), np.int64)
+        np.cumsum(s, axis=1, out=A[:, 1:])
+        SCP = np.zeros((N, L + 1), np.int64)
+        np.cumsum(scp, axis=1, out=SCP[:, 1:])
+        idx = np.arange(L + 1)[None, :]
+        BIG = np.int64(1) << 40
+        c5 = np.argmin(np.where(idx <= b1[:, None], A + SCP, BIG), axis=1)
+        SL = np.take_along_axis(SCP, rdlens[:, None], 1)
+        vals = np.where((idx >= b2[:, None]) & (idx <= rdlens[:, None]),
+                        (A - np.take_along_axis(A, b2[:, None], 1))
+                        - (SL - SCP), -BIG)
+        e = L - np.argmax(vals[:, ::-1], axis=1)
+        base = (np.take_along_axis(A, e[:, None], 1)[:, 0]
+                - A[np.arange(N), c5] - SCP[np.arange(N), c5]
+                - (SL[:, 0] - np.take_along_axis(SCP, e[:, None], 1)[:, 0]))
+        d1 = np.maximum(p1 - p0, 1)
+        d2 = np.maximum(p2 - p1, 1)
+        pen = (np.maximum(0, (-8.0 + np.log(d1)).astype(np.int64))
+               + np.maximum(0, (-8.0 + np.log(d2)).astype(np.int64))
+               + np.where(cA == 0, NONCANON_PEN, 0)
+               + np.where(cB == 0, NONCANON_PEN, 0))
+        return base - pen
 
     def _score_segs(self, i, batch, segs, fw_flag, canons, rdlen) -> int:
         """Exact host score of a multi-segment spliced alignment: clips +

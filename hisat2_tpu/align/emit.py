@@ -19,7 +19,8 @@ import numpy as np
 from ..io.reads import ReadBatch
 from ..io import sam as samio
 from . import mapq as _mapq
-from .pipeline import Aligner, ReadResult, _stage_primary_fin, NEG_INF
+from .pipeline import (Aligner, ReadResult, _stage_primary_fin,
+                       NEG_INF, _filter_reason)
 
 _DEC_ASCII = np.frombuffer(b"ACGTN", dtype=np.uint8)
 # ASCII complement table for reverse-complementing SEQ strings directly
@@ -385,6 +386,11 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
             toff = np.where(ur, -1, toff)
             flag = np.where(ur, 4, flag).astype(np.int32)
             yf_code = np.where(lens == 0, 2, np.where(filtered, 1, 0))
+            if (lens == 0).any() and batch.reads:
+                qcf = np.fromiter(
+                    (not getattr(r, "qc_ok", True) for r in batch.reads),
+                    bool, B)
+                yf_code = np.where(qcf & (lens == 0), 3, yf_code)
             mapq = np.where(ur, yf_code[rec_read], mapq).astype(np.int32)
             cnt = np.where(ur, 0, cnt)
 
@@ -537,7 +543,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                     continue
                 res = res_map.get(i)
                 if res is None:
-                    res = ReadResult(filtered="NS" if lens[i] else "LN")
+                    res = ReadResult(filtered=_filter_reason(batch, i, lens))
                 lines = _format_slow(al, batch, i, res, sc)
                 if not res.aligned:
                     stats["unal"] += 1
@@ -574,7 +580,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         for i in slow:
             i = int(i)
             if filtered[i]:
-                res = ReadResult(filtered="NS" if lens[i] else "LN")
+                res = ReadResult(filtered=_filter_reason(batch, i, lens))
             else:
                 res = ReadResult()
                 entries = plans.get(i, [])
@@ -830,7 +836,7 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
     for i in slow:
         i = int(i)
         if filtered[i]:
-            res = ReadResult(filtered="NS" if lens[i] else "LN")
+            res = ReadResult(filtered=_filter_reason(batch, i, lens))
         else:
             res = ReadResult()
             entries = plans.get(i, [])

@@ -37,6 +37,17 @@ from ..ops import search as _search, locate as _locate, extend as _extend, sw as
 from ..ops.extend import NEG_INF
 
 _DEC5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def _filter_reason(batch, i: int, lens) -> str:
+    """YF code for a filtered read: NS (N-ceiling), LN (length 0), QC
+    (QSEQ filter field, --qc-filter) — reference filter codes."""
+    if lens[i]:
+        return "NS"
+    rds = getattr(batch, "reads", None)
+    if rds and i < len(rds) and not getattr(rds[i], "qc_ok", True):
+        return "QC"
+    return "LN"
 from ..utils import alphabet
 from . import mapq as _mapq
 from .scoring import Scoring, DEFAULT_SCORING
@@ -1859,7 +1870,7 @@ class Aligner:
                       spl) -> ReadResult:
         """One read's host finalization (contiguous or spliced winner)."""
         if filtered[i]:
-            return ReadResult(filtered="NS" if lens[i] else "LN")
+            return ReadResult(filtered=_filter_reason(batch, i, lens))
         if i in spl and (not aligned[i]
                          or spl[i][0]["score"] > msc[i, 0]
                          or (spl[i][0]["score"] == msc[i, 0]

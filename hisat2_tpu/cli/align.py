@@ -34,6 +34,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-c", dest="cmdline", action="store_true",
                     help="-U arguments are literal sequences")
     ap.add_argument("--qseq", action="store_true", help="QSEQ input")
+    ap.add_argument("--sra-acc", default=None,
+                    help="SRA accession (requires the NCBI NGS/VDB SDK, "
+                         "not present in this build)")
     ap.add_argument("-F", dest="fasta_cont", default=None,
                     help="k:<int>,i:<int> continuous-FASTA windows")
     ap.add_argument("-k", dest="khits", type=int, default=5,
@@ -163,6 +166,14 @@ def main(argv=None) -> int:
                 rc |= main(shlex.split(line))
         return rc
     args = build_argparser().parse_args(argv)
+    if args.sra_acc:
+        # reference parity: binaries built without USE_SRA reject the
+        # flag the same way (Makefile:110-118 compile-time gate)
+        print("hisat2-tpu: --sra-acc requires the NCBI NGS/VDB SDK, which "
+              "is not available in this build. Fetch the accession with "
+              "prefetch/fasterq-dump and pass the FASTQ files instead.",
+              file=sys.stderr)
+        return 2
     _enable_compile_cache()
     from ..align.pipeline import Aligner, AlignerOpts, results_to_sam
     from ..align.paired import align_pairs, pairs_to_sam

@@ -1648,15 +1648,15 @@ def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
     lens[0::2] = b1.lens.astype(np.int64)[frows]
     lens[1::2] = b2.lens.astype(np.int64)[frows]
 
-    name_parts = []
-    for i in frows:
-        nm = b1.names[int(i)].encode("ascii")[:255]
-        name_parts.append(nm)
-        name_parts.append(nm)
-    name_lens = np.fromiter((len(x) for x in name_parts), np.int64, 2 * Nf)
+    # names via np.array's C-level str->bytes encode (one copy per mate)
+    nb1 = np.array([b1.names[int(i)] for i in frows], dtype="S255")
+    nb = np.repeat(nb1, 2)
+    name_lens = np.char.str_len(nb).astype(np.int64)
     name_off = np.zeros(2 * Nf + 1, np.int64)
     np.cumsum(name_lens, out=name_off[1:])
-    name_buf = np.frombuffer(b"".join(name_parts), np.uint8)
+    wide_n = nb.view(np.uint8).reshape(2 * Nf, -1)
+    name_buf = wide_n[np.arange(wide_n.shape[1])[None, :]
+                      < name_lens[:, None]]
 
     Lp = max(b1.seqs.shape[1], b2.seqs.shape[1])
 

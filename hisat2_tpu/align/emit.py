@@ -1068,7 +1068,14 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     else:
         hit = np.zeros(grows.size, bool)
     miss = grows[~hit]
-    g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, miss)
+    if isinstance(m1_dev, np.ndarray):
+        # host-merged global grids (sharded/mesh finish): slice directly —
+        # also keeps int64 global positions exact (a jnp gather would
+        # truncate to int32 past 2^31)
+        g_fut = ((lambda: (m1_dev[miss], m2_dev[miss], pt_dev[miss]))
+                 if miss.size else None)
+    else:
+        g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, miss)
 
     fbuf = b""
     pair_end = np.zeros(B, np.int64)

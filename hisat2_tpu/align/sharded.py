@@ -97,6 +97,113 @@ class ShardedAligner:
                 totals[k] = totals.get(k, 0) + v
         return totals
 
+    def align_and_emit_pe(self, pair_batches: list[tuple[ReadBatch,
+                                                         ReadBatch]],
+                          writer) -> dict:
+        """Two-pass (pass per shard) paired-end alignment + SAM emission.
+
+        Each shard runs the full packed PE step (both mates + concordance
+        grid) in shard-local coordinates; mates of a genuine pair share a
+        chromosome, hence a shard, so every shard's concordance search is
+        complete. Host merge mirrors parallel/mesh._merge_pe_pack_device:
+        best-total shard wins, position lanes rebase to global, other
+        shards' best folds into secbest, per-mate aux bits OR. Pairs hit
+        by several shards fall to the exact per-read path over the
+        concatenated candidate grids (reference .ht2l role,
+        MANUAL.markdown:221-231)."""
+        from . import paired as _paired
+        from . import emit as _emit
+
+        S = len(self.sh)
+        KP = max(8, self.opts.khits + 3)
+        per: list[list[tuple]] = [[] for _ in range(S)]
+        for s in range(S):
+            al = self._activate(s)
+            pend = []
+            for b1, b2 in pair_batches:
+                out = _paired.stage_pe_packed(al, b1, b2, KP)
+                if out is None:
+                    raise ValueError(
+                        "sharded paired-end alignment requires "
+                        "constant-quality batches (FASTA/simulated input)")
+                pack, m1, m2, pt = out[:4]
+                for d in (m1, m2, pt):
+                    try:
+                        d.copy_to_host_async()
+                    except Exception:
+                        pass
+                pend.append((pack, m1, m2, pt))
+            for t in pend:
+                per[s].append(tuple(np.asarray(x) for x in t))
+
+        totals: dict = {}
+        for bi, (b1, b2) in enumerate(pair_batches):
+            pack, fslow, m1g, m2g, ptg = self._merge_pe_shards(
+                [per[s][bi] for s in range(S)])
+            st = _emit._finish_pe_pack(self.host, b1, b2,
+                                       (pack, m1g, m2g, ptg), writer,
+                                       force_slow=fslow)
+            for k, v in st.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def _merge_pe_shards(self, souts):
+        """NumPy analogue of parallel/mesh._merge_pe_pack_device + the
+        mesh step's grid globalization: per-shard (pack, m1, m2, pt) ->
+        (pack_global int16, force_slow, m1_all, m2_all, pt_all) with
+        positions in global coordinates and pair-top indices remapped
+        into the concatenated candidate grids."""
+        from .paired import (PEPACK_MATE, PEPACK_REP, PEPACK_HDR,
+                             pepack_nr)
+        S = len(souts)
+        bases = np.asarray(self.sh.bases, np.int64)
+        pk = np.stack([t[0] for t in souts]).astype(np.int64)   # (S, B, W)
+        _, B, W = pk.shape
+        NR = pepack_nr(W)
+        nv = pk[:, :, 0]
+        best = pk[:, :, 1]
+        win = np.argmax(np.where(nv > 0, best, np.int64(-32768)), axis=0)
+        hits = (nv > 0).sum(axis=0)
+        fp = np.take_along_axis(pk, win[None, :, None], axis=0)[0].copy()
+        base_w = bases[win].astype(np.uint64)
+        for k in range(NR):
+            rb = PEPACK_HDR + PEPACK_REP * k
+            for m in range(2):
+                b0 = rb + 1 + m * PEPACK_MATE
+                lo = fp[:, b0].astype(np.uint16).astype(np.uint64)
+                hi = fp[:, b0 + 1].astype(np.uint16).astype(np.uint64)
+                pos = (lo | (hi << 16)) + base_w
+                fp[:, b0] = (pos & 0xFFFF).astype(np.int64)
+                fp[:, b0 + 1] = ((pos >> 16) & 0xFFFF).astype(np.int64)
+        aux = pk[:, :, W - 1]
+        fp[:, W - 1] = ((aux & 1).max(axis=0)
+                        | (((aux >> 1) & 1).max(axis=0) << 1))
+        masked = np.where(nv > 0, best, np.int64(-32768)).copy()
+        masked[win, np.arange(B)] = -32768
+        fp[:, 2] = np.maximum(fp[:, 2], masked.max(axis=0))
+        pack = (fp.astype(np.uint64) & 0xFFFF).astype(
+            np.uint16).view(np.int16)
+
+        K2 = souts[0][1].shape[1]
+        m1s, m2s, pts = [], [], []
+        for s, t in enumerate(souts):
+            m1 = t[1].astype(np.int64)
+            m1[:, :, 1] += bases[s]
+            m1s.append(m1)
+            m2 = t[2].astype(np.int64)
+            m2[:, :, 1] += bases[s]
+            m2s.append(m2)
+            p = t[3].astype(np.int64)
+            p[:, :, 1] += s * K2
+            p[:, :, 2] += s * K2
+            pts.append(p)
+        m1_all = np.concatenate(m1s, axis=1)
+        m2_all = np.concatenate(m2s, axis=1)
+        ptm = np.concatenate(pts, axis=1)
+        order = np.argsort(-ptm[:, :, 0], axis=1, kind="stable")
+        ptm = np.take_along_axis(ptm, order[:, :, None], axis=1)
+        return pack, hits >= 2, m1_all, m2_all, ptm
+
     def _merge_shard_results(self, fps, mgs):
         """Combine per-shard fastpacks + candidate grids into global
         coordinates. Returns (fp_global, force_slow, merged_full)."""

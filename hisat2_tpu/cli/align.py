@@ -294,11 +294,11 @@ def main(argv=None) -> int:
         opts.verify_cands = 24
     if sharded is not None:
         from ..align.sharded import ShardedAligner
-        if (args.m1 or args.m2 or args.tab6 or opts.spliced or args.un
-                or args.al or args.repeat):
-            print("hisat2-tpu: sharded indexes currently support unpaired "
-                  "DNA alignment (-U --no-spliced-alignment) only",
-                  file=sys.stderr)
+        if (args.tab6 or opts.spliced or args.un or args.al
+                or args.repeat or args.un_conc or args.al_conc):
+            print("hisat2-tpu: sharded indexes currently support plain "
+                  "DNA alignment (-U / -1 -2, --no-spliced-alignment; no "
+                  "--un/--al/--repeat outputs)", file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)
         al = sal.host
@@ -448,7 +448,32 @@ def main(argv=None) -> int:
         # -s/-u count pairs; -5/-3/--ignore-quals apply to both mates
         pairs = _reindex_pairs(zip(r1s, r2s), args.skip, args.qupto,
                                args.trim5, args.trim3, args.ignore_quals)
-        if args.un_conc or args.al_conc:
+        if sal is not None:
+            # sharded genome: shards stream through HBM per pair-batch
+            # GROUP, global-coordinate PE merge + emit
+            group: list = []
+
+            def _flush_pair_group():
+                nonlocal nreads, group
+                if group:
+                    merge(sal.align_and_emit_pe(group, writer))
+                    nreads += sum(2 * len(x[0]) for x in group)
+                    group = []
+
+            for a, b in pairs:
+                a.rdid = b.rdid = rdid
+                rdid += 1
+                buf1.append(a)
+                buf2.append(b)
+                if len(buf1) == args.batch_size:
+                    group.append(_pad_pair(buf1, buf2, batchify))
+                    buf1, buf2 = [], []
+                    if len(group) >= 32:
+                        _flush_pair_group()
+            if buf1:
+                group.append(_pad_pair(buf1, buf2, batchify))
+            _flush_pair_group()
+        elif args.un_conc or args.al_conc:
             for a, b in pairs:
                 a.rdid = b.rdid = rdid
                 rdid += 1

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--sharded", action="store_true",
                     help="force the genome-sharded index (automatic for "
                          "references over 2^31-2^28 joined bases)")
+    ap.add_argument("--shard-bases", type=int, default=None,
+                    help="max joined bases per shard (implies --sharded; "
+                         "default 2^31-2^28)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -51,11 +54,12 @@ def main(argv=None) -> int:
         haps = (read_haplotypes(args.haplotype, ref, snps)
                 if args.haplotype else None)
     from ..index.sharded import MAX_SHARD_BASES
-    if args.sharded or ref.n > MAX_SHARD_BASES:
+    if args.sharded or args.shard_bases or ref.n > MAX_SHARD_BASES:
         # >2^31-bp (or forced) genomes: int32 shards, one fused-pipeline
         # compile for all shards (reference large-index .ht2l role)
         from ..index.sharded import build_sharded
-        sh = build_sharded(ref, snps=snps, haplotypes=haps)
+        sh = build_sharded(ref, max_bases=args.shard_bases or
+                           MAX_SHARD_BASES, snps=snps, haplotypes=haps)
         if args.ss or args.exon:
             print("warning: --ss/--exon not yet supported on sharded "
                   "indexes", file=sys.stderr)

@@ -56,3 +56,67 @@ def test_sharded_matches_single():
     ndiff = sum(1 for x, y in zip(a, b) if x != y)
     assert ndiff == 0, [(x, y) for x, y in zip(a, b) if x != y][:3]
     assert st1 == st2
+
+
+@pytest.mark.skipif(_samfmt() is None, reason="native formatter unavailable")
+def test_sharded_pe_matches_single():
+    """Paired-end over a genome-sharded index: the host shard merge
+    (align/sharded._merge_pe_shards) must reproduce the single-index
+    packed PE path byte for byte — concordant fast path, cross-shard
+    secbest folding, and slow pairs (mixed/discordant/rescue) through
+    the merged global grids."""
+    from hisat2_tpu.align import paired as _paired
+    from hisat2_tpu.align.emit import _finish_pe_pack
+
+    rng = np.random.default_rng(77)
+    chroms = {f"chr{k}": alphabet.decode(
+        rng.integers(0, 4, 15000).astype(np.uint8)) for k in range(1, 4)}
+    ref = reference_from_seqs(chroms)
+    fm = build_fm_index(ref)
+    sh = build_sharded(ref, max_bases=16000)
+    assert len(sh) == 3
+
+    joined = ref.joined
+    rdlen, frag = 72, 220
+    r1l, r2l = [], []
+    for i in range(128):
+        st = int(rng.integers(0, joined.size - frag))
+        fragc = joined[st:st + frag]
+        m1 = fragc[:rdlen].copy()
+        m2 = alphabet.revcomp(fragc[-rdlen:]).copy()
+        for r in (m1, m2):
+            mm = rng.random(rdlen) < 0.01
+            r[mm] = (r[mm] + rng.integers(1, 4, int(mm.sum()))) % 4
+        q = np.full(rdlen, 40, np.int8)
+        r1l.append(Read(f"p{i}_{st}", m1, q, i))
+        r2l.append(Read(f"p{i}_{st}", m2, q, i))
+    # a few unpairable mates (random junk mate 2) exercise the slow path
+    for i in range(128, 136):
+        st = int(rng.integers(0, joined.size - rdlen))
+        m1 = joined[st:st + rdlen].copy()
+        m2 = rng.integers(0, 4, rdlen).astype(m1.dtype)
+        q = np.full(rdlen, 40, np.int8)
+        r1l.append(Read(f"p{i}_{st}", m1, q, i))
+        r2l.append(Read(f"p{i}_{st}", m2, q, i))
+    pb1 = batchify(r1l, pad_to=rdlen)
+    pb2 = batchify(r2l, pad_to=rdlen)
+
+    al_full = Aligner(fm)
+    out_full = _paired.stage_pe_packed(al_full, pb1, pb2,
+                                       KP=max(8, al_full.opts.khits + 3))
+    s1 = io.StringIO()
+    w1 = samio.SamWriter(s1, ref.names, [int(x) for x in ref.tlens],
+                         no_head=True)
+    st1 = _finish_pe_pack(al_full, pb1, pb2, out_full, w1)
+
+    s2 = io.StringIO()
+    w2 = samio.SamWriter(s2, ref.names, [int(x) for x in ref.tlens],
+                         no_head=True)
+    st2 = ShardedAligner(sh).align_and_emit_pe([(pb1, pb2)], w2)
+
+    a = s1.getvalue().splitlines()
+    b = s2.getvalue().splitlines()
+    assert len(a) == len(b)
+    ndiff = sum(1 for x, y in zip(a, b) if x != y)
+    assert ndiff == 0, [(x, y) for x, y in zip(a, b) if x != y][:3]
+    assert st1 == st2

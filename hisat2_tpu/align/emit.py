@@ -63,7 +63,7 @@ def submit_se(al: Aligner, batch: ReadBatch):
     result copy). Pair with finish_se; overlap several submits to hide
     the tunnel's per-sync latency (align_and_emit_stream)."""
     lib = _samfmt()
-    if (lib is None or not al.opts.seed_mode
+    if (lib is None or not al.opts.seed_mode or al.opts.tmo
             or (al.opts.zs_tags and al.overlay is not None)):
         return ("legacy", batch)
     fp_dev, merged_dev, extras = al.device_align_fast(batch)
@@ -715,6 +715,8 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
     fast &= ~(in_rep & (F_nmm_all > MAX_FAST_MM)).any(axis=1)
     if al.opts.zs_tags and al.overlay is not None:
         fast[:] = False            # Zs tags come from the per-read path
+    if al.opts.tmo:
+        fast[:] = False            # --tmo: contiguous records never report
     if al.opts.omit_sec_seq:
         fast &= nrep <= 1          # secondary records go per-read
     if spl:
@@ -858,6 +860,9 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
                     _dedup_alns(res, al.opts.khits)
                 else:
                     res = ReadResult()
+                if al.opts.tmo:
+                    from .pipeline import tmo_filter_result
+                    res = tmo_filter_result(al, res)
         lines = _format_slow(al, batch, i, res, sc)
         if not res.aligned:
             stats["unal"] += 1
@@ -908,7 +913,7 @@ def align_and_emit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch,
 
     lib = _samfmt()
     o = al.opts
-    if (lib is None or not o.seed_mode or o.spliced
+    if (lib is None or not o.seed_mode or o.spliced or o.tmo
             or (o.zs_tags and al.overlay is not None)
             or len(al.ssdb)):
         return _align_and_emit_pe_legacy(al, b1, b2, writer)
@@ -923,7 +928,7 @@ def submit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch):
     from . import paired as _paired
     lib = _samfmt()
     o = al.opts
-    if (lib is None or not o.seed_mode or o.spliced
+    if (lib is None or not o.seed_mode or o.spliced or o.tmo
             or (o.zs_tags and al.overlay is not None) or len(al.ssdb)):
         return ("legacy", b1, b2)
     out = _paired.stage_pe_packed(al, b1, b2, KP=max(8, o.khits + 3))

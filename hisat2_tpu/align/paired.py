@@ -1257,9 +1257,38 @@ def pairs_to_sam(b1: ReadBatch, b2: ReadBatch, results: list[PairResult],
                  aligner: Aligner, writer: samio.SamWriter) -> dict:
     stats = new_pair_stats()
     for i, pr in enumerate(results):
+        if aligner.opts.tmo:
+            pr = _tmo_filter_pair(aligner, pr)
         lines = pair_lines(aligner, b1, b2, i, pr, stats)
         writer.emit(int(b1.rdids[i]), lines)
     return stats
+
+
+def _tmo_filter_pair(aligner: Aligner, pr: PairResult) -> PairResult:
+    """--tmo gate applied per mate alignment (reference hi_aligner.h:6126
+    runs per reported hit): a pair survives only if BOTH mates pass;
+    failing pairs fall to the next passing alt pair, else to mixed/unal
+    with each mate's surviving alignments."""
+    from .pipeline import _tmo_pass, tmo_filter_result, ReadResult
+    if pr.kind in ("concordant", "discordant"):
+        alts = [t for t in pr.alt_pairs
+                if _tmo_pass(aligner, t[1]) and _tmo_pass(aligner, t[2])]
+        if _tmo_pass(aligner, pr.aln1) and _tmo_pass(aligner, pr.aln2):
+            if len(alts) == len(pr.alt_pairs):
+                return pr
+            return PairResult(kind=pr.kind, aln1=pr.aln1, aln2=pr.aln2,
+                              best=pr.best,
+                              secbest=alts[0][0] if alts else None,
+                              alt_pairs=alts)
+        if alts:
+            t0, a1, a2 = alts[0]
+            return PairResult(kind=pr.kind, aln1=a1, aln2=a2, best=t0,
+                              secbest=alts[1][0] if len(alts) > 1 else None,
+                              alt_pairs=alts[1:])
+        return PairResult(kind="unal", res1=ReadResult(), res2=ReadResult())
+    r1 = tmo_filter_result(aligner, pr.res1) if pr.res1 else ReadResult()
+    r2 = tmo_filter_result(aligner, pr.res2) if pr.res2 else ReadResult()
+    return PairResult(kind=pr.kind, res1=r1, res2=r2)
 
 
 def new_pair_stats() -> dict:

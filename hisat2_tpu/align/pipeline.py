@@ -2308,6 +2308,44 @@ def _best_clip(scoring, rd: np.ndarray, q: np.ndarray, window: np.ndarray,
 # SAM emission (single-end)
 # ---------------------------------------------------------------------------
 
+def _tmo_pass(aligner: Aligner, aln: Alignment) -> bool:
+    """--tmo acceptance for one alignment (reference hi_aligner.h:6126):
+    report only alignments spliced entirely through KNOWN splice sites.
+    With the reference's default avoid_pseudogene=false, an unspliced
+    alignment never sets spliced_to_known (hi_aligner.h:1084-1095), so it
+    is always rejected under --tmo."""
+    known = aligner.ssdb.known
+    spliced = False
+    pos = int(aln.joined_pos)
+    t = 0
+    for op, n in aln.cigar:
+        if op == "N":
+            spliced = True
+            # junction coords: (last base of left exon, first base of
+            # right exon) — the add_novel/add_known convention
+            if (pos + t - 1, pos + t + n) not in known:
+                return False
+        if op in ("M", "D", "N", "=", "X"):
+            t += n
+    return spliced
+
+
+def tmo_filter_result(aligner: Aligner, res: ReadResult) -> ReadResult:
+    """Drop --tmo-failing alignments from a ReadResult; best/secbest
+    re-derive from the survivors (the reference gates before AlnRes
+    creation, so rejected candidates never feed MAPQ)."""
+    if not res.alns:
+        return res
+    alns = [a for a in res.alns if _tmo_pass(aligner, a)]
+    if len(alns) == len(res.alns):
+        return res
+    out = ReadResult(alns=alns, filtered=res.filtered)
+    if alns:
+        out.best = alns[0].score
+        out.secbest = alns[1].score if len(alns) > 1 else None
+    return out
+
+
 def results_to_sam(batch: ReadBatch, results: list[ReadResult],
                    aligner: Aligner, writer: samio.SamWriter) -> dict:
     """Emit SAM lines for a single-end batch; returns summary counts."""
@@ -2316,6 +2354,8 @@ def results_to_sam(batch: ReadBatch, results: list[ReadResult],
     stats = dict(reads=0, unal=0, uniq=0, multi=0)
     for i, res in enumerate(results):
         stats["reads"] += 1
+        if aligner.opts.tmo:
+            res = tmo_filter_result(aligner, res)
         name = batch.names[i]
         rdlen = int(batch.lens[i])
         seq = batch.seqs[i, :rdlen]

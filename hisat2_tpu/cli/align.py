@@ -266,8 +266,6 @@ def main(argv=None) -> int:
         kw["canonical_splice_pen"] = args.pen_cansplice
     if args.pen_noncansplice is not None:
         kw["noncanonical_splice_pen"] = args.pen_noncansplice
-    if args.tmo:
-        kw.setdefault("noncanonical_intronlen_pen", SimpleFunc("G", -8.0, 2.0))
     if kw:
         sc = _dc_replace(sc, **kw)
 

@@ -82,11 +82,16 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"  {fm.known_ss.shape[0]} splice sites baked into index",
                   file=sys.stderr)
-    elif args.exon:
-        print("warning: --exon without --ss: exons alone don't define "
-              "junctions; pass the .ss file from extract_splice_sites "
-              "(the reference's make_*_tran recipes pass both)",
-              file=sys.stderr)
+    if args.exon:
+        fm.known_exons = _load_exons(args.exon, ref)
+        if not args.quiet:
+            print(f"  {fm.known_exons.shape[0]} exons baked into index",
+                  file=sys.stderr)
+        if not args.ss:
+            print("warning: --exon without --ss: exons alone don't define "
+                  "junctions; pass the .ss file from extract_splice_sites "
+                  "(the reference's make_*_tran recipes pass both)",
+                  file=sys.stderr)
     fm.save(args.prefix)
     if not args.quiet:
         print(f"  index written to {args.prefix}.npz "
@@ -94,11 +99,10 @@ def main(argv=None) -> int:
     return 0
 
 
-def _load_ss(path, ref):
-    """Map a .ss file to joined coordinates -> (K, 3) int64 array (per-
-    chromosome sorted fragment lookup, not the O(F) per-site scan)."""
+def _joined_mapper(ref):
+    """(name_to_tidx, to_joined) for text->joined coordinate mapping
+    (per-chromosome sorted fragment lookup, not the O(F) per-site scan)."""
     import numpy as np
-    from ..io.annotations import read_splice_sites
     name_to_tidx = {n: i for i, n in enumerate(ref.names)}
     by_tidx = {}
     for t in range(len(ref.names)):
@@ -114,6 +118,18 @@ def _load_ss(path, ref):
             return None
         return int(fjoins[fi] + pos - toffs[fi])
 
+    return name_to_tidx, to_joined
+
+
+def _strand_code(s: str) -> int:
+    return 1 if s == "+" else (-1 if s == "-" else 0)
+
+
+def _load_ss(path, ref):
+    """Map a .ss file to joined coordinates -> (K, 3) int64 array."""
+    import numpy as np
+    from ..io.annotations import read_splice_sites
+    name_to_tidx, to_joined = _joined_mapper(ref)
     rows = []
     for s in read_splice_sites(path):
         tidx = name_to_tidx.get(s.chrom)
@@ -123,8 +139,28 @@ def _load_ss(path, ref):
         jr = to_joined(tidx, s.right)
         if jl is None or jr is None:
             continue
-        strand = 1 if s.strand == "+" else (-1 if s.strand == "-" else 0)
-        rows.append((jl, jr, strand))
+        rows.append((jl, jr, _strand_code(s.strand)))
+    return (np.asarray(rows, np.int64).reshape(-1, 3) if rows
+            else np.zeros((0, 3), np.int64))
+
+
+def _load_exons(path, ref):
+    """Map a .exon file to joined coordinates -> (K, 3) int64 array
+    (the reference stores exons as EXON ALTs in .7.ht2, gfm_build
+    exon loading; printed back by hisat2-inspect --exon)."""
+    import numpy as np
+    from ..io.annotations import read_exons
+    name_to_tidx, to_joined = _joined_mapper(ref)
+    rows = []
+    for chrom, left, right, strand in read_exons(path):
+        tidx = name_to_tidx.get(chrom)
+        if tidx is None:
+            continue
+        jl = to_joined(tidx, left)
+        jr = to_joined(tidx, right)
+        if jl is None or jr is None:
+            continue
+        rows.append((jl, jr, _strand_code(strand)))
     return (np.asarray(rows, np.int64).reshape(-1, 3) if rows
             else np.zeros((0, 3), np.int64))
 

@@ -22,6 +22,13 @@ def main(argv=None) -> int:
     ap.add_argument("--snp", action="store_true")
     ap.add_argument("--ss", action="store_true",
                     help="print splice sites baked into the index")
+    ap.add_argument("--ss-all", dest="ss_all", action="store_true",
+                    help="print splice sites including those not in the "
+                         "global index (we bake every loadable site, so "
+                         "this equals --ss; the reference additionally "
+                         "keeps 'excluded' sites, hisat2_inspect.cpp:473)")
+    ap.add_argument("--exon", action="store_true",
+                    help="print exons baked into the index")
     ap.add_argument("-a", "--across", type=int, default=60,
                     help="bases per FASTA line")
     args = ap.parse_args(argv)
@@ -53,10 +60,10 @@ def main(argv=None) -> int:
             for line in snps.to_snp_lines(ref):
                 w(line + "\n")
         return 0
-    if args.ss:
-        ks = getattr(fm, "known_ss", None)
-        if ks is not None:
-            for jl, jr, strand in ks:
+    if args.ss or args.ss_all or args.exon:
+        rows = getattr(fm, "known_exons" if args.exon else "known_ss", None)
+        if rows is not None:
+            for jl, jr, strand in rows:
                 ll = ref.joined_to_text(int(jl))
                 rr = ref.joined_to_text(int(jr))
                 if ll is None or rr is None:

@@ -56,6 +56,7 @@ class FMIndex:
     # transcriptome annotations baked at build time (--ss/--exon; the
     # reference stores these as SPLICESITE/EXON ALTs in .7.ht2)
     known_ss: np.ndarray = None   # (K, 3) int64 [left, right, strand(+1/-1/0)]
+    known_exons: np.ndarray = None  # (K, 3) int64 [left, right, strand]
     # sampled-SA mode (--offrate k, reference _offs/offRate semantics,
     # MANUAL.markdown:2008-2019): rows whose SA value % 2^k == 0 are
     # marked; lookups walk LF to a marked row. offrate 0 = full SA.
@@ -172,6 +173,8 @@ class FMIndex:
             tlens=self.ref.tlens,
             known_ss=(self.known_ss if self.known_ss is not None
                       else np.zeros((0, 3), np.int64)),
+            known_exons=(self.known_exons if self.known_exons is not None
+                         else np.zeros((0, 3), np.int64)),
             samp_bits=(self.samp_bits if self.samp_bits is not None
                        else np.zeros(0, np.uint32)),
             samp_rank=(self.samp_rank if self.samp_rank is not None
@@ -215,6 +218,8 @@ class FMIndex:
                        occ=z["occ"], ccount=z["ccount"], sa=z["sa"],
                        ftab=z["ftab"],
                        known_ss=z["known_ss"] if "known_ss" in z else None,
+                       known_exons=(z["known_exons"]
+                                    if "known_exons" in z else None),
                        offrate=meta.get("offrate", 0),
                        samp_bits=z["samp_bits"] if "samp_bits" in z else None,
                        samp_rank=z["samp_rank"] if "samp_rank" in z else None,

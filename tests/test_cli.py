@@ -138,3 +138,36 @@ def test_repeat_mode_align(workdir, tmp_path):
     assert recs["uni"][2] == "chrRp"               # unique stays genomic
     hdr = [l for l in open(out) if l.startswith("@SQ")]
     assert any("SN:rpt_" in l for l in hdr)
+
+
+def test_build_ss_exon_inspect_roundtrip(workdir, capsys):
+    """--ss/--exon bake into the index; inspect --ss/--ss-all/--exon print
+    them back (reference hisat2_inspect.cpp:473-571 ALT round-trip)."""
+    d, codes = workdir
+    from hisat2_tpu.cli.build import main as build_main
+    from hisat2_tpu.cli.inspect import main as inspect_main
+    ss = d / "g.ss"
+    ss.write_text("chrC\t1999\t2500\t+\nchrC\t7000\t7600\t-\n")
+    exon = d / "g.exon"
+    exon.write_text("chrC\t1500\t1999\t+\nchrC\t2501\t2800\t+\n")
+    assert build_main(["--ss", str(ss), "--exon", str(exon),
+                       str(d / "g.fa"), str(d / "tidx"), "--quiet"]) == 0
+    assert inspect_main([str(d / "tidx"), "--ss"]) == 0
+    assert capsys.readouterr().out == ss.read_text()
+    assert inspect_main([str(d / "tidx"), "--ss-all"]) == 0
+    assert capsys.readouterr().out == ss.read_text()
+    assert inspect_main([str(d / "tidx"), "--exon"]) == 0
+    assert capsys.readouterr().out == exon.read_text()
+
+
+def test_tmo_cli(workdir):
+    """--tmo end-to-end: a contiguous (unspliced) read is reported
+    unaligned when transcriptome-mapping-only is on."""
+    d, codes = workdir
+    from hisat2_tpu.cli.align import main as align_main
+    out = str(d / "tmo.sam")
+    assert align_main(["-x", str(d / "idx"), "-U", str(d / "r.fq"),
+                       "-S", out, "--quiet", "--tmo"]) == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(recs) == 50
+    assert all(int(f[1]) & 4 for f in recs)

@@ -124,3 +124,39 @@ def test_non_spliced_mode_ignores_junctions(rna_setup):
     res = al2.align_batch(batchify([Read("nj", seq, np.full(100, 40), 0)]))[0]
     for a in res.alns:
         assert all(op != "N" for op, _ in a.cigar)
+
+
+def test_tmo_reports_only_known_transcripts(rna_setup):
+    """--tmo (reference hi_aligner.h:6126): only alignments spliced
+    through KNOWN sites are reported; novel-junction and contiguous
+    alignments come back unaligned."""
+    import io
+    from hisat2_tpu.align.pipeline import (Aligner as A, AlignerOpts as O,
+                                           results_to_sam)
+    from hisat2_tpu.io import sam as samio
+
+    codes, introns, al = rna_setup
+    al2 = A(al.fm, opts=O(spliced=True, tmo=True))
+    s_known, il_known = introns[2]
+    al2.ssdb.add_known(s_known - 1, s_known + il_known, "+")
+    s_nov, il_nov = introns[3]
+    reads = [
+        Read("known", _junction_read(codes, s_known, il_known),
+             np.full(100, 40), 0),
+        Read("novel", _junction_read(codes, s_nov, il_nov),
+             np.full(100, 40), 1),
+        Read("contig", codes[9000:9100].copy(), np.full(100, 40), 2),
+    ]
+    batch = batchify(reads)
+    results = al2.align_batch(batch)
+    out = io.StringIO()
+    w = samio.SamWriter(out, al.fm.ref.names,
+                        [int(x) for x in al.fm.ref.tlens], no_head=True)
+    st = results_to_sam(batch, results, al2, w)
+    recs = {ln.split("\t")[0]: ln.split("\t") for ln in
+            out.getvalue().splitlines()}
+    assert not int(recs["known"][1]) & 4
+    assert "N" in recs["known"][5]
+    assert int(recs["novel"][1]) & 4
+    assert int(recs["contig"][1]) & 4
+    assert st["unal"] == 2

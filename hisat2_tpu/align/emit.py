@@ -820,6 +820,12 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
             entries.sort(key=lambda e: (-e[1], 0 if (e[0] == "spl"
                                                      and e[4]["canon"] == 1)
                                         else 1))
+        if al.opts.tmo:
+            # --tmo: contiguous candidates can never pass _tmo_pass
+            # (reference gates BEFORE report-slot allocation,
+            # hi_aligner.h:6126) — drop them before the khits+1 cut so
+            # they don't evict a reportable spliced alignment.
+            entries = [e for e in entries if e[0] == "spl"]
         entries = entries[: al.opts.khits + 1]
         plans[i] = entries
         for kind, s, p, f, g in entries:
@@ -1351,7 +1357,10 @@ def _align_and_emit_pe_legacy(al: Aligner, b1: ReadBatch, b2: ReadBatch,
     lib = _samfmt()
     o = al.opts
     B = len(b1)
-    if lib is None or not o.seed_mode:
+    if lib is None or not o.seed_mode or o.tmo:
+        # --tmo must flow through pairs_to_sam, where _tmo_filter_pair
+        # drops contiguous (non-transcriptomic) alignments (the fused
+        # pair_lines path below has no tmo gate).
         res = _paired.align_pairs(al, b1, b2)
         return _paired.pairs_to_sam(b1, b2, res, al, writer)
 

@@ -30,6 +30,15 @@ class ShardedAligner:
         self.sh = sh
         self.scoring = scoring
         self.opts = opts or AlignerOpts()
+        # fast-path packs carry positions in two 16-bit lanes; genomes
+        # whose joined length exceeds 2^32 would wrap silently — refuse
+        # loudly (slow-path grids are int64 and unaffected)
+        total_len = int(sh.bases[-1]) + int(sh.shards[-1].ref.n)
+        if total_len >= (1 << 32):
+            raise ValueError(
+                f"sharded fast-path positions are 32-bit: joined genome "
+                f"length {total_len} exceeds 2^32 (split the reference "
+                f"or raise the pack position width)")
         self.host = Aligner.host_only(sh.ref, scoring, self.opts)
         if getattr(sh, "snps", None) is not None:
             # graph mode: the host finalization path needs the GLOBAL SNV
@@ -124,8 +133,10 @@ class ShardedAligner:
                 out = _paired.stage_pe_packed(al, b1, b2, KP)
                 if out is None:
                     raise ValueError(
-                        "sharded paired-end alignment requires "
-                        "constant-quality batches (FASTA/simulated input)")
+                        "sharded paired-end alignment currently requires "
+                        "constant per-read qualities (FASTA input, -f, or "
+                        "FASTQ with uniform quality strings); this batch "
+                        "has varying quality values")
                 pack, m1, m2, pt = out[:4]
                 for d in (m1, m2, pt):
                     try:

@@ -293,10 +293,11 @@ def main(argv=None) -> int:
     if sharded is not None:
         from ..align.sharded import ShardedAligner
         if (args.tab6 or opts.spliced or args.un or args.al
-                or args.repeat or args.un_conc or args.al_conc):
+                or args.repeat or args.un_conc or args.al_conc
+                or args.tmo):
             print("hisat2-tpu: sharded indexes currently support plain "
                   "DNA alignment (-U / -1 -2, --no-spliced-alignment; no "
-                  "--un/--al/--repeat outputs)", file=sys.stderr)
+                  "--un/--al/--repeat/--tmo outputs)", file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)
         al = sal.host
@@ -454,7 +455,11 @@ def main(argv=None) -> int:
             def _flush_pair_group():
                 nonlocal nreads, group
                 if group:
-                    merge(sal.align_and_emit_pe(group, writer))
+                    try:
+                        merge(sal.align_and_emit_pe(group, writer))
+                    except ValueError as e:
+                        print(f"hisat2-tpu: {e}", file=sys.stderr)
+                        raise SystemExit(2)
                     nreads += sum(2 * len(x[0]) for x in group)
                     group = []
 

@@ -171,3 +171,28 @@ def test_tmo_cli(workdir):
     recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
     assert len(recs) == 50
     assert all(int(f[1]) & 4 for f in recs)
+
+
+def test_tmo_cli_pe(workdir):
+    """PE --tmo: contiguous concordant pairs must be reported unaligned
+    on the DEFAULT paired path (the fused/native formatter path used to
+    bypass the tmo gate entirely)."""
+    d, codes = workdir
+    from hisat2_tpu.cli.align import main as align_main
+    rng = np.random.default_rng(11)
+    r1 = d / "p1.fq"
+    r2 = d / "p2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(30):
+            p = int(rng.integers(0, 38000))
+            frag = codes[p:p + 300]
+            s1 = alphabet.decode(frag[:100])
+            s2 = alphabet.decode(3 - frag[-100:][::-1])   # revcomp mate
+            f1.write(f"@p{i}\n{s1}\n+\n{'I'*100}\n")
+            f2.write(f"@p{i}\n{s2}\n+\n{'I'*100}\n")
+    out = str(d / "tmo_pe.sam")
+    assert align_main(["-x", str(d / "idx"), "-1", str(r1), "-2", str(r2),
+                       "-S", out, "--quiet", "--tmo"]) == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(recs) == 60
+    assert all(int(f[1]) & 4 for f in recs)

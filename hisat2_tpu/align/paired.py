@@ -21,6 +21,7 @@ from ..io.reads import ReadBatch
 from ..io import sam as samio
 from . import mapq as _mapq
 from .pipeline import Aligner, Alignment, ReadResult, NEG_INF
+from ..ops import rank as _rank
 
 
 # ---------------------------------------------------------------------------
@@ -369,8 +370,7 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
     def containd(pos, c5, c3, lm):
         astart = pos + c5
         span = lm.astype(jnp.int32) - c5 - c3
-        f = jnp.searchsorted(idx["frag_joined"], astart,
-                             side="right") - 1
+        f = _rank.searchsorted_right(idx["frag_joined"], astart) - 1
         fc = jnp.clip(f, 0, idx["frag_joined"].shape[0] - 1)
         okc = ((f >= 0) & (span > 0)
                & (astart + span <= idx["frag_end"][fc]))
@@ -504,7 +504,6 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                          st1["seqs2"][orow])
         ql_l = jnp.where(a1_l[:, None], st2["quals2"][orow],
                          st1["quals2"][orow])
-        from ..ops import rank as _rank
         from ..ops import sw as _swo
         win = _rank.text_window(idx, ws_l, W)
         if sc_const is not None and jax.default_backend() == "tpu":

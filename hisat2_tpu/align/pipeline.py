@@ -34,6 +34,7 @@ from ..index.fm_index import FMIndex
 from ..io.reads import ReadBatch
 from ..io import sam as samio
 from ..ops import search as _search, locate as _locate, extend as _extend, sw as _sw
+from ..ops import rank as _rank
 from ..ops.extend import NEG_INF
 
 _DEC5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
@@ -268,8 +269,13 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
     votes = nxt - jnp.arange(C, dtype=jnp.int32)[None, :]
     vote_key = jnp.where(first, votes, jnp.int32(-1))
     verify_cands = min(verify_cands or max(top_cands, 16), C)
-    vk, vi = lax.top_k(vote_key, verify_cands)
-    vcand = jnp.take_along_axis(skey, vi, 1)
+    # variadic stable sort carries the positions alongside the vote keys
+    # — top_k + take_along_axis costs an extra element gather per lane
+    # (the single hottest op in the dispatch profile); sort+slice doesn't.
+    # Stability preserves top_k's lowest-index tie order exactly.
+    nvk, vcand = lax.sort((-vote_key, skey), dimension=1, num_keys=1)
+    vk = -nvk[:, :verify_cands]
+    vcand = vcand[:, :verify_cands]
     vvalid = vk > 0
     vcand = jnp.where(vvalid, vcand, big)
 
@@ -277,9 +283,11 @@ def _stage_candidates(idx: dict, sctab: dict, seqs, quals, lens,
                                   vcand, vvalid)
     T = top_cands
     Tv = min(T, verify_cands)
-    sc_top, ti = lax.top_k(res["score"], Tv)
-    pos_top = jnp.take_along_axis(vcand, ti, 1)
-    nmm_top = jnp.take_along_axis(res["nmm"], ti, 1)
+    nsc, pos_top, nmm_top = lax.sort(
+        (-res["score"], vcand, res["nmm"]), dimension=1, num_keys=1)
+    sc_top = -nsc[:, :Tv]
+    pos_top = pos_top[:, :Tv]
+    nmm_top = nmm_top[:, :Tv]
     if Tv < T:
         # pad back to the standard T columns (stable downstream shapes)
         padc = ((0, 0), (0, T - Tv))
@@ -306,7 +314,6 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
     wstart = pos_top - dp_pad                                   # (R', T)
     ref = _rank_text_window(idx, wstart.reshape(-1), W)         # (R'*T, W)
     if "snv_packed" in idx:
-        from ..ops import rank as _rank
         ov = _rank.nib4_window(idx, wstart.reshape(-1), W)
     else:
         ov = None
@@ -339,7 +346,6 @@ def _stage_dp(idx: dict, sctab: dict, seqs2, quals2, lens2,
 
 
 def _rank_text_window(idx, start, length):
-    from ..ops import rank as _rank
     return _rank.text_window(idx, start, length)
 
 
@@ -373,7 +379,6 @@ def _stage_fin_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
     isn = ((rd >= 4) | (win >= 4)) & in_read
     mm = (rd != win) & ~isn & in_read
     if "snv_packed" in idx:
-        from ..ops import rank as _rank
         ov = _rank.nib4_window(idx, ppos, L)
         snp_free = mm & ((ov == rd + 1) | (ov == 15))
     else:
@@ -553,7 +558,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
         c5k, c3k = f[:, 0], f[:, 1]
         astart = posk + c5k
         span = lens_k - c5k - c3k
-        fr = jnp.searchsorted(idx["frag_joined"], astart, side="right") - 1
+        fr = _rank.searchsorted_right(idx["frag_joined"], astart) - 1
         fc = jnp.clip(fr, 0, idx["frag_joined"].shape[0] - 1)
         return ((fr >= 0) & (span > 0)
                 & (astart + span <= idx["frag_end"][fc])
@@ -748,13 +753,15 @@ def _stage_merge(pos, score, dp_score, B: int, K2: int):
            else dp_score > score)
     cat = lambda a: jnp.concatenate([a[:B], a[B:]], axis=1)
     sc2, pos2, gap2 = cat(sc), cat(pos), cat(gap)
-    fw2 = jnp.concatenate([jnp.ones((B, T), bool),
-                           jnp.zeros((B, T), bool)], axis=1)
-    top, ti = lax.top_k(sc2, K2)
-    take = lambda a: jnp.take_along_axis(a, ti, 1)
-    flags = take(fw2).astype(jnp.int32) | (take(gap2).astype(jnp.int32) << 1)
+    fl2 = jnp.concatenate(
+        [jnp.ones((B, T), jnp.int32), jnp.zeros((B, T), jnp.int32)],
+        axis=1) | (gap2.astype(jnp.int32) << 1)
+    # variadic stable sort instead of top_k + per-field take_along_axis
+    # (each take_along is an element gather at issue rate); stability
+    # preserves top_k's lowest-index tie order
+    nsc, pos_s, fl_s = lax.sort((-sc2, pos2, fl2), dimension=1, num_keys=1)
     # one packed (B, K2, 3) tensor -> one device->host transfer
-    return jnp.stack([top, take(pos2), flags], axis=2)
+    return jnp.stack([-nsc[:, :K2], pos_s[:, :K2], fl_s[:, :K2]], axis=2)
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,13 @@ class FMIndex:
             extra.update(st_starts=jnp.asarray(self.st_starts),
                          st_pos_rows=jnp.asarray(sp_rows),
                          st_k=int(self.st_k))
+            if self.st_starts.size <= (1 << 24) + 1:
+                # (4^kt, 2) [start, end] pairs: bucket bounds in ONE row
+                # gather instead of two element gathers (the two ranked
+                # among the top-5 ops in the dispatch profile). Gated to
+                # kt <= 12 — at kt=13 the pair copy would add 512MB HBM.
+                extra["st_pairs"] = jnp.asarray(np.stack(
+                    [self.st_starts[:-1], self.st_starts[1:]], axis=1))
         # (nr, 16)-word row view of the packed text (+1 zero row so a
         # 2-row slice at the last row stays in bounds): lets window
         # fetches cost ONE gather lane each (ops/rank.gather_rows2)
@@ -133,9 +140,17 @@ class FMIndex:
         # the gather ISSUE RATE (~65M rows/s), not bandwidth, bounds the
         # hot path (scripts/sol_bench.py). Costs one extra text copy
         # (0.25 B/base) in HBM.
-        flat = np.zeros((nr + 1) * 16, np.uint32)
-        flat[:tp.size] = tp
-        nro = max(1, -(-tp.size // 8))
+        #
+        # The view is PADDED with 128 leading zero chars (8 words): row r
+        # covers text chars [128*r - 128, 128*r + 128), so windows with
+        # NEGATIVE starts (chromosome-start DP windows) come out aligned
+        # at their true start with no post-hoc char-shift cascade — the
+        # old _shift_right_fill was 5-7 full passes over the unpacked
+        # (lanes, L) char tensor on every fetch, by far the hottest
+        # non-gather cost in the verify path.
+        flat = np.zeros(8 + (nr + 1) * 16, np.uint32)
+        flat[8:8 + tp.size] = tp
+        nro = max(1, -(-(tp.size + 8) // 8))
         ov = np.zeros((nro + 1, 16), np.uint32)
         for j in range(2):
             seg = flat[8 * j: 8 * (nro + j)].reshape(nro, 8)

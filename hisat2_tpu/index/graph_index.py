@@ -71,10 +71,13 @@ class GraphFMIndex(FMIndex):
         srows.reshape(-1)[:packed.size] = packed
         d["snv_rows"] = jnp.asarray(srows)
         # 50%-overlapping row view (32 words at 16-word stride): overlay
-        # windows <= 113 chars need ONE gather lane (see text_rows_ov)
-        flat = np.zeros((nrn + 1) * 32, np.uint32)
-        flat[:packed.size] = packed
-        nro = max(1, -(-packed.size // 16))
+        # windows <= 113 chars need ONE gather lane (see text_rows_ov).
+        # Padded with 128 leading zero chars (16 words) so negative-start
+        # windows come out aligned with no char-shift cascade (same
+        # scheme as text_rows_ov).
+        flat = np.zeros(16 + (nrn + 1) * 32, np.uint32)
+        flat[16:16 + packed.size] = packed
+        nro = max(1, -(-(packed.size + 16) // 16))
         sov = np.zeros((nro + 1, 32), np.uint32)
         for j in range(2):
             seg = flat[16 * j: 16 * (nro + j)].reshape(nro, 16)

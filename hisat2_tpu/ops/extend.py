@@ -45,7 +45,7 @@ def verify_ungapped(idx: dict, sctab: dict,
     lens = lens.astype(jnp.int32)
 
     # fragment-boundary check: start & end in the same fragment
-    frag = jnp.searchsorted(idx["frag_joined"], cand_pos, side="right") - 1
+    frag = _rank.searchsorted_right(idx["frag_joined"], cand_pos) - 1
     frag = jnp.clip(frag, 0, idx["frag_joined"].shape[0] - 1)
     fstart = idx["frag_joined"][frag]
     fend = idx["frag_end"][frag]

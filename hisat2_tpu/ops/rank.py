@@ -146,6 +146,22 @@ def _shift_words(w: jax.Array, ws: jax.Array, keep: int) -> jax.Array:
     return w[..., :keep]
 
 
+def searchsorted_right(table: jax.Array, q: jax.Array,
+                       cap: int = 128) -> jax.Array:
+    """`jnp.searchsorted(table, q, side="right")` with a fast path for
+    SMALL tables: jnp.searchsorted lowers to a while-loop binary search
+    (log F sequential full passes over the query tensor — the while ops
+    were the single largest line in the dispatch profile), while a
+    broadcast compare-sum is ONE fused pass when F is small (fragment
+    tables are one entry per chromosome fragment)."""
+    F = table.shape[0]
+    if F == 0:
+        return jnp.zeros(q.shape, jnp.int32)
+    if F <= cap:
+        return (table <= q[..., None]).sum(axis=-1).astype(jnp.int32)
+    return jnp.searchsorted(table, q, side="right").astype(jnp.int32)
+
+
 def packed_char(packed: jax.Array, pos: jax.Array) -> jax.Array:
     """Symbol at position pos of a 2-bit packed array (BWT or text)."""
     word = packed[pos >> 4]
@@ -160,20 +176,30 @@ def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     start = start.astype(jnp.int32)
     nw = (length + 7) // 8
     packed = idx["snv_packed"]
-    cs = jnp.clip(start, 0, None)
-    base = cs >> 3
-    sh = (4 * (cs & 7)).astype(jnp.uint32)
     if "snv_rows_ov" in idx and length <= 113:
+        # padded by 128 leading zero chars (16 words) — see text_rows_ov
         rows = idx["snv_rows_ov"]
-        r = jnp.clip(cs >> 7, 0, rows.shape[0] - 1)
+        q = jnp.clip(start, -128, None) + 128
+        r = jnp.clip(q >> 7, 0, rows.shape[0] - 1)
         w32 = rows[r]                                       # (..., 32)
+        base = q >> 3
+        sh = (4 * (q & 7)).astype(jnp.uint32)
         words = _shift_words(w32, base & 15, nw + 1)
+        fill_sh = None
     elif "snv_rows" in idx and length <= 256:
+        cs = jnp.clip(start, 0, None)
+        base = cs >> 3
+        sh = (4 * (cs & 7)).astype(jnp.uint32)
         w64 = gather_rows2(idx["snv_rows"], cs >> 8)        # (..., 64)
         words = _shift_words(w64, base & 31, nw + 1)
+        fill_sh = cs - start
     else:
+        cs = jnp.clip(start, 0, None)
+        base = cs >> 3
+        sh = (4 * (cs & 7)).astype(jnp.uint32)
         widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
         words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]
+        fill_sh = cs - start
     lo = words[..., :nw] >> sh[..., None]
     hi = jnp.where(sh[..., None] == 0, jnp.uint32(0),
                    words[..., 1:] << (jnp.uint32(32) - sh)[..., None])
@@ -181,7 +207,8 @@ def nib4_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     shifts = (4 * jnp.arange(8, dtype=jnp.uint32))
     nibs = ((aligned[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.int32)
     out = nibs.reshape(*nibs.shape[:-2], nw * 8)[..., :length]
-    out = _shift_right_fill(out, cs - start, 0)
+    if fill_sh is not None:
+        out = _shift_right_fill(out, fill_sh, 0)
     pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
     inb = (pos >= 0) & (pos < idx["primary_n"])
     return jnp.where(inb, out, 0)
@@ -206,22 +233,35 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     start = start.astype(jnp.int32)
     nw = (length + 15) // 16
     packed = idx["text_packed"]
-    cs = jnp.clip(start, 0, None)
-    base = cs >> 4                                          # first word
-    sh = (2 * (cs & 15)).astype(jnp.uint32)                 # bit offset
     if "text_rows_ov" in idx and length <= 128:
-        # 50%-overlapping rows: whole window inside ONE row -> a single
-        # gather lane (the hot-path op is gather-issue-rate-bound)
+        # 50%-overlapping rows, PADDED by 128 leading zero chars: whole
+        # window inside ONE row -> a single gather lane, and negative
+        # starts (chromosome-start DP windows) align for free — padded
+        # coordinate q = start + 128 is non-negative for every window
+        # that overlaps the text (length <= 128), so no post-hoc
+        # char-shift cascade is needed.
         rows = idx["text_rows_ov"]
-        r = jnp.clip(cs >> 7, 0, rows.shape[0] - 1)
+        q = jnp.clip(start, -128, None) + 128
+        r = jnp.clip(q >> 7, 0, rows.shape[0] - 1)
         w16 = rows[r]                                       # (..., 16)
+        base = q >> 4
+        sh = (2 * (q & 15)).astype(jnp.uint32)
         words = _shift_words(w16, base & 7, nw + 1)
+        fill_sh = None
     elif "text_rows" in idx and length <= 256:
+        cs = jnp.clip(start, 0, None)
+        base = cs >> 4
+        sh = (2 * (cs & 15)).astype(jnp.uint32)
         w32 = gather_rows2(idx["text_rows"], cs >> 8)       # (..., 32)
         words = _shift_words(w32, base & 15, nw + 1)
+        fill_sh = cs - start
     else:
+        cs = jnp.clip(start, 0, None)
+        base = cs >> 4
+        sh = (2 * (cs & 15)).astype(jnp.uint32)
         widx = base[..., None] + jnp.arange(nw + 1, dtype=jnp.int32)
         words = packed[jnp.clip(widx, 0, packed.shape[0] - 1)]  # (..., nw+1)
+        fill_sh = cs - start
     # align to the window start entirely with per-lane shifts (no gather):
     # aligned[w] = words[w] >> sh | words[w+1] << (32-sh)
     lo = words[..., :nw] >> sh[..., None]
@@ -232,9 +272,11 @@ def text_window(idx: dict, start: jax.Array, length: int) -> jax.Array:
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
     chars = ((aligned[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
     out = chars.reshape(*chars.shape[:-2], nw * 16)[..., :length]
-    # negative starts: content was anchored at 0 — shift right so every
-    # in-bounds position holds ITS character (advisor r1 finding)
-    out = _shift_right_fill(out, cs - start, 4)
+    if fill_sh is not None:
+        # negative starts on the non-padded views: content was anchored
+        # at 0 — shift right so every in-bounds position holds ITS
+        # character (advisor r1 finding)
+        out = _shift_right_fill(out, fill_sh, 4)
     pos = start[..., None] + jnp.arange(length, dtype=jnp.int32)
     inb = (pos >= 0) & (pos < idx["n"])
     return jnp.where(inb, out, 4)

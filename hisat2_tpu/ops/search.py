@@ -169,17 +169,23 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     lens = lens.astype(jnp.int32)
     c = jnp.minimum(seqs.astype(jnp.int32), 3)
     isn = (seqs >= 4).astype(jnp.int32)
-    # rolling kt-mer codes + N-in-window flags for every read offset
+    # rolling kt-mer codes for every read offset, with an N-in-window
+    # flag riding bit 28 (codes < 4^13 = 2^26): ONE take_along_axis
+    # element gather instead of two — element gathers run at issue rate
+    # and were two of the top-five ops in the dispatch profile
+    NB = jnp.int32(1 << 28)
     codes = jnp.zeros((R, L), jnp.int32)
-    nn = jnp.zeros((R, L), jnp.int32)
+    nn = jnp.zeros((R, L), jnp.bool_)
+    isn_b = isn > 0
     for j in range(kt):
         w = 4 ** (kt - 1 - j)
         if j == 0:
             codes = codes + c * w
-            nn = nn + isn
+            nn = nn | isn_b
         else:
             codes = codes + jnp.pad(c[:, j:], ((0, 0), (0, j))) * w
-            nn = nn + jnp.pad(isn[:, j:], ((0, 0), (0, j)))
+            nn = nn | jnp.pad(isn_b[:, j:], ((0, 0), (0, j)))
+    codes = codes + nn.astype(jnp.int32) * NB
     nbuckets0 = idx["st_starts"].shape[0] - 1
     pair_mode = idx["st_pos_rows"].size / max(nbuckets0, 1) > 3.0
     span = jnp.maximum(lens - (2 * kt if pair_mode else kt), 0)
@@ -188,10 +194,17 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
         offs = jnp.minimum(s_ix[None, :] * stride, span[:, None])
     else:
         offs = (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1)
-    code_sel = jnp.take_along_axis(codes, offs, 1)          # (R, S)
-    n_sel = jnp.take_along_axis(nn, offs, 1) > 0
-    s0 = idx["st_starts"][code_sel]
-    s1 = idx["st_starts"][code_sel + 1]
+    csel = jnp.take_along_axis(codes, offs, 1)              # (R, S)
+    n_sel = csel >= NB
+    code_sel = csel & (NB - 1)
+    if "st_pairs" in idx:
+        # (4^kt, 2) [start, end] pair rows: ONE row gather replaces two
+        # element gathers (start and end lived in separate kernels)
+        s01 = idx["st_pairs"][code_sel]                     # (R, S, 2)
+        s0, s1 = s01[..., 0], s01[..., 1]
+    else:
+        s0 = idx["st_starts"][code_sel]
+        s1 = idx["st_starts"][code_sel + 1]
     cnt = s1 - s0
 
     # bucket load decides the mode statically: Gbp-scale shards overflow
@@ -201,11 +214,16 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     if pair_mode:
         SLOT = min(48, idx["st_pos_rows"].shape[1] * 2 - 31)
         usable = (lens >= 2 * kt)[:, None] & ~n_sel
-        code2 = jnp.take_along_axis(codes, jnp.minimum(offs + kt, L - 1), 1)
-        n2 = jnp.take_along_axis(nn, jnp.minimum(offs + kt, L - 1), 1) > 0
+        csel2 = jnp.take_along_axis(codes, jnp.minimum(offs + kt, L - 1), 1)
+        n2 = csel2 >= NB
+        code2 = csel2 & (NB - 1)
         usable &= ~n2 & (offs + 2 * kt <= lens[:, None])
-        t0 = idx["st_starts"][code2]
-        t1 = idx["st_starts"][code2 + 1]
+        if "st_pairs" in idx:
+            t01 = idx["st_pairs"][code2]
+            t0, t1 = t01[..., 0], t01[..., 1]
+        else:
+            t0 = idx["st_starts"][code2]
+            t1 = idx["st_starts"][code2 + 1]
         cntB = t1 - t0
         A = gather_slices(idx["st_pos_rows"], s0, SLOT)      # (R, S, SLOT)
         Bp = gather_slices(idx["st_pos_rows"], t0, SLOT) - kt

@@ -185,6 +185,245 @@ def _merge_stats(tot: dict, st: dict) -> None:
         tot[k] = tot.get(k, 0) + v
 
 
+def _native_fast_se(al, batch, fp, ex, KFB, lens, L):
+    """Run the whole SE fast path (mask + record columns + SAM bytes +
+    stats) in ONE native call with the GIL released (finish_se_native,
+    native/samfmt.cpp). Returns (fast, fbuf, read_end, stats, nvalid) or
+    None when the native library is unavailable."""
+    import ctypes
+    from .pipeline import FASTPACK_MM, FASTPACK_REP
+    lib = _samfmt()
+    if lib is None or not hasattr(lib, "finish_se_native"):
+        return None
+    B = len(batch)
+    o = al.opts
+    sc = al.scoring
+    ref = al.fm.ref
+
+    # tier extras
+    z_i32 = np.zeros(0, np.int32)
+    z_i16 = np.zeros(0, np.int16)
+    t0r, t0p, tn0, tk00, tk10 = z_i32, z_i16, 0, KFB, KFB
+    t1r, t1p, tn1, tk01, tk11 = z_i32, z_i16, 0, KFB, KFB
+    KF = KFB
+    if ex is not None and "smrep0" in ex:
+        t0r = np.ascontiguousarray(ex["smrows0"].astype(np.int32))
+        t0p = np.ascontiguousarray(ex["smrep0"].astype(np.int16))
+        tn0 = t0r.size
+        nb0 = t0p.shape[1] // FASTPACK_REP if t0p.ndim == 2 else 0
+        tk00, tk10 = KF, KF + nb0
+        KF += nb0
+        if "smrep1" in ex:
+            t1r = np.ascontiguousarray(ex["smrows1"].astype(np.int32))
+            t1p = np.ascontiguousarray(ex["smrep1"].astype(np.int16))
+            tn1 = t1r.size
+            nb1 = t1p.shape[1] // FASTPACK_REP if t1p.ndim == 2 else 0
+            tk01, tk11 = KF, KF + nb1
+            KF += nb1
+
+    nb = np.array(batch.names, dtype="S255")
+    name_lens = np.char.str_len(nb).astype(np.int64)
+    name_off = np.zeros(B + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
+    wide = nb.view(np.uint8).reshape(B, -1)
+    name_buf = np.ascontiguousarray(
+        wide[np.arange(wide.shape[1])[None, :] < name_lens[:, None]])
+
+    rn_buf, rn_off, rn_lens = _refname_cache(al)
+    yf_qc = np.zeros(B, np.uint8)
+    if (lens == 0).any() and batch.reads:
+        qcf = np.fromiter((not getattr(r, "qc_ok", True)
+                           for r in batch.reads), bool, B)
+        yf_qc[qcf & (lens == 0)] = 1
+
+    q = batch.quals
+    qconst = getattr(batch, "_qconst_cache", None)
+    if qconst is None:
+        qconst = int(q.flat[0]) if q.size and bool(
+            (q == q.flat[0]).all()) else -1
+        try:
+            batch._qconst_cache = qconst
+        except Exception:
+            pass
+    seqs = batch.seqs if batch.seqs.dtype == np.uint8 \
+        else batch.seqs.astype(np.uint8)
+    quals_u8 = q.view(np.uint8) if q.dtype == np.int8 \
+        else np.ascontiguousarray(q.astype(np.uint8))
+
+    # persistent scratch (per Aligner, keyed by geometry)
+    capr = B * max(KF, 1)
+    key = (B, KF, L)
+    scr = getattr(al, "_fin_scratch", None)
+    if scr is None or scr[0] != key:
+        maxrn = int(rn_lens.max()) if rn_lens.size else 1
+        cap = int(capr * (242 + maxrn + 2 * L + 12 * FASTPACK_MM + 255)
+                  + 4096)
+        scr = (key,
+               np.zeros(13 * capr, np.int32),
+               np.zeros(capr * FASTPACK_MM, np.int16),
+               np.zeros(capr, np.int64),
+               ctypes.create_string_buffer(cap),
+               cap)
+        al._fin_scratch = scr
+    _, cols, mm_out, rec_ends, outbuf, cap = scr
+
+    fast_u8 = np.zeros(B, np.uint8)
+    read_end = np.zeros(B, np.int64)
+    stats_a = np.zeros(4, np.int64)
+    frag_len64 = ref.frag_len.astype(np.int64) \
+        if ref.frag_len.dtype != np.int64 else ref.frag_len
+    total = lib.finish_se_native(
+        np.int32(B), np.int64(L), np.int32(3),
+        np.ascontiguousarray(fp), np.int32(fp.shape[1]), np.int32(KFB),
+        t0r, t0p, np.int32(tn0), np.int32(tk00), np.int32(tk10),
+        t1r, t1p, np.int32(tn1), np.int32(tk01), np.int32(tk11),
+        np.ascontiguousarray(seqs), np.ascontiguousarray(quals_u8),
+        np.int32(qconst), np.ascontiguousarray(lens), yf_qc,
+        np.ascontiguousarray(ref.frag_joined),
+        np.ascontiguousarray(frag_len64),
+        np.ascontiguousarray(ref.frag_toff),
+        np.ascontiguousarray(ref.frag_tidx.astype(np.int32)),
+        np.int32(ref.frag_joined.size),
+        rn_buf, rn_off, name_buf, name_off,
+        float(sc.score_min.I), float(sc.score_min.S),
+        float(sc.n_ceil.I), float(sc.n_ceil.S),
+        np.int32(sc.match_bonus), np.int32(o.khits), np.int32(KF),
+        np.int32(1 if o.omit_sec_seq else 0),
+        fast_u8, read_end, outbuf, np.int64(cap), stats_a,
+        cols, mm_out, rec_ends)
+    if total < 0:
+        return None
+    stats = dict(reads=B, unal=int(stats_a[2]), uniq=int(stats_a[0]),
+                 multi=int(stats_a[1]))
+    nvalid = fp[:, 0].astype(np.int64)
+    # NOT outbuf.raw[:total]: .raw copies the ENTIRE scratch buffer
+    fbuf = ctypes.string_at(ctypes.addressof(outbuf), int(total))
+    return (fast_u8.astype(bool), fbuf, read_end, stats, nvalid)
+
+
+def _finish_slow_and_stitch(al, batch, fp, ex, merged_dev, writer, fast,
+                            filtered, nvalid, min_scs, lens, fbuf,
+                            read_end, stats, _unused, spl) -> dict:
+    """Slow-row ladder + ordered stitch for the native DNA fast path
+    (mirrors _finish_fastpack's non-RNA slow section)."""
+    from .pipeline import _dedup_alns
+    B = len(batch)
+    sc = al.scoring
+    slow = np.flatnonzero(~fast)
+    grows = slow[~filtered[slow] & (nvalid[slow] >= 1)]
+    srows_h = smg_h = None
+    mg_fut = None
+    if ex is not None and "srows" in ex:
+        srows_h = ex["srows"]
+        smg_h = ex["smerged"]
+        miss = grows[~np.isin(grows, srows_h)]
+        mg_fut = (al.gather_merged_async(merged_dev, miss)
+                  if miss.size else None)
+        grows = miss
+    elif merged_dev is not None:
+        mg_fut = al.gather_merged_async(merged_dev, grows)
+
+    slow_out: dict[int, list] = {}
+    if slow.size:
+        K2 = (smg_h.shape[1] if smg_h is not None else merged_dev.shape[1])
+        msc = np.full((B, K2), NEG_INF, np.int64)
+        mpos = np.zeros((B, K2), np.int64)
+        mfw = np.zeros((B, K2), bool)
+        mgap = np.zeros((B, K2), bool)
+
+        def fill(rows, g):
+            msc[rows] = g[:, :, 0]
+            mpos[rows] = g[:, :, 1]
+            mfw[rows] = (g[:, :, 2] & 1) > 0
+            mgap[rows] = (g[:, :, 2] & 2) > 0
+        if smg_h is not None:
+            sv = srows_h >= 0
+            if sv.any():
+                fill(srows_h[sv], smg_h[sv])
+        if mg_fut is not None:
+            mg = mg_fut()
+            if mg.size:
+                fill(grows, mg)
+        merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
+
+        plans: dict[int, list] = {}
+        ug_items: list[tuple[int, int, bool]] = []
+        for i in slow:
+            i = int(i)
+            if filtered[i]:
+                continue
+            entries = [("reg", s, p, f, g) for s, p, f, g, _, _
+                       in al._ranked_candidates(merged, i,
+                                                int(min_scs[i]))]
+            entries = entries[: al.opts.khits + 1]
+            plans[i] = entries
+            for kind, s, p, f, g in entries:
+                if kind == "reg" and not g:
+                    ug_items.append((i, int(p), bool(f)))
+        lookup: dict[tuple, object] = {}
+        if ug_items:
+            ridx = np.asarray([x[0] for x in ug_items])
+            upos = np.asarray([x[1] for x in ug_items])
+            ufw = np.asarray([x[2] for x in ug_items])
+            alns = al._finalize_ungapped_list(batch, ridx, upos, ufw,
+                                              lens[ridx])
+            for (i, p, f), a in zip(ug_items, alns):
+                lookup[(i, p, f)] = a
+
+        for i in slow:
+            i = int(i)
+            if filtered[i]:
+                res = ReadResult(filtered=_filter_reason(batch, i, lens))
+            else:
+                res = ReadResult()
+                entries = plans.get(i, [])
+                if entries:
+                    res.best = entries[0][1]
+                    if len(entries) > 1:
+                        res.secbest = entries[1][1]
+                    for kind, s, p, f, g in entries:
+                        if g:
+                            a = al._finalize(i, batch, s, p, f, True,
+                                             int(lens[i]))
+                        else:
+                            a = lookup.get((i, p, f))
+                        if a is not None:
+                            res.alns.append(a)
+                    if res.alns:
+                        _dedup_alns(res, al.opts.khits)
+                    else:
+                        res = ReadResult()
+            lines = _format_slow(al, batch, i, res, sc)
+            if not res.aligned:
+                stats["unal"] += 1
+            elif len(res.alns) > 1 or (res.secbest is not None
+                                       and res.secbest >= min_scs[i]):
+                stats["multi"] += 1
+            else:
+                stats["uniq"] += 1
+            slow_out[i] = lines
+
+    w = writer.out.write
+    if not slow_out:
+        if fbuf:
+            w(fbuf.decode("ascii"))
+        return stats
+    text = fbuf.decode("ascii") if fbuf else ""
+    last_end = np.maximum.accumulate(np.where(fast, read_end, 0))
+    prev_end = 0
+    for i in sorted(slow_out):
+        if text and i > 0:
+            end = int(last_end[i - 1])
+            if end > prev_end:
+                w(text[prev_end:end])
+                prev_end = end
+        for ln in slow_out[i]:
+            w(ln)
+    if text and prev_end < len(text):
+        w(text[prev_end:])
+    return stats
+
+
 def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                      writer, force_slow=None, merged_full=None,
                      slow_pack=None) -> dict:
@@ -215,6 +454,20 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     KFB = (fp.shape[1] - 4) // FASTPACK_REP
     ex = ({k: np.asarray(v) for k, v in slow_pack.items()}
           if slow_pack is not None else None)
+
+    nat = None
+    if (force_slow is None and merged_full is None and not o.spliced
+            and not sc.local):
+        nat = _native_fast_se(al, batch, fp, ex, KFB, lens, L)
+    if nat is not None:
+        fast, fbuf, read_end, stats, nvalid = nat
+        best = fp[:, 1].astype(np.int64)
+        secb = fp[:, 2].astype(np.int64)
+        has_sec = secb != -32768
+        return _finish_slow_and_stitch(
+            al, batch, fp, ex, merged_dev, writer, fast, filtered,
+            nvalid, min_scs, lens, fbuf, read_end, stats, None, {})
+
     # tiered multi-report buckets (_stage_fastpack MB extras): tier t
     # carries a slice of reports >= KFB for reads with enough placements,
     # scattered to full-B lanes here
@@ -396,19 +649,12 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
 
         mmstk = np.stack([r["mm"] for r in reps])      # (KF, B, MM)
         mmpk = mmstk[rec_k, rec_read]
-        cnt = cnt.astype(np.int64)
-        mm_off = np.zeros(rec_read.size + 1, np.int64)
-        np.cumsum(cnt, out=mm_off[1:])
-        selm = np.arange(FASTPACK_MM)[None, :] < cnt[:, None]
-        vals = mmpk[selm]
-        mm_cols2 = ((vals >> 3) - np.repeat(c5, cnt)).astype(np.int32)
-        mm_ref2 = np.ascontiguousarray(
-            _DEC_ASCII[np.clip(vals & 7, 0, 4)])
+        cnt = cnt.astype(np.int32)
 
-        fbuf, rec_ends = _format_records(
+        fbuf, rec_ends = _format_records3(
             al, batch, frows, rec_read, flag, tidx,
             toff, mapq, c5, mid, c3, score, nmm, zs, nh,
-            mm_cols2, mm_ref2, mm_off)
+            mmpk.astype(np.int16), cnt)
         last_rec = np.cumsum(nr) - 1
         read_end[frows] = rec_ends[last_rec]
         fal = aligned[frows]
@@ -1833,6 +2079,86 @@ def _format_records(al, batch, frows, rec_read, flag, tidx, toff, mapq,
         sf, qf, sr, qr, seq_off,
         np.ascontiguousarray(mm_cols), mm_ref, mm_off,
         np.ascontiguousarray(rn_buf), rn_off,
+        out, np.int64(cap), ends, m1, gapn, xs)
+    assert total >= 0, "SAM buffer overflow despite exact sizing"
+    return out.raw[:total], ends
+
+
+def _refname_cache(al):
+    """Concatenated reference-name buffer + offsets (immutable per index)."""
+    rc = getattr(al, "_rn_cache", None)
+    if rc is None:
+        ref = al.fm.ref
+        rn_parts = [n.encode("ascii") for n in ref.names]
+        rn_off = np.zeros(len(rn_parts) + 1, np.int64)
+        np.cumsum([len(x) for x in rn_parts], out=rn_off[1:])
+        rn_buf = np.frombuffer(b"".join(rn_parts), np.uint8)
+        rc = al._rn_cache = (rn_buf, rn_off, np.diff(rn_off))
+    return rc
+
+
+def _format_records3(al, batch, frows, rec_read, flag, tidx, toff, mapq,
+                     c5, mid, c3, score, nmm, zs, nh, mm_lanes, mm_cnt,
+                     m1=None, gapn=None, xs=None):
+    """Threaded native formatter: passes the batch's RAW code/qual arrays
+    and the fastpack mm lanes straight to format_se_batch3, which decodes
+    SEQ/QUAL (both orientations), assembles MD, and formats records on an
+    internal thread pool with the GIL released — the NumPy seq-prep that
+    _format_records does per batch was the finish stage's critical path."""
+    from .pipeline import FASTPACK_MM
+    Nf = frows.size
+    lens_l = batch.lens.astype(np.int32)[frows]
+
+    nb = np.array([batch.names[int(i)] for i in frows], dtype="S255")
+    name_lens = np.char.str_len(nb).astype(np.int64)
+    name_off = np.zeros(Nf + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
+    wide = nb.view(np.uint8).reshape(Nf, -1)
+    name_buf = np.ascontiguousarray(
+        wide[np.arange(wide.shape[1])[None, :] < name_lens[:, None]])
+
+    l_of = np.zeros(int(frows.max()) + 1 if Nf else 1, np.int64)
+    l_of[frows] = np.arange(Nf)
+    read_of = l_of[rec_read].astype(np.int32)
+
+    rn_buf, rn_off, rn_lens = _refname_cache(al)
+    nrec = rec_read.size
+    per_rec = (240 + name_lens[read_of]
+               + np.where(tidx >= 0, rn_lens[np.clip(tidx, 0, None)], 0)
+               + 2 * lens_l[read_of].astype(np.int64)
+               + 12 * mm_cnt.astype(np.int64))
+    cap = int(per_rec.sum()) + 1024
+
+    q = batch.quals
+    qconst = -1
+    if q.size and bool((q == q.flat[0]).all()):
+        qconst = int(q.flat[0])
+    z = np.zeros(nrec, np.int32)
+    m1 = z if m1 is None else np.ascontiguousarray(m1.astype(np.int32))
+    gapn = z if gapn is None else np.ascontiguousarray(gapn.astype(np.int32))
+    xs = z if xs is None else np.ascontiguousarray(xs.astype(np.int32))
+
+    import ctypes
+    lib = _samfmt()
+    out = ctypes.create_string_buffer(cap)
+    ends = np.zeros(nrec, np.int64)
+    seqs = batch.seqs if batch.seqs.dtype == np.uint8 \
+        else batch.seqs.astype(np.uint8)
+    quals_u8 = np.ascontiguousarray(q.view(np.uint8)) if q.dtype == np.int8 \
+        else np.ascontiguousarray(q.astype(np.uint8))
+    total = lib.format_se_batch3(
+        np.int32(nrec), np.int32(3), read_of, flag,
+        np.ascontiguousarray(tidx.astype(np.int32)),
+        np.ascontiguousarray((toff + 1).astype(np.int32)),
+        mapq, c5, mid, c3, score, nmm, zs, nh,
+        np.ascontiguousarray(mm_lanes),
+        np.ascontiguousarray(mm_cnt.astype(np.int32)),
+        np.int32(mm_lanes.shape[1] if mm_lanes.ndim == 2 else FASTPACK_MM),
+        name_buf, name_off,
+        np.ascontiguousarray(frows.astype(np.int32)),
+        np.ascontiguousarray(seqs), quals_u8,
+        np.int32(qconst), np.int64(seqs.shape[1]), lens_l,
+        rn_buf, rn_off,
         out, np.int64(cap), ends, m1, gapn, xs)
     assert total >= 0, "SAM buffer overflow despite exact sizing"
     return out.raw[:total], ends

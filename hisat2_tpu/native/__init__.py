@@ -30,8 +30,8 @@ def _build(name: str, src: str) -> str | None:
         return so_path
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so_path, src_path],
+            ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+             "-shared", "-fPIC", "-o", so_path, src_path],
             check=True, capture_output=True, timeout=300)
         return so_path
     except Exception:
@@ -93,6 +93,45 @@ def samfmt_lib() -> ctypes.CDLL | None:
             u8, i64,                     # refname buf/off
             ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, rec_ends
             i32, i32, i32]               # m1, gapN, xs (spliced records)
+        i16 = ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.format_se_batch3.restype = ctypes.c_int64
+        lib.format_se_batch3.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,   # nrec, nthreads
+            i32, i32,                    # read_of flag
+            i32, i32, i32,               # rname pos1 mapq
+            i32, i32, i32,               # c5 mid c3
+            i32, i32, i32, i32,          # score nmm zs nh
+            i16, i32, ctypes.c_int32,    # mm lanes/cnt/stride
+            u8, i64,                     # name buf/off (per fast read)
+            i32, u8, u8,                 # rows, seq codes, quals
+            ctypes.c_int32, ctypes.c_int64, i32,   # qconst, Lp, lens
+            u8, i64,                     # refname buf/off
+            ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, rec_ends
+            i32, i32, i32]               # m1, gapN, xs
+        u32 = ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.pack_reads_2bit.restype = ctypes.c_int32
+        lib.pack_reads_2bit.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,  # B, L, nthreads
+            u8, u8, i64,                 # seqs, quals, lens
+            u32, u32]                    # seq_words, n_words
+        lib.finish_se_native.restype = ctypes.c_int64
+        lib.finish_se_native.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,  # B, Lp, nthreads
+            i16, ctypes.c_int32, ctypes.c_int32,  # fp, fpw, KFB
+            i32, i16, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # tier0
+            i32, i16, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # tier1
+            u8, u8, ctypes.c_int32,      # seq codes, quals, qconst
+            i64, u8,                     # lens, yf_qc
+            i64, i64, i64, i32, ctypes.c_int32,  # frag tables, nfrag
+            u8, i64,                     # refname buf/off
+            u8, i64,                     # name buf/off (per batch row)
+            ctypes.c_double, ctypes.c_double,    # min I/S
+            ctypes.c_double, ctypes.c_double,    # nceil I/S
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            # match_bonus, khits, KF, omit_sec
+            u8, i64,                     # fast_out, read_end
+            ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, stats
+            i32, i16, i64]               # cols, mm_out, rec_ends scratch
         lib._configured = True
     return lib
 

@@ -1206,6 +1206,129 @@ def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
                    finish_pe, on_batch, depth, workers)
 
 
+def _batch_qconst(batch) -> int:
+    qc = getattr(batch, "_qconst_cache", None)
+    if qc is None:
+        q = batch.quals
+        qc = int(q.flat[0]) if q.size and bool(
+            (q == q.flat[0]).all()) else -1
+        try:
+            batch._qconst_cache = qc
+        except Exception:
+            pass
+    return qc
+
+
+def _native_fast_pe(al, b1, b2, fp, ex, NRB, force_slow):
+    """One-call native PE fast path (finish_pe_native): pe-pack ->
+    fast-pair mask + interleaved concordant records + SAM bytes + stats
+    with the GIL released. Returns (fast, fbuf, pair_end, stats) or None."""
+    import ctypes
+    from . import paired as _paired
+    from .paired import PEPACK_MM, PEPACK_REP
+    lib = _samfmt()
+    if lib is None or not hasattr(lib, "finish_pe_native"):
+        return None
+    B = len(b1)
+    o = al.opts
+    sc = al.scoring
+    ref = al.fm.ref
+
+    z_i32 = np.zeros(0, np.int32)
+    z_i16 = np.zeros(0, np.int16)
+    t0r, t0p, tn0, tk00, tk10 = z_i32, z_i16, 0, NRB, NRB
+    t1r, t1p, tn1, tk01, tk11 = z_i32, z_i16, 0, NRB, NRB
+    NR = NRB
+    if ex is not None and "mrep0" in ex:
+        t0r = np.ascontiguousarray(ex["mrows0"].astype(np.int32))
+        t0p = np.ascontiguousarray(ex["mrep0"].astype(np.int16))
+        tn0 = t0r.size
+        nb0 = t0p.shape[1] // PEPACK_REP if t0p.ndim == 2 else 0
+        tk00, tk10 = NR, NR + nb0
+        NR += nb0
+        if "mrep1" in ex:
+            t1r = np.ascontiguousarray(ex["mrows1"].astype(np.int32))
+            t1p = np.ascontiguousarray(ex["mrep1"].astype(np.int16))
+            tn1 = t1r.size
+            nb1 = t1p.shape[1] // PEPACK_REP if t1p.ndim == 2 else 0
+            tk01, tk11 = NR, NR + nb1
+            NR += nb1
+
+    nb = np.array(b1.names, dtype="S255")
+    name_lens = np.char.str_len(nb).astype(np.int64)
+    name_off = np.zeros(B + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
+    wide = nb.view(np.uint8).reshape(B, -1)
+    name_buf = np.ascontiguousarray(
+        wide[np.arange(wide.shape[1])[None, :] < name_lens[:, None]])
+
+    rn_buf, rn_off, rn_lens = _refname_cache(al)
+    qc1, qc2 = _batch_qconst(b1), _batch_qconst(b2)
+    qconst = qc1 if (qc1 >= 0 and qc1 == qc2) else -1
+
+    def u8(a):
+        return a.view(np.uint8) if a.dtype == np.int8 else \
+            np.ascontiguousarray(a.astype(np.uint8))
+    s1 = b1.seqs if b1.seqs.dtype == np.uint8 else b1.seqs.astype(np.uint8)
+    s2 = b2.seqs if b2.seqs.dtype == np.uint8 else b2.seqs.astype(np.uint8)
+    q1, q2 = u8(b1.quals), u8(b2.quals)
+
+    L1, L2 = s1.shape[1], s2.shape[1]
+    capr = B * 2 * max(NR, 1)
+    key = (B, NR, L1, L2, "pe")
+    scr = getattr(al, "_fin_scratch_pe", None)
+    if scr is None or scr[0] != key:
+        maxrn = int(rn_lens.max()) if rn_lens.size else 1
+        cap = int(capr * (252 + maxrn + 2 * max(L1, L2)
+                          + 12 * PEPACK_MM + 255) + 4096)
+        scr = (key,
+               np.zeros(14 * capr, np.int32),
+               np.zeros(capr * PEPACK_MM, np.int16),
+               np.zeros(capr, np.int64),
+               ctypes.create_string_buffer(cap),
+               cap)
+        al._fin_scratch_pe = scr
+    _, cols, mm_out, rec_ends, outbuf, cap = scr
+
+    fs = np.zeros(B, np.uint8) if force_slow is None else \
+        np.ascontiguousarray(np.asarray(force_slow).astype(np.uint8))
+    fast_u8 = np.zeros(B, np.uint8)
+    pair_end = np.zeros(B, np.int64)
+    stats_a = np.zeros(4, np.int64)
+    frag_len64 = ref.frag_len.astype(np.int64) \
+        if ref.frag_len.dtype != np.int64 else ref.frag_len
+    total = lib.finish_pe_native(
+        np.int32(B), np.int64(L1), np.int64(L2), np.int32(3),
+        np.ascontiguousarray(fp), np.int32(fp.shape[1]), np.int32(NRB),
+        t0r, t0p, np.int32(tn0), np.int32(tk00), np.int32(tk10),
+        t1r, t1p, np.int32(tn1), np.int32(tk01), np.int32(tk11),
+        np.ascontiguousarray(s1), q1,
+        np.ascontiguousarray(b1.lens.astype(np.int64)),
+        np.ascontiguousarray(s2), q2,
+        np.ascontiguousarray(b2.lens.astype(np.int64)),
+        np.int32(qconst),
+        np.ascontiguousarray(ref.frag_joined),
+        np.ascontiguousarray(frag_len64),
+        np.ascontiguousarray(ref.frag_toff),
+        np.ascontiguousarray(ref.frag_tidx.astype(np.int32)),
+        np.int32(ref.frag_joined.size),
+        rn_buf, rn_off, name_buf, name_off,
+        float(sc.score_min.I), float(sc.score_min.S),
+        np.int32(sc.match_bonus), np.int32(o.khits), np.int32(NR),
+        np.int32(1 if o.omit_sec_seq else 0), fs,
+        fast_u8, pair_end, outbuf, np.int64(cap), stats_a,
+        cols, mm_out, rec_ends)
+    if total < 0:
+        return None
+    stats = _paired.new_pair_stats()
+    stats["pairs"] += int(stats_a[0])
+    stats["mates_al"] += 2 * int(stats_a[0])
+    stats["conc_uniq"] += int(stats_a[1])
+    stats["conc_multi"] += int(stats_a[2])
+    fbuf = ctypes.string_at(ctypes.addressof(outbuf), int(total))
+    return fast_u8.astype(bool), fbuf, pair_end, stats
+
+
 def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
                     writer, force_slow=None) -> dict:
     from . import paired as _paired
@@ -1251,6 +1374,15 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     sec = fp[:, 2].astype(np.int64)
     aux = fp[:, -1].astype(np.int64)
     has_sec = sec != -32768
+
+    nat = None if sc.local else _native_fast_pe(al, b1, b2, fp, ex, NRB,
+                                                force_slow)
+    if nat is not None:
+        fast, fbuf, pair_end, stats = nat
+        mqc = _MapqCache(sc)
+        return _finish_pe_slow_and_stitch(
+            al, b1, b2, fp, ex, out, writer, fast, aux, nvalid, l1, l2,
+            fbuf, pair_end, stats)
 
     def mate(k, m):
         if k < NRB:
@@ -1309,30 +1441,6 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
 
     mqc = _MapqCache(sc)
     stats = _paired.new_pair_stats()
-
-    slow = np.flatnonzero(~fast)
-    grows = slow[aux[slow] != 0]
-    # device-predicted slow pairs (stage_pe_packed SB extras) shipped
-    # their grid rows with the pack — gather only the mispredictions
-    pred_j: dict[int, int] = {}
-    if ex is not None and "srows" in ex:
-        for j, r in enumerate(ex["srows"]):
-            if r >= 0:
-                pred_j[int(r)] = j
-    if grows.size and pred_j:
-        hit = np.fromiter((int(r) in pred_j for r in grows), bool,
-                          grows.size)
-    else:
-        hit = np.zeros(grows.size, bool)
-    miss = grows[~hit]
-    if isinstance(m1_dev, np.ndarray):
-        # host-merged global grids (sharded/mesh finish): slice directly —
-        # also keeps int64 global positions exact (a jnp gather would
-        # truncate to int32 past 2^31)
-        g_fut = ((lambda: (m1_dev[miss], m2_dev[miss], pt_dev[miss]))
-                 if miss.size else None)
-    else:
-        g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, miss)
 
     fbuf = b""
     pair_end = np.zeros(B, np.int64)
@@ -1457,6 +1565,47 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
         multi = nvalid[frows] >= 2
         stats["conc_multi"] += int(multi.sum())
         stats["conc_uniq"] += int((~multi).sum())
+
+    return _finish_pe_slow_and_stitch(
+        al, b1, b2, fp, ex, out, writer, fast, aux, nvalid, l1, l2,
+        fbuf, pair_end, stats)
+
+
+def _finish_pe_slow_and_stitch(al, b1, b2, fp, ex, out, writer, fast,
+                               aux, nvalid, l1, l2, fbuf, pair_end,
+                               stats) -> dict:
+    """Slow-pair ladder + ordered stitch shared by the native and NumPy
+    PE fast paths (per-pair ladder: _pair_result_one / mate rescue /
+    pair_lines)."""
+    from . import paired as _paired
+    pack_dev, m1_dev, m2_dev, pt_dev = out[:4]
+    B = len(b1)
+    o = al.opts
+    sc = al.scoring
+
+    slow = np.flatnonzero(~fast)
+    grows = slow[aux[slow] != 0]
+    # device-predicted slow pairs (stage_pe_packed SB extras) shipped
+    # their grid rows with the pack — gather only the mispredictions
+    pred_j: dict[int, int] = {}
+    if ex is not None and "srows" in ex:
+        for j, r in enumerate(ex["srows"]):
+            if r >= 0:
+                pred_j[int(r)] = j
+    if grows.size and pred_j:
+        hit = np.fromiter((int(r) in pred_j for r in grows), bool,
+                          grows.size)
+    else:
+        hit = np.zeros(grows.size, bool)
+    miss = grows[~hit]
+    if isinstance(m1_dev, np.ndarray):
+        # host-merged global grids (sharded/mesh finish): slice directly —
+        # also keeps int64 global positions exact (a jnp gather would
+        # truncate to int32 past 2^31)
+        g_fut = ((lambda: (m1_dev[miss], m2_dev[miss], pt_dev[miss]))
+                 if miss.size else None)
+    else:
+        g_fut = _paired._gather_pe_slow(al, m1_dev, m2_dev, pt_dev, miss)
 
     # ---- slow pairs ----
     slow_out: dict[int, list] = {}

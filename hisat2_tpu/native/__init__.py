@@ -132,6 +132,26 @@ def samfmt_lib() -> ctypes.CDLL | None:
             u8, i64,                     # fast_out, read_end
             ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, stats
             i32, i16, i64]               # cols, mm_out, rec_ends scratch
+        lib.finish_pe_native.restype = ctypes.c_int64
+        lib.finish_pe_native.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,              # B, Lp1, Lp2, nthreads
+            i16, ctypes.c_int32, ctypes.c_int32,  # fp, fpw, NRB
+            i32, i16, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32, i16, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8, u8, i64,                 # seq1, qual1, lens1
+            u8, u8, i64,                 # seq2, qual2, lens2
+            ctypes.c_int32,              # qconst
+            i64, i64, i64, i32, ctypes.c_int32,  # frag tables, nfrag
+            u8, i64,                     # refname buf/off
+            u8, i64,                     # name buf/off (per pair)
+            ctypes.c_double, ctypes.c_double,    # min I/S
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            # match_bonus, khits, NR, omit_sec
+            u8,                          # force_slow
+            u8, i64,                     # fast_out, pair_end
+            ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, stats
+            i32, i16, i64]               # cols, mm_out, rec_ends scratch
         lib._configured = True
     return lib
 

@@ -798,4 +798,325 @@ int64_t finish_se_native(
     return total;
 }
 
+// finish_pe_native — the paired-end analog of finish_se_native:
+// pe-pack (align/paired.py PEPACK_* layout) -> fast-pair mask +
+// interleaved mate1/mate2 record columns + SAM bytes + stats in one
+// threaded GIL-released call, replicating _finish_pe_pack's fast path
+// byte for byte. Slow pairs stay with the Python per-pair ladder.
+namespace {
+
+struct PECols {
+    const int32_t *rd;       // pair*2 + mate
+    const int32_t *flag, *rname, *pos1, *mapq, *c5, *mid, *c3;
+    const int32_t *pnext1, *tlen, *score, *nmm, *nh, *cnt;
+    const int16_t* mm;       // (nrec, MM)
+    int32_t MM;
+    const uint8_t* name_buf; const int64_t* name_off;   // per pair
+    const uint8_t *seq1, *qual1, *seq2, *qual2;
+    int64_t Lp1, Lp2;
+    const int32_t *lens1, *lens2;  // per pair row, int32
+    int32_t qconst;
+    const uint8_t* refname_buf; const int64_t* refname_off;
+};
+
+inline char* pe_seq_qual(char* p, const PECols& c, int32_t rd, bool rc) {
+    int32_t pair = rd >> 1, mate = rd & 1;
+    const uint8_t* s = mate ? c.seq2 + (int64_t)pair * c.Lp2
+                            : c.seq1 + (int64_t)pair * c.Lp1;
+    int32_t len = mate ? c.lens2[pair] : c.lens1[pair];
+    if (!rc) { for (int32_t j = 0; j < len; j++)
+                   *p++ = B3_DEC[s[j] > 4 ? 4 : s[j]]; }
+    else     { for (int32_t j = len - 1; j >= 0; j--)
+                   *p++ = B3_COMP[s[j] > 4 ? 4 : s[j]]; }
+    *p++ = '\t';
+    if (c.qconst >= 0) {
+        char q = (char)(33 + (c.qconst > 93 ? 93 : c.qconst));
+        std::memset(p, q, (size_t)len); p += len;
+    } else {
+        const uint8_t* q = mate ? c.qual2 + (int64_t)pair * c.Lp2
+                                : c.qual1 + (int64_t)pair * c.Lp1;
+        if (!rc) { for (int32_t j = 0; j < len; j++)
+                       *p++ = (char)(33 + (q[j] > 93 ? 93 : q[j])); }
+        else     { for (int32_t j = len - 1; j >= 0; j--)
+                       *p++ = (char)(33 + (q[j] > 93 ? 93 : q[j])); }
+    }
+    return p;
+}
+
+int64_t pe_chunk(const PECols& c, int32_t i0, int32_t i1,
+                 char* out, int64_t cap, int64_t* rec_ends) {
+    char* p = out;
+    for (int32_t i = i0; i < i1; i++) {
+        int32_t rd = c.rd[i], pair = rd >> 1, mate = rd & 1;
+        int name_len = (int)(c.name_off[pair + 1] - c.name_off[pair]);
+        int32_t seq_len = mate ? c.lens2[pair] : c.lens1[pair];
+        int32_t r = c.rname[i];
+        int rn_len = (int)(c.refname_off[r + 1] - c.refname_off[r]);
+        int32_t n_mm = c.cnt[i];
+        int64_t worst = 240 + name_len + rn_len + 2 * (int64_t)seq_len
+                        + 12 * (int64_t)n_mm;
+        if ((p - out) + worst > cap) return -1;
+        p = put_str(p, (const char*)(c.name_buf + c.name_off[pair]),
+                    name_len);
+        *p++ = '\t';
+        p = put_int(p, c.flag[i]); *p++ = '\t';
+        p = put_str(p, (const char*)(c.refname_buf + c.refname_off[r]),
+                    rn_len);
+        *p++ = '\t';
+        p = put_int(p, c.pos1[i]); *p++ = '\t';
+        p = put_int(p, c.mapq[i]); *p++ = '\t';
+        if (c.c5[i]) { p = put_int(p, c.c5[i]); *p++ = 'S'; }
+        p = put_int(p, c.mid[i]); *p++ = 'M';
+        if (c.c3[i]) { p = put_int(p, c.c3[i]); *p++ = 'S'; }
+        p = put_str(p, "\t=\t", 3);
+        p = put_int(p, c.pnext1[i]); *p++ = '\t';
+        p = put_int(p, c.tlen[i]); *p++ = '\t';
+        p = pe_seq_qual(p, c, rd, (c.flag[i] & 16) != 0);
+        p = put_tag_i(p, "AS", c.score[i]);
+        p = put_str(p, "\tXN:i:0", 7);
+        p = put_tag_i(p, "XM", c.nmm[i]);
+        p = put_str(p, "\tXO:i:0\tXG:i:0", 14);
+        p = put_tag_i(p, "NM", c.nmm[i]);
+        p = put_str(p, "\tMD:Z:", 6);
+        const int16_t* lanes = c.mm + (int64_t)i * c.MM;
+        int32_t last = -1, cc5 = c.c5[i];
+        for (int32_t m = 0; m < n_mm; m++) {
+            int32_t col = ((int32_t)(uint16_t)lanes[m] >> 3) - cc5;
+            p = put_int(p, col - last - 1);
+            *p++ = B3_DEC[(lanes[m] & 7) > 4 ? 4 : (lanes[m] & 7)];
+            last = col;
+        }
+        p = put_int(p, c.mid[i] - 1 - last);
+        p = put_str(p, "\tYT:Z:CP", 8);
+        p = put_tag_i(p, "NH", c.nh[i]);
+        *p++ = '\n';
+        rec_ends[i] = p - out;
+    }
+    return p - out;
+}
+
+}  // namespace
+
+int64_t finish_pe_native(
+    int32_t B, int64_t Lp1, int64_t Lp2, int32_t nthreads,
+    const int16_t* fp, int32_t fpw, int32_t NRB,
+    const int32_t* trows0, const int16_t* trep0, int32_t tn0,
+    int32_t tk0_0, int32_t tk1_0,
+    const int32_t* trows1, const int16_t* trep1, int32_t tn1,
+    int32_t tk0_1, int32_t tk1_1,
+    const uint8_t* seq1, const uint8_t* qual1, const int64_t* lens1,
+    const uint8_t* seq2, const uint8_t* qual2, const int64_t* lens2,
+    int32_t qconst,
+    const int64_t* frag_joined, const int64_t* frag_len,
+    const int64_t* frag_toff, const int32_t* frag_tidx, int32_t nfrag,
+    const uint8_t* refname_buf, const int64_t* refname_off,
+    const uint8_t* name_buf, const int64_t* name_off,
+    double min_I, double min_S, int32_t match_bonus,
+    int32_t khits, int32_t NR, int32_t omit_sec,
+    const uint8_t* force_slow,            // per pair, may be all-zero
+    uint8_t* fast_out, int64_t* pair_end,
+    char* out, int64_t cap, int64_t* stats,
+    int32_t* cols, int16_t* mm_out, int64_t* rec_ends_buf)
+{
+    const int32_t MATE = 11, REP = 2 * MATE + 1, HDR = 4, MM = 4;
+    std::vector<int32_t> tslot0(tn0 > 0 ? B : 0, -1),
+                         tslot1(tn1 > 0 ? B : 0, -1);
+    for (int32_t s = 0; s < tn0; s++)
+        if (trows0[s] >= 0 && trows0[s] < B) tslot0[trows0[s]] = s;
+    for (int32_t s = 0; s < tn1; s++)
+        if (trows1[s] >= 0 && trows1[s] < B) tslot1[trows1[s]] = s;
+    int nb0 = tk1_0 - tk0_0, nb1 = tk1_1 - tk0_1;
+    auto lanes_of = [&](int32_t i, int32_t k, const int16_t** lp) -> bool {
+        if (k < NRB) { *lp = fp + (int64_t)i * fpw + HDR + REP * k;
+                       return true; }
+        if (k < tk1_0) {
+            if (tn0 == 0 || tslot0[i] < 0) return false;
+            *lp = trep0 + ((int64_t)tslot0[i] * nb0 + (k - tk0_0)) * REP;
+            return true;
+        }
+        if (tn1 == 0 || tslot1[i] < 0) return false;
+        *lp = trep1 + ((int64_t)tslot1[i] * nb1 + (k - tk0_1)) * REP;
+        return true;
+    };
+    auto frag_of = [&](int64_t astart) -> int32_t {
+        int32_t lo = 0, hi = nfrag;
+        while (lo < hi) {
+            int32_t mid = (lo + hi) >> 1;
+            if (frag_joined[mid] <= astart) lo = mid + 1; else hi = mid;
+        }
+        return lo - 1;
+    };
+
+    std::vector<int32_t> l1_32(B), l2_32(B);
+    for (int32_t i = 0; i < B; i++) {
+        l1_32[i] = (int32_t)lens1[i]; l2_32[i] = (int32_t)lens2[i];
+    }
+
+    int64_t npairs = 0, cu = 0, cm = 0, nrec = 0;
+    int64_t capr = (int64_t)B * 2 * (NR > 1 ? NR : 1);
+    int32_t* r_rd = cols;
+    int32_t *r_flag = cols + capr, *r_rname = cols + 2 * capr;
+    int32_t *r_pos1 = cols + 3 * capr, *r_mapq = cols + 4 * capr;
+    int32_t *r_c5 = cols + 5 * capr, *r_mid = cols + 6 * capr;
+    int32_t *r_c3 = cols + 7 * capr, *r_pn = cols + 8 * capr;
+    int32_t *r_tl = cols + 9 * capr, *r_sc = cols + 10 * capr;
+    int32_t *r_nmm = cols + 11 * capr, *r_nh = cols + 12 * capr;
+    int32_t *r_cnt = cols + 13 * capr;
+
+    for (int32_t i = 0; i < B; i++) {
+        const int16_t* h = fp + (int64_t)i * fpw;
+        int32_t nvalid = h[0], best = h[1], sec = h[2];
+        bool has_sec = sec != -32768;
+        int32_t nrep = nvalid < khits ? nvalid : khits;
+        bool fast = nvalid >= 1 && nrep <= NR && (!omit_sec || nrep <= 1)
+                    && !(force_slow && force_slow[i]);
+        int64_t len1 = lens1[i], len2 = lens2[i];
+        struct RepF { int64_t toff1, toff2; int32_t tidx1, tidx2,
+                      c51, c31, c52, c32, sc1, sc2, nm1, nm2,
+                      cnt1, cnt2; bool fw1, fw2; const int16_t *m1l, *m2l; };
+        RepF rf[16];
+        int32_t kmax = nrep < NR ? nrep : NR;
+        if (kmax > 16) kmax = 16;
+        for (int32_t k = 0; fast && k < kmax; k++) {
+            const int16_t* lp;
+            if (!lanes_of(i, k, &lp)) { fast = false; break; }
+            int32_t rfl = lp[0];
+            bool g1 = (rfl >> 1) & 1, g2 = (rfl >> 3) & 1;
+            const int16_t* a = lp + 1;
+            const int16_t* b = lp + 1 + MATE;
+            int64_t pos1v = (uint16_t)a[0] | ((int64_t)(uint16_t)a[1] << 16);
+            int64_t pos2v = (uint16_t)b[0] | ((int64_t)(uint16_t)b[1] << 16);
+            int32_t c51 = a[2], c31 = a[3], c52 = b[2], c32 = b[3];
+            int64_t as1 = pos1v + c51, as2 = pos2v + c52;
+            int64_t sp1 = len1 - c51 - c31, sp2 = len2 - c52 - c32;
+            int32_t f1 = frag_of(as1), f2 = frag_of(as2);
+            bool ok = f1 >= 0 && f2 >= 0 && sp1 > 0 && sp2 > 0
+                      && as1 + sp1 <= frag_joined[f1] + frag_len[f1]
+                      && as2 + sp2 <= frag_joined[f2] + frag_len[f2]
+                      && frag_tidx[f1] == frag_tidx[f2]
+                      && !g1 && !g2 && a[5] <= MM && b[5] <= MM;
+            if (!ok) { fast = false; break; }
+            rf[k] = RepF{frag_toff[f1] + as1 - frag_joined[f1],
+                         frag_toff[f2] + as2 - frag_joined[f2],
+                         frag_tidx[f1], frag_tidx[f2],
+                         c51, c31, c52, c32, a[6], b[6], a[4], b[4],
+                         a[5], b[5],
+                         ((rfl >> 0) & 1) != 0, ((rfl >> 2) & 1) != 0,
+                         a + 7, b + 7};
+        }
+        fast_out[i] = fast;
+        if (!fast) continue;
+        npairs++;
+        if (nvalid >= 2) cm++; else cu++;
+        int32_t mq = 60;
+        if (has_sec && sec == best) {
+            double ms1 = min_I + min_S * (double)len1;
+            double ms2 = min_I + min_S * (double)len2;
+            int64_t m1i = (int64_t)ms1; if ((double)m1i < ms1) m1i++;
+            int64_t m2i = (int64_t)ms2; if ((double)m2i < ms2) m2i++;
+            int64_t minsc = m1i + m2i;
+            int64_t perfect = (int64_t)match_bonus * (len1 + len2);
+            int64_t diff = perfect - minsc; if (diff < 1) diff = 1;
+            int64_t best_over = best - minsc;
+            mq = ((double)best_over >= (double)diff * 0.67) ? 1 : 0;
+        }
+        for (int32_t k = 0; k < kmax; k++) {
+            const RepF& r = rf[k];
+            int64_t mid1 = len1 - r.c51 - r.c31;
+            int64_t mid2 = len2 - r.c52 - r.c32;
+            int64_t left = r.toff1 - r.c51 < r.toff2 - r.c52
+                           ? r.toff1 - r.c51 : r.toff2 - r.c52;
+            int64_t rt1 = r.toff1 + mid1 + r.c31;
+            int64_t rt2 = r.toff2 + mid2 + r.c32;
+            int64_t right = rt1 > rt2 ? rt1 : rt2;
+            int64_t tl = right - left;
+            int64_t tl1 = r.toff1 <= r.toff2 ? tl : -tl;
+            int32_t mqr = k == 0 ? mq : 255;
+            int32_t sup = k > 0 ? 256 : 0;
+            // mate1 record
+            r_rd[nrec] = i * 2;
+            r_flag[nrec] = 1 | 64 | 2 | (r.fw1 ? 0 : 16)
+                           | (r.fw2 ? 0 : 32) | sup;
+            r_rname[nrec] = r.tidx1;
+            r_pos1[nrec] = (int32_t)(r.toff1 + 1);
+            r_pn[nrec] = (int32_t)(r.toff2 + 1);
+            r_tl[nrec] = (int32_t)tl1;
+            r_mapq[nrec] = mqr; r_c5[nrec] = r.c51;
+            r_mid[nrec] = (int32_t)mid1; r_c3[nrec] = r.c31;
+            r_sc[nrec] = r.sc1; r_nmm[nrec] = r.nm1;
+            r_nh[nrec] = nrep; r_cnt[nrec] = r.cnt1;
+            for (int m = 0; m < MM; m++)
+                mm_out[nrec * MM + m] = r.m1l[m];
+            nrec++;
+            // mate2 record
+            r_rd[nrec] = i * 2 + 1;
+            r_flag[nrec] = 1 | 128 | 2 | (r.fw2 ? 0 : 16)
+                           | (r.fw1 ? 0 : 32) | sup;
+            r_rname[nrec] = r.tidx2;
+            r_pos1[nrec] = (int32_t)(r.toff2 + 1);
+            r_pn[nrec] = (int32_t)(r.toff1 + 1);
+            r_tl[nrec] = (int32_t)(-tl1);
+            r_mapq[nrec] = mqr; r_c5[nrec] = r.c52;
+            r_mid[nrec] = (int32_t)mid2; r_c3[nrec] = r.c32;
+            r_sc[nrec] = r.sc2; r_nmm[nrec] = r.nm2;
+            r_nh[nrec] = nrep; r_cnt[nrec] = r.cnt2;
+            for (int m = 0; m < MM; m++)
+                mm_out[nrec * MM + m] = r.m2l[m];
+            nrec++;
+        }
+    }
+    stats[0] = npairs; stats[1] = cu; stats[2] = cm; stats[3] = nrec;
+
+    PECols c{r_rd, r_flag, r_rname, r_pos1, r_mapq, r_c5, r_mid, r_c3,
+             r_pn, r_tl, r_sc, r_nmm, r_nh, r_cnt, mm_out, MM,
+             name_buf, name_off, seq1, qual1, seq2, qual2, Lp1, Lp2,
+             l1_32.data(), l2_32.data(), qconst,
+             refname_buf, refname_off};
+    int64_t total;
+    int NT = nthreads < 1 ? 1 : (nthreads > 8 ? 8 : nthreads);
+    if (NT <= 1 || nrec < 2048) {
+        total = pe_chunk(c, 0, (int32_t)nrec, out, cap, rec_ends_buf);
+        if (total < 0) return -1;
+    } else {
+        std::vector<int32_t> starts(NT + 1);
+        std::vector<int64_t> bases(NT + 1), sizes(NT);
+        for (int t = 0; t <= NT; t++)
+            starts[t] = (int32_t)(nrec * t / NT);
+        bases[0] = 0;
+        for (int t = 0; t < NT; t++) {
+            int64_t w = 0;
+            for (int32_t i = starts[t]; i < starts[t + 1]; i++) {
+                int32_t pair = r_rd[i] >> 1;
+                int64_t nl = name_off[pair + 1] - name_off[pair];
+                int32_t r = r_rname[i];
+                int64_t rl = refname_off[r + 1] - refname_off[r];
+                int64_t sl = (r_rd[i] & 1) ? lens2[pair] : lens1[pair];
+                w += 250 + nl + rl + 2 * sl + 12 * (int64_t)MM;
+            }
+            bases[t + 1] = bases[t] + w;
+        }
+        if (bases[NT] > cap) return -1;
+        std::vector<std::thread> ths;
+        for (int t = 0; t < NT; t++)
+            ths.emplace_back([&, t]() {
+                sizes[t] = pe_chunk(c, starts[t], starts[t + 1],
+                                    out + bases[t], bases[t + 1] - bases[t],
+                                    rec_ends_buf);
+            });
+        for (auto& th : ths) th.join();
+        for (int t = 0; t < NT; t++) if (sizes[t] < 0) return -1;
+        int64_t w = sizes[0];
+        for (int t = 1; t < NT; t++) {
+            std::memmove(out + w, out + bases[t], (size_t)sizes[t]);
+            for (int32_t i = starts[t]; i < starts[t + 1]; i++)
+                rec_ends_buf[i] += w;
+            w += sizes[t];
+        }
+        total = w;
+    }
+    for (int64_t i = 0; i < nrec; i++)
+        pair_end[r_rd[i] >> 1] = rec_ends_buf[i];
+    return total;
+}
+
 }  // extern "C"

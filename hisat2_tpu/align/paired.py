@@ -443,8 +443,18 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                    & (bfin1[j][:, 4] <= PEPACK_MM)
                    & (bfin2[j][:, 4] <= PEPACK_MM)
                    & (mv > 0))
-            ok_bucket[k0 + j] = (
-                jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B])
+            # scatter-free full-B expansion: tier slots hold the multi
+            # rows in ascending index order (top_k ties keep index
+            # order), so row i's slot is its rank among multi rows — a
+            # gather instead of a scatter (jnp scatter lowers to a
+            # while loop that was ~6ms/occurrence in the PE dispatch).
+            # ok_bucket only steers the slow-pair PREDICTION (extras
+            # pre-shipping), so it must match the host mask exactly,
+            # which this does.
+            rank = jnp.cumsum(multi.astype(jnp.int32)) - 1
+            in_t = multi & (rank < MBs)
+            ok_bucket[k0 + j] = in_t & jnp.take(
+                okb, jnp.clip(rank, 0, MBs - 1))
         extras[f"mrows{t}"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
         extras[f"mrep{t}"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
 

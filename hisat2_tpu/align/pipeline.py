@@ -616,7 +616,12 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
             mcols += rep_lanes(f, posk, sck)
             gk = ((fl[ridx, sels[k]] & 2) > 0)[mrows]
             okb = contain_ok(f, posk, lens_mb, gk) & (mv > 0)
-            ok_full = jnp.zeros(B + 1, bool).at[tgt].set(okb)[:B]
+            # scatter-free full-B expansion (see paired.py bucket note):
+            # tier slots are the multi rows in ascending index order, so
+            # a rank gather replaces the while-loop-lowered scatter
+            rank = jnp.cumsum(multi.astype(jnp.int32)) - 1
+            in_t = multi & (rank < MBs)
+            ok_full = in_t & jnp.take(okb, jnp.clip(rank, 0, MBs - 1))
             fast_dev &= (nrep <= k) | ok_full
         bex[f"smrows{t}"] = jnp.where(mv > 0, mrs, -1).astype(jnp.int32)
         bex[f"smrep{t}"] = jnp.stack(mcols, axis=1).astype(jnp.int16)
@@ -706,37 +711,55 @@ def _se_core(idx, sctab, seqs, quals, lens, minsc_i, minsc_s, gap1,
     read_best = jnp.maximum(row_best[:B], row_best[B:])
 
     if fb_bucket > 0:
-        key = jnp.where(read_best < min_scs, -read_best, NEG_INF)
-        val, sel = lax.top_k(key, fb_bucket)
-        selmask = val > NEG_INF // 2
+        # Binary-mask bucket selection: top_k over a 0/1 mask keeps tied
+        # rows in ascending index order, so a row's bucket SLOT equals
+        # its rank among selected rows — the merge-back becomes a rank
+        # GATHER instead of a scatter (jnp scatter with traced indices
+        # lowers to a while loop, ~6ms each in the dispatch profile).
+        # Overflow beyond fb_bucket now drops highest-index rows instead
+        # of best-scoring ones — both are deterministic budget caps.
+        fbmask = read_best < min_scs
+        rank = jnp.cumsum(fbmask.astype(jnp.int32)) - 1
+        use = fbmask & (rank < fb_bucket)
+        _, sel = lax.top_k(fbmask.astype(jnp.int32), fb_bucket)
         fb_seeds = FB_TABLE_SEEDS if fb_seeder == "table_dense" else max_seeds
         st2 = _stage_candidates(idx, sctab, seqs[sel], quals[sel], lens[sel],
                                 fb_seeds, locs_per_seg, top_cands,
                                 min_seg_len, fb_seeder, ftab_k)
-        rows = jnp.concatenate([sel, sel + B])
-        m2 = jnp.concatenate([selmask, selmask])
+        slot = jnp.clip(rank, 0, fb_bucket - 1)
         for k in ("pos", "score", "nmm"):
-            new = jnp.where(m2[:, None], st2[k], st[k][rows])
-            st[k] = st[k].at[rows].set(new)
-        new_exh = jnp.where(m2, st2["exhausted"], st["exhausted"][rows])
-        st["exhausted"] = st["exhausted"].at[rows].set(new_exh)
+            fw_new = jnp.where(use[:, None], st2[k][slot], st[k][:B])
+            rc_new = jnp.where(use[:, None], st2[k][slot + fb_bucket],
+                               st[k][B:])
+            st[k] = jnp.concatenate([fw_new, rc_new], axis=0)
+        exh_fw = jnp.where(use, st2["exhausted"][slot],
+                           st["exhausted"][:B])
+        exh_rc = jnp.where(use, st2["exhausted"][slot + fb_bucket],
+                           st["exhausted"][B:])
+        st["exhausted"] = jnp.concatenate([exh_fw, exh_rc], axis=0)
         pos, score = st["pos"], st["score"]
         row_best = score.max(axis=1)
         read_best = jnp.maximum(row_best[:B], row_best[B:])
 
     dp_sc = None
     if not no_dp:
-        key = jnp.where(read_best < -gap1, -read_best, NEG_INF)
-        val, sel = lax.top_k(key, dp_bucket)
-        selmask = val > NEG_INF // 2
+        dpmask = read_best < -gap1
+        rankd = jnp.cumsum(dpmask.astype(jnp.int32)) - 1
+        used = dpmask & (rankd < dp_bucket)
+        _, sel = lax.top_k(dpmask.astype(jnp.int32), dp_bucket)
         rows = jnp.concatenate([sel, sel + B])
-        m2 = jnp.concatenate([selmask, selmask])
+        m2 = jnp.concatenate([used[sel], used[sel]])
         Tdp = min(2, pos.shape[1])
         dpv = _stage_dp(idx, sctab, st["seqs2"][rows], st["quals2"][rows],
                         st["lens2"][rows], pos[rows, :Tdp], m2, dp_pad,
                         sc_const)
-        dp_sc = jnp.full(score.shape, NEG_INF, jnp.int32
-                         ).at[rows, :Tdp].set(dpv)
+        slotd = jnp.clip(rankd, 0, dp_bucket - 1)
+        fw_dp = jnp.where(used[:, None], dpv[slotd], NEG_INF)
+        rc_dp = jnp.where(used[:, None], dpv[slotd + dp_bucket], NEG_INF)
+        T = score.shape[1]
+        dp_sc = jnp.concatenate(
+            [jnp.concatenate([fw_dp, rc_dp], axis=0),
+             jnp.full((2 * B, T - Tdp), NEG_INF, jnp.int32)], axis=1)
 
     merged = _stage_merge(pos, score, dp_sc, B, K2)
     return merged, st

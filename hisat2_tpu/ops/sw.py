@@ -141,46 +141,53 @@ def ungapped_place_batch(sctab: dict, rd: jax.Array, quals: jax.Array,
     in_read = (jnp.arange(L, dtype=jnp.int32)[None, :] < rdlens[:, None])
     pens = mm_pen_of(sctab, q)                            # (C, L)
     scp = jnp.where(in_read, sc_pen_of(sctab, q), 0)
-    SCP = jnp.concatenate(
-        [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(scp, axis=1)], axis=1)
+    scp_total = scp.sum(axis=1)
     # sentinel (code 5) pad: L columns each side so overhanging clipped
     # ends stay representable without any aligned base landing outside
     wp = jnp.full((C, W + 2 * L), 5, jnp.int32)
     wp = lax.dynamic_update_slice(wp, ref.astype(jnp.int32), (0, L))
 
-    ch = min(C, 128) if C % min(C, 128) == 0 else C
-    nmc = C // ch
-
-    def chunk(args):
-        wpc, rdc, pc, irc, SCPc = args                    # (ch, ...)
-        sv = jnp.stack([wpc[:, i:i + T] for i in range(L)], axis=2)
-        mm = sv != rdc[:, None, :]
-        isn = (sv >= 4) | (rdc >= 4)[:, None, :]
-        sub = jnp.where(mm & ~isn, -pc[:, None, :], 0)
-        sub = sub + jnp.where(~mm & ~isn, sctab["match_bonus"], 0)
-        sub = jnp.where(isn, -sctab["n_pen"], sub)
+    # Streaming Kadane over read positions: per (lane, diagonal) track
+    # the prefix sum A, its running FIRST minimum (value + index), and
+    # the best gain (A[i2] - min_{j<i2} A[j]) with first-max tie order —
+    # O(C*T) state instead of the old (C, T, L) tensor that forced a
+    # serialized lax.map over 128-lane chunks (it was the largest single
+    # op in the PE dispatch profile). Strict comparisons reproduce the
+    # argmax/argmin first-occurrence semantics of the dense version.
+    NEG = jnp.int32(-(1 << 30))
+    A = jnp.zeros((C, T), jnp.int32)           # A[0] = 0 (SCP[0] = 0)
+    runmin = A                                 # min over A[0..i-1]
+    rm_idx = jnp.zeros((C, T), jnp.int32)
+    best = jnp.full((C, T), NEG, jnp.int32)
+    b_i1 = jnp.zeros((C, T), jnp.int32)
+    b_i2 = jnp.ones((C, T), jnp.int32)
+    rdn = rd >= 4
+    mbonus = sctab["match_bonus"]
+    npen = sctab["n_pen"]
+    for i in range(L):
+        sv = lax.dynamic_slice_in_dim(wp, i, T, axis=1)   # (C, T)
+        rc = rd[:, i][:, None]
+        mm = sv != rc
+        isn = (sv >= 4) | rdn[:, i][:, None]
+        sub = jnp.where(mm & ~isn, -pens[:, i][:, None], 0)
+        sub = sub + jnp.where(~mm & ~isn, mbonus, 0)
+        sub = jnp.where(isn, -npen, sub)
         sub = jnp.where(sv == 5, BAD, sub)
-        sub = jnp.where(irc[:, None, :], sub, BAD)
-        A = SCPc[:, None, :] + jnp.concatenate(
-            [jnp.zeros((ch, T, 1), jnp.int32), jnp.cumsum(sub, axis=2)],
-            axis=2)
-        runmin = lax.cummin(A, axis=2)
-        gains = A[:, :, 1:] - runmin[:, :, :-1]           # (ch, T, L)
-        best_it = gains.max(axis=2)                       # (ch, T)
-        ti = jnp.argmax(best_it, axis=1).astype(jnp.int32)
-        best = best_it.max(axis=1) - SCPc[:, -1]
-        A_t = jnp.take_along_axis(A, ti[:, None, None], axis=1)[:, 0]
-        g_t = jnp.take_along_axis(gains, ti[:, None, None], axis=1)[:, 0]
-        i2 = (jnp.argmax(g_t, axis=1) + 1).astype(jnp.int32)
-        big = jnp.int32(1 << 30)
-        A_m = jnp.where(jnp.arange(L + 1)[None, :] < i2[:, None], A_t, big)
-        i1 = jnp.argmin(A_m, axis=1).astype(jnp.int32)
-        return best.astype(jnp.int32), ti - L, i1, i2
-
-    args = tuple(a.reshape((nmc, ch) + a.shape[1:])
-                 for a in (wp, rd, pens, in_read, SCP))
-    best, t0, i1, i2 = lax.map(chunk, args)
-    return (best.reshape(C), t0.reshape(C), i1.reshape(C), i2.reshape(C))
+        sub = jnp.where(in_read[:, i][:, None], sub, BAD)
+        A2 = A + sub + scp[:, i][:, None]      # A[i+1] = A[i] + sub + scp
+        cand = A2 - runmin
+        upd = cand > best                      # strict: first max wins
+        best = jnp.where(upd, cand, best)
+        b_i2 = jnp.where(upd, i + 1, b_i2)
+        b_i1 = jnp.where(upd, rm_idx, b_i1)
+        newmin = A2 < runmin                   # strict: first min wins
+        runmin = jnp.where(newmin, A2, runmin)
+        rm_idx = jnp.where(newmin, i + 1, rm_idx)
+        A = A2
+    ti = jnp.argmax(best, axis=1).astype(jnp.int32)       # first max
+    take = lambda a: jnp.take_along_axis(a, ti[:, None], 1)[:, 0]
+    return ((take(best) - scp_total).astype(jnp.int32), ti - L,
+            take(b_i1), take(b_i2))
 
 
 # ---------------------------------------------------------------------------

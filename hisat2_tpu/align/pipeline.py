@@ -1170,6 +1170,8 @@ class Aligner:
         sc, pos = merged["score"], merged["pos"]
         fw = merged["fw"]
         lanes = self._junction_lanes(trigger, sc, pos, fw, lens)
+        n_seeded = len(lanes)
+        lanes += self._anchor_scan_lanes(batch, trigger, sc, pos, fw, lens)
         if not lanes:
             return
         P = len(lanes)
@@ -1228,6 +1230,14 @@ class Aligner:
         strands = np.where(jstr == 1, "+", "-")
         for k in np.flatnonzero(partial_v):
             k = int(k)
+            if k >= n_seeded:
+                # anchor-scan lanes may only land fully-accepted
+                # junctions: their far diagonal is an 8-mer guess, so a
+                # partial (chain-base) entry would seed multi-segment
+                # chains from an outer anchor the reference would never
+                # admit (localGFMSearch results go through the same full
+                # acceptance, spliced_aligner.h:331-560)
+                continue
             i = int(ri[k])
             cur = partial.setdefault(i, [])
             if len(cur) < 4:
@@ -1257,6 +1267,75 @@ class Aligner:
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
         self._splice_second_pass(batch, merged, spl, lens, perfect)
+
+    def _anchor_scan_lanes(self, batch, trigger, sc, pos, fw, lens):
+        """Far-exon discovery for novel junctions with UNSEEDED short
+        anchors (7-20bp): the reference finds these by searching the
+        neighboring 57Kbp LocalGFM even when no seed lands there
+        (localGFMSearch, hi_aligner.h:6751, driven from
+        spliced_aligner.h:331-560 with _minK_local=8). Batched here as
+        ops/splice.anchor_scan — an exact 8-mer scan of the read's far
+        end over the intron-reachable window next to each triggered
+        read's primary diagonal, both directions. Returns extra
+        (row, posA, posB, fw) lane tuples for the gated junction kernel,
+        which applies the same motif/anchor/score acceptance as seeded
+        pairs."""
+        from ..ops import splice as _splice
+        o = self.opts
+        T = trigger
+        p0 = pos[T, 0].astype(np.int64)
+        f0 = fw[T, 0]
+        live0 = sc[T, 0] > NEG_INF // 2
+        rows = T[live0]
+        if rows.size == 0:
+            return []
+        p0 = p0[live0]
+        f0 = f0[live0]
+        S = rows.size
+        L = batch.seqs.shape[1]
+        rls = lens[rows]
+        seqs = batch.seqs[rows].astype(np.int64)
+        ar = np.arange(L)
+        rcidx = np.clip(rls[:, None] - 1 - ar[None, :], 0, L - 1)
+        comp = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(f0[:, None], seqs,
+                      comp[np.take_along_axis(seqs, rcidx, 1)])
+        rd = np.where(ar[None, :] < rls[:, None], rd, 4)
+        # two scan rows per read: downstream (anchor = read tail) and
+        # upstream (anchor = read head)
+        rd2 = np.concatenate([rd, rd]).astype(np.int8)
+        rl2 = np.concatenate([rls, rls]).astype(np.int32)
+        pos2 = np.concatenate([p0, p0]).astype(np.int32)
+        down2 = np.concatenate([np.ones(S, bool), np.zeros(S, bool)])
+        bucket = 256
+        while bucket < 2 * S:
+            bucket *= 2
+        padn = bucket - 2 * S
+        if padn:
+            rd2 = np.pad(rd2, ((0, padn), (0, 0)), constant_values=4)
+            rl2 = np.pad(rl2, (0, padn))
+            pos2 = np.pad(pos2, (0, padn))
+            down2 = np.pad(down2, (0, padn))
+        res = np.asarray(_splice.anchor_scan(
+            self.idx, jnp.asarray(rd2), jnp.asarray(rl2),
+            jnp.asarray(pos2), jnp.asarray(down2),
+            jnp.int32(o.min_intron)))[:2 * S]        # (2S, NC, 2)
+        mate = res[:, :, 0].astype(np.int64)
+        ok = res[:, :, 1] > 0
+        out = []
+        for s, i in enumerate(np.concatenate([rows, rows]).tolist()):
+            dn = s < S
+            pa0 = int(pos2[s])
+            fws = bool(f0[s if dn else s - S])
+            for c in range(mate.shape[1]):
+                if not ok[s, c]:
+                    continue
+                m = int(mate[s, c])
+                if dn:
+                    out.append((i, pa0, m, fws))
+                else:
+                    out.append((i, m, pa0, fws))
+        return out
 
     def _junction_lanes(self, trigger, sc, pos, fw, lens):
         """Vectorized diagonal-pair enumeration for the junction kernel:

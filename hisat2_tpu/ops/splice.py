@@ -290,3 +290,107 @@ def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
     return jnp.stack(
         [jnp.clip(score, -32768, 32767), j, flags], axis=1
     ).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("W", "A", "NC"))
+def anchor_scan(idx: dict, rd, rdlens, pos, down,
+                min_intron, W: int = 65536, A: int = 8, NC: int = 4):
+    """Find candidate FAR-exon diagonals for a novel junction whose far
+    anchor was too short to seed — the batched equivalent of the
+    reference's localGFMSearch over the neighboring ~57Kbp LocalGFM
+    (hi_aligner.h:6751, `_minK_local = 8` at hi_aligner.h:3979-3985):
+    exact-match the read's far-end A-mer anchor against the
+    intron-reachable window next to a seeded exon diagonal, by
+    bit-parallel compare over the 2-bit packed text (16 sub-word shifts
+    per 32-bit word — no per-position gather).
+
+    rd (S, L) codes in alignment orientation; rdlens (S,); pos (S,)
+    seeded diagonal (joined pos of read[0] on the seeded exon);
+    down (S,) bool — True: the seeded exon is UPSTREAM, the anchor is
+    the read's LAST A bases and matches give posB-diagonal candidates;
+    False: seeded exon DOWNSTREAM, anchor is the FIRST A bases, matches
+    give posA diagonals. Window width W mirrors the reference's local
+    -index reach; matches outside the seeded diagonal's reference
+    fragment are rejected.
+
+    Returns (mate_diag (S, NC) int32, valid (S, NC) bool). DOWN scans
+    prefer the NEAREST (shortest-intron) matches, UP scans the nearest
+    upstream — the intron-length penalty G,-8,1 makes those the likely
+    winners, and the junction kernel re-gates everything downstream.
+    """
+    S, L = rd.shape
+    NW = W // 16
+    rdlens = rdlens.astype(jnp.int32)
+    pos = pos.astype(jnp.int32)
+    mi = min_intron.astype(jnp.int32)
+
+    # anchor code (little-endian 2-bit, matching text word packing)
+    ar = jnp.arange(A, dtype=jnp.int32)
+    tail_off = jnp.maximum(rdlens - A, 0)
+    offs = jnp.where(down[:, None], tail_off[:, None] + ar[None, :],
+                     ar[None, :])
+    ach = jnp.take_along_axis(rd.astype(jnp.int32),
+                              jnp.clip(offs, 0, L - 1), 1)   # (S, A)
+    has_n = (ach >= 4).any(axis=1) | (rdlens < A + MIN_ANCHOR_CANON)
+    acode = (jnp.clip(ach, 0, 3)
+             * (4 ** ar)[None, :]).sum(axis=1).astype(jnp.uint32)
+
+    # window start (joined chars): DOWN matches live at
+    # matchpos = posB + (rl - A) with posB >= pos + min_intron;
+    # UP matches at matchpos = posA with posA >= pos - min_intron - W
+    ws_down = pos + mi + rdlens - A
+    ws_up = pos - mi - W
+    ws = jnp.where(down, ws_down, ws_up)
+    wsc = jnp.clip(ws, 0, None)
+    base = wsc >> 4                                          # first word
+    # fetch NW+1 words as 16-word rows of text_rows
+    rows = idx["text_rows"]
+    r0 = jnp.clip(base >> 4, 0, rows.shape[0] - 1)
+    nrow = NW // 16 + 2
+    ridx2 = jnp.clip(r0[:, None] + jnp.arange(nrow, dtype=jnp.int32),
+                     0, rows.shape[0] - 1)
+    wmat = rows[ridx2].reshape(S, nrow * 16)                 # (S, words)
+    woff = base & 15                                         # word in row0
+    # align the word axis to the window start (log-step shift), then
+    # compute the 16-bit value at every char offset: 16 shifts per word
+    w0 = _rank._shift_words(wmat, woff, NW + 1)
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    lo = (w0[:, :NW, None] >> sh)
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   (w0[:, 1:NW + 1, None] << (jnp.uint32(32) - sh)))
+    vals = (lo | hi) & jnp.uint32(0xFFFF)                    # (S, NW, 16)
+    hitm = vals == acode[:, None, None]
+    # char position of each hit (relative to wsc)
+    hit_any = hitm.any(axis=2)                               # (S, NW)
+    # sub-position: first matching shift in the word (nearest for DOWN);
+    # for UP prefer the last (largest matchpos)
+    first_s = jnp.argmax(hitm, axis=2).astype(jnp.int32)
+    last_s = 15 - jnp.argmax(hitm[:, :, ::-1], axis=2).astype(jnp.int32)
+    sub = jnp.where(down[:, None], first_s, last_s)
+    # word-level selection: DOWN nearest = smallest word index; UP
+    # nearest = largest
+    wi = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    key = jnp.where(hit_any,
+                    jnp.where(down[:, None], -wi, wi),
+                    jnp.int32(-(1 << 30)))
+    kv, kw = lax.top_k(key, NC)
+    kvalid = kv > -(1 << 29)
+    kw = jnp.clip(kw, 0, NW - 1)
+    # positions anchor at the word boundary 16*base (the shift cascade
+    # aligns words, not chars; wsc may sit mid-word)
+    mpos = ((base << 4)[:, None] + 16 * jnp.take_along_axis(
+        jnp.broadcast_to(wi, hit_any.shape), kw, 1)
+        + jnp.take_along_axis(sub, kw, 1))
+    # mate diagonal from match position
+    mate = jnp.where(down[:, None], mpos - (rdlens - A)[:, None], mpos)
+    # same-fragment + intron-range guards (the kernel re-gates; these
+    # keep cross-chromosome garbage out of the lane set)
+    fr = _rank.searchsorted_right(idx["frag_joined"], pos) - 1
+    frc = jnp.clip(fr, 0, idx["frag_joined"].shape[0] - 1)
+    fs, fe = idx["frag_joined"][frc], idx["frag_end"][frc]
+    inb = (mpos >= fs[:, None]) & (mpos + A <= fe[:, None])
+    delta = jnp.where(down[:, None], mate - pos[:, None],
+                      pos[:, None] - mate)
+    ok = (kvalid & inb & ~has_n[:, None] & (fr >= 0)[:, None]
+          & (delta >= mi))
+    return jnp.stack([mate, ok.astype(jnp.int32)], axis=2).astype(jnp.int32)

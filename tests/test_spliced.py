@@ -160,3 +160,30 @@ def test_tmo_reports_only_known_transcripts(rna_setup):
     assert int(recs["novel"][1]) & 4
     assert int(recs["contig"][1]) & 4
     assert st["unal"] == 2
+
+
+def test_novel_junction_short_far_anchor(rna_setup):
+    """Novel junction whose FAR anchor (9bp) is shorter than the seed
+    table's k-mer: undiscoverable from seeded diagonal pairs alone; the
+    anchor-scan stage (ops/splice.anchor_scan, reference localGFMSearch
+    role) must synthesize the far diagonal. No known sites involved."""
+    codes, introns, al = rna_setup
+    al.ssdb.clear() if hasattr(al.ssdb, "clear") else None
+    # downstream-short case: 91bp on exon A, 9bp on exon B
+    start, ilen = introns[1]
+    seq = _junction_read(codes, start, ilen, left=91, right=9)
+    res = al.align_batch(batchify([Read("sj1", seq, np.full(100, 40),
+                                        0)]))[0]
+    assert res.aligned
+    a = res.alns[0]
+    assert a.cigar == [("M", 91), ("N", ilen), ("M", 9)]
+    assert a.joined_pos == start - 91
+    # upstream-short case: 9bp on exon A, 91bp on exon B
+    start2, ilen2 = introns[2]
+    seq2 = _junction_read(codes, start2, ilen2, left=9, right=91)
+    res2 = al.align_batch(batchify([Read("sj2", seq2, np.full(100, 40),
+                                         1)]))[0]
+    assert res2.aligned
+    a2 = res2.alns[0]
+    assert a2.cigar == [("M", 9), ("N", ilen2), ("M", 91)]
+    assert a2.joined_pos == start2 - 9

@@ -1571,6 +1571,300 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
         fbuf, pair_end, stats)
 
 
+def _pe_mixed_vec(al, b1, b2, slow, nvalid, m1h, m2h, l1, l2, ex,
+                  stats):
+    """Vectorized mixed/unaligned resolution for no-concordant slow
+    pairs — byte-identical replica of the _pair_result_one →
+    _mate_result → pair_lines chain for the two bulk categories:
+
+    * neither mate has a valid candidate  → two flag-4 records
+    * exactly one mate aligned AND the in-dispatch rescue DP (RB
+      extras) provably failed (score below the mate's minimum) AND all
+      reportable candidates are ungapped → one aligned + one unaligned
+      record (YT:Z:UP), NH/ZS/MAPQ per _dedup_alns semantics
+
+    Everything else (rescue successes, discordant, gapped, Zs/tmo/
+    local modes) stays with the per-pair ladder. Returns
+    ({row: [sam_text]}, remaining_slow_rows).
+    """
+    o = al.opts
+    sc = al.scoring
+    lib = _samfmt()
+    if (lib is None or not hasattr(lib, "format_pe_mix") or o.no_mixed
+            or o.tmo or sc.local or o.zs_tags or slow.size == 0):
+        return {}, slow
+    S = slow[nvalid[slow] == 0]
+    if S.size == 0:
+        return {}, slow
+
+    def minv(lens):
+        u, inv = np.unique(lens, return_inverse=True)
+        vals = np.array([sc.min_score(int(x)) for x in u], np.int64)
+        return vals[inv]
+
+    min1 = minv(l1[S])
+    min2 = minv(l2[S])
+    v1 = m1h["score"][S] >= min1[:, None]
+    v2 = m2h["score"][S] >= min2[:, None]
+    has1 = v1.any(1)
+    has2 = v2.any(1)
+
+    vec_rows: list[int] = []            # global rows handled here
+    # ---- both mates unaligned ----
+    unal_rows = S[~has1 & ~has2]
+    # ---- one mate aligned: rescue-failure proof via the RB extras ----
+    rmap = np.full(len(b1), -1, np.int64)
+    rr = None
+    if ex is not None and "rescue" in ex:
+        rr = np.asarray(ex["rescue"]).astype(np.int64)
+        rok = rr[:, 0] >= 0
+        rmap[rr[rok, 0]] = np.flatnonzero(rok)
+    L = max(b1.seqs.shape[1], b2.seqs.shape[1])
+    W = min(o.maxins, 1000) + L
+    groups = []              # (rows_global, anchored_mate01, m, batch, lens, minsc)
+    for anch01, om, mh, bb, lm, mn, lo in (
+            (0, has1 & ~has2, m1h, b1, l1, min1, l2),
+            (1, has2 & ~has1, m2h, b2, l2, min2, l1)):
+        rows_l = np.flatnonzero(om)          # indices into S
+        if rows_l.size == 0 or rr is None:
+            continue
+        rg = S[rows_l]
+        v = (v1 if anch01 == 0 else v2)[rows_l]
+        k0 = np.argmax(v, axis=1)
+        ar = np.arange(rows_l.size)
+        pos0 = mh["pos"][rg, k0]
+        fw0 = mh["fw"][rg, k0]
+        g0 = mh["gapped"][rg, k0]
+        ext = lm[rg]
+        wstart = np.where(fw0, pos0, pos0 + ext - W)
+        mate_fw = ~fw0
+        j = rmap[rg]
+        ent_ok = j >= 0
+        jj = np.clip(j, 0, max(len(rr) - 1, 0) if rr is not None else 0)
+        # rescue row [1] is "mate1 anchored" (stage_pe_packed a1_l),
+        # i.e. 1 when the anchored-mate index is 0
+        ent_ok &= (rr[jj, 1] == (1 - anch01)) & (rr[jj, 7] == wstart) \
+            & (rr[jj, 8].astype(bool) == mate_fw)
+        failed = rr[jj, 2] < minv(lo[rg])
+        pick = ent_ok & failed & ~g0
+        if not pick.any():
+            continue
+        groups.append((rg[pick], anch01, mh, bb, lm, mn[rows_l][pick]))
+
+    if unal_rows.size == 0 and not groups:
+        return {}, slow
+
+    # ---- per-group candidate selection (mate_cands replica) ----
+    kcap = min(o.khits + 1, o.top_cands)
+    MMX = 16
+    # per emitted pair: (row, [records]) — records are column tuples
+    rec_cols: list[tuple] = []    # (pair_local, mate, flag, rname, pos1,
+    #                                mapq, c5, mid, c3, rnext, pn1, score,
+    #                                zs, nmm, nh, cnt, mm_lanes)
+    row_order: list[int] = []     # global row per emitted pair, in order
+    demote: set[int] = set()      # rows that fall back to the ladder
+    ref = al.fm.ref
+
+    for rg, anch01, mh, bb, lm, mins in groups:
+        R = rg.size
+        pos = mh["pos"][rg]
+        fw = mh["fw"][rg]
+        gp = mh["gapped"][rg]
+        scg = mh["score"][rg]
+        v = scg >= mins[:, None]
+        K = pos.shape[1]
+        same = (pos[:, :, None] == pos[:, None, :]) \
+            & (fw[:, :, None] == fw[:, None, :])
+        lower = np.tril(np.ones((K, K), bool), -1)[None]
+        dup = (same & v[:, None, :] & lower).any(2)
+        keep = v & ~dup
+        rank = np.cumsum(keep, axis=1)
+        keep &= rank <= o.top_cands
+        sel = keep & (rank <= kcap)
+        # rows needing a gapped finalize go to the ladder
+        bad = (sel & gp).any(1)
+        # flatten items row-major (candidate order preserved)
+        rloc, kidx = np.nonzero(sel & ~bad[:, None])
+        if rloc.size == 0:
+            demote.update(int(x) for x in rg[bad])
+            continue
+        ridx = rg[rloc]
+        upos = pos[rloc, kidx]
+        ufw = fw[rloc, kidx]
+        A = al._ungapped_arrays(bb, ridx, upos, ufw, lm[ridx])
+        # mm lanes per item
+        mm_rows, mm_cols = A["mm_rows"], A["mm_cols"]
+        mm_ref = A["mm_ref"]
+        cnt_item = np.bincount(mm_rows, minlength=rloc.size)
+        mm_off = np.zeros(rloc.size + 1, np.int64)
+        np.cumsum(cnt_item, out=mm_off[1:])
+        spans = lm[ridx] - A["c5"] - A["c3"]
+        starts_i = np.searchsorted(rloc, np.arange(R))
+        ends_i = np.searchsorted(rloc, np.arange(R), side="right")
+        for rl in range(R):
+            grow = int(rg[rl])
+            if bad[rl]:
+                demote.add(grow)
+                continue
+            i0, i1 = int(starts_i[rl]), int(ends_i[rl])
+            items = [t for t in range(i0, i1) if A["ok"][t]]
+            if not items or any(cnt_item[t] > MMX for t in items):
+                demote.add(grow)
+                continue
+            iscore = A["score"]
+            order = sorted(items, key=lambda t: -int(iscore[t]))
+            sset, eset = set(), set()
+            surv = []
+            for t in order:
+                ks = (int(A["astart"][t]), bool(ufw[t]))
+                ke = (int(A["astart"][t] + spans[t]), bool(ufw[t]))
+                if ks in sset or ke in eset:
+                    continue
+                sset.add(ks)
+                eset.add(ke)
+                surv.append(t)
+            best = int(iscore[surv[0]])
+            secbest = int(iscore[surv[1]]) if len(surv) > 1 else None
+            nh = min(len(surv), o.khits)
+            t0 = surv[0]
+            ln = int(lm[grow])
+            mq = _mapq.mapq_v2(best, secbest, sc.perfect_score(ln),
+                               sc.min_score(ln), local=sc.local)
+            tidx = int(A["tidx"][t0])
+            toff = int(A["toff"][t0])
+            afw = bool(ufw[t0])
+            c5v, c3v = int(A["c5"][t0]), int(A["c3"][t0])
+            lanes = ((mm_cols[mm_off[t0]:mm_off[t0 + 1]]
+                      .astype(np.int64) << 3)
+                     | mm_ref[mm_off[t0]:mm_off[t0 + 1]].astype(np.int64))
+            base_fl = 1 | (64 if anch01 == 0 else 128)
+            al_fl = base_fl | 8 | (0 if afw else 16)
+            un_fl = (1 | 4 | (128 if anch01 == 0 else 64))
+            al_rec = (anch01, al_fl, tidx, toff + 1, mq, c5v,
+                      ln - c5v - c3v, c3v, 1, toff + 1, int(A["score"][t0]),
+                      secbest if secbest is not None else np.iinfo(np.int32).min,
+                      int(A["nmm"][t0]), nh, int(cnt_item[t0]),
+                      lanes.astype(np.int16))
+            un_rec = (1 - anch01, un_fl, tidx, toff + 1, 0, 0, 0, 0,
+                      1, toff + 1, 0, np.iinfo(np.int32).min, 0, 1, 0,
+                      np.zeros(0, np.int16))
+            pair_recs = (al_rec, un_rec) if anch01 == 0 else \
+                (un_rec, al_rec)
+            row_order.append(grow)
+            rec_cols.append(pair_recs)
+            stats["pairs"] += 1
+            stats["mixed_al"] += 1
+            stats["mates_al"] += 1
+            stats["mate_un"] += 1
+            if nh > 1 or (secbest is not None and secbest == best):
+                stats["mate_multi"] += 1
+            else:
+                stats["mate_uniq"] += 1
+
+    for grow in unal_rows.tolist():
+        un1 = (0, 1 | 4 | 8 | 64, -1, 0, 0, 0, 0, 0, 0, 0, 0,
+               np.iinfo(np.int32).min, 0, 1, 0, np.zeros(0, np.int16))
+        un2 = (1, 1 | 4 | 8 | 128, -1, 0, 0, 0, 0, 0, 0, 0, 0,
+               np.iinfo(np.int32).min, 0, 1, 0, np.zeros(0, np.int16))
+        row_order.append(int(grow))
+        rec_cols.append((un1, un2))
+        stats["pairs"] += 1
+        stats["unal"] += 1
+        stats["mate_un"] += 2
+
+    if not rec_cols:
+        return {}, slow
+
+    # ---- native formatting (subset buffers, local pair indices) ----
+    P = len(rec_cols)
+    rows_np = np.asarray(row_order, np.int64)
+    names = [b1.names[int(i)] for i in row_order]
+    nb = np.array(names, dtype="S255")
+    name_lens = np.char.str_len(nb).astype(np.int64)
+    name_off = np.zeros(P + 1, np.int64)
+    np.cumsum(name_lens, out=name_off[1:])
+    wide = nb.view(np.uint8).reshape(P, -1)
+    name_buf = np.ascontiguousarray(
+        wide[np.arange(wide.shape[1])[None, :] < name_lens[:, None]])
+    if name_buf.size == 0:
+        name_buf = np.zeros(1, np.uint8)
+
+    def u8(a):
+        return a.view(np.uint8) if a.dtype == np.int8 else \
+            np.ascontiguousarray(a.astype(np.uint8))
+    s1 = np.ascontiguousarray(b1.seqs[rows_np].astype(np.uint8))
+    s2 = np.ascontiguousarray(b2.seqs[rows_np].astype(np.uint8))
+    q1 = np.ascontiguousarray(u8(b1.quals)[rows_np])
+    q2 = np.ascontiguousarray(u8(b2.quals)[rows_np])
+    le1 = np.ascontiguousarray(l1[rows_np].astype(np.int32))
+    le2 = np.ascontiguousarray(l2[rows_np].astype(np.int32))
+    qc1, qc2 = _batch_qconst(b1), _batch_qconst(b2)
+    qconst = qc1 if (qc1 >= 0 and qc1 == qc2) else -1
+    rn_buf, rn_off, rn_lens = _refname_cache(al)
+
+    NRECS = 2 * P
+    carr = {k: np.zeros(NRECS, np.int32) for k in
+            ("pair", "mate", "flag", "rname", "pos1", "mapq", "c5",
+             "mid", "c3", "rnext", "pn1", "score", "zs", "nmm", "nh",
+             "cnt")}
+    mm_arr = np.zeros((NRECS, 16), np.int16)
+    n = 0
+    for pl, (recA, recB) in enumerate(rec_cols):
+        for rec in (recA, recB):
+            (mate, fl, rname, pos1, mq, c5v, midv, c3v, rnext, pn1,
+             score, zs, nmm, nh, cnt, lanes) = rec
+            carr["pair"][n] = pl
+            carr["mate"][n] = mate
+            carr["flag"][n] = fl
+            carr["rname"][n] = rname
+            carr["pos1"][n] = pos1
+            carr["mapq"][n] = mq
+            carr["c5"][n] = c5v
+            carr["mid"][n] = midv
+            carr["c3"][n] = c3v
+            carr["rnext"][n] = rnext
+            carr["pn1"][n] = pn1
+            carr["score"][n] = score
+            carr["zs"][n] = zs
+            carr["nmm"][n] = nmm
+            carr["nh"][n] = nh
+            carr["cnt"][n] = cnt
+            if lanes.size:
+                mm_arr[n, :lanes.size] = lanes
+            n += 1
+    import ctypes
+    maxrn = int(rn_lens.max()) if rn_lens.size else 1
+    Lp1, Lp2 = s1.shape[1], s2.shape[1]
+    cap = int(NRECS * (260 + maxrn + 2 * max(Lp1, Lp2) + 12 * 16)
+              + int(name_lens.sum()) + 4096)
+    outbuf = ctypes.create_string_buffer(cap)
+    rec_ends = np.zeros(NRECS, np.int64)
+    total = lib.format_pe_mix(
+        np.int32(NRECS), carr["pair"], carr["mate"], carr["flag"],
+        carr["rname"], carr["pos1"], carr["mapq"], carr["c5"],
+        carr["mid"], carr["c3"], carr["rnext"], carr["pn1"],
+        carr["score"], carr["zs"], carr["nmm"], carr["nh"], carr["cnt"],
+        np.ascontiguousarray(mm_arr), np.int32(16),
+        name_buf, name_off,
+        s1, q1, np.int64(Lp1), le1,
+        s2, q2, np.int64(Lp2), le2, np.int32(qconst),
+        rn_buf, rn_off,
+        outbuf, np.int64(cap), rec_ends)
+    if total < 0:
+        return {}, slow
+    text = ctypes.string_at(ctypes.addressof(outbuf), int(total)) \
+        .decode("ascii")
+    vec_lines: dict[int, list[str]] = {}
+    for pl, grow in enumerate(row_order):
+        a0 = int(rec_ends[2 * pl - 1]) if pl > 0 else 0
+        vec_lines[grow] = [text[a0:int(rec_ends[2 * pl + 1])]]
+
+    handled = set(vec_lines)
+    remaining = np.asarray([int(x) for x in slow
+                            if int(x) not in handled], np.int64)
+    return vec_lines, remaining
+
+
 def _finish_pe_slow_and_stitch(al, b1, b2, fp, ex, out, writer, fast,
                                aux, nvalid, l1, l2, fbuf, pair_end,
                                stats) -> dict:
@@ -1651,6 +1945,16 @@ def _finish_pe_slow_and_stitch(al, b1, b2, fp, ex, out, writer, fast,
         m1h = dict(score=msc1, pos=mpos1, fw=mfw1, gapped=mg1)
         m2h = dict(score=msc2, pos=mpos2, fw=mfw2, gapped=mg2)
         grid = _paired._grid_from_pairtop(ptf, m1h, m2h)
+
+        # vectorized mixed/unal resolution: the dominant slow category is
+        # "no concordant pair, one mate aligned, in-dispatch rescue DP
+        # failed" — classify those rows with array ops + the native mix
+        # formatter, leaving only rescued/discordant/gapped/alt rows to
+        # the per-pair ladder below
+        vec_lines, slow = _pe_mixed_vec(al, b1, b2, slow, nvalid, m1h,
+                                        m2h, l1, l2, ex, stats)
+        for vi, vlines in vec_lines.items():
+            slow_out[vi] = vlines
 
         def mate_cands(m, batch, i, min_sc, rdlen):
             cs = []

@@ -152,6 +152,21 @@ def samfmt_lib() -> ctypes.CDLL | None:
             u8, i64,                     # fast_out, pair_end
             ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, stats
             i32, i16, i64]               # cols, mm_out, rec_ends scratch
+        lib.format_pe_mix.restype = ctypes.c_int64
+        lib.format_pe_mix.argtypes = [
+            ctypes.c_int32,              # nrec
+            i32, i32, i32,               # pair mate flag
+            i32, i32, i32,               # rname pos1 mapq
+            i32, i32, i32,               # c5 mid c3
+            i32, i32,                    # rnext pnext1
+            i32, i32, i32, i32, i32,     # score zs nmm nh cnt
+            i16, ctypes.c_int32,         # mm lanes, MMX
+            u8, i64,                     # name buf/off (per pair)
+            u8, u8, ctypes.c_int64, i32,  # seq1 qual1 Lp1 lens1(i32)
+            u8, u8, ctypes.c_int64, i32,  # seq2 qual2 Lp2 lens2(i32)
+            ctypes.c_int32,              # qconst
+            u8, i64,                     # refname buf/off
+            ctypes.c_char_p, ctypes.c_int64, i64]  # out, cap, rec_ends
         lib._configured = True
     return lib
 

@@ -1119,4 +1119,101 @@ int64_t finish_pe_native(
     return total;
 }
 
+// format_pe_mix — mixed/unaligned PAIR records (YT:Z:UP), the native
+// formatter for the vectorized no-concordant classification in
+// align/emit._finish_pe_slow_and_stitch: per record either an aligned
+// single mate (clip-only CIGAR + AS/[ZS]/XN/XM/XO/XG/NM/MD/YT/NH tags,
+// reference SamConfig optional-field order) or an unaligned mate
+// (CIGAR '*', mate RNAME/POS when the other mate mapped). TLEN is 0 on
+// every mixed record (io/sam.py format_aligned pairs w/o mate_mapped).
+// r_rname < 0 prints '*' and POS 0; r_rnext 1 prints '=', 0 prints '*'.
+// mm lanes: (col_in_read_orientation << 3) | refbase, MD cols relative
+// to c5 like pe_chunk. Returns bytes written; rec_ends[k] per record.
+int64_t format_pe_mix(
+    int32_t nrec,
+    const int32_t* r_pair, const int32_t* r_mate, const int32_t* r_flag,
+    const int32_t* r_rname, const int32_t* r_pos1, const int32_t* r_mapq,
+    const int32_t* r_c5, const int32_t* r_mid, const int32_t* r_c3,
+    const int32_t* r_rnext, const int32_t* r_pn1,
+    const int32_t* r_score, const int32_t* r_zs,
+    const int32_t* r_nmm, const int32_t* r_nh, const int32_t* r_cnt,
+    const int16_t* mm, int32_t MMX,
+    const uint8_t* name_buf, const int64_t* name_off,
+    const uint8_t* seq1, const uint8_t* qual1, int64_t Lp1,
+    const int32_t* lens1,
+    const uint8_t* seq2, const uint8_t* qual2, int64_t Lp2,
+    const int32_t* lens2, int32_t qconst,
+    const uint8_t* refname_buf, const int64_t* refname_off,
+    char* out, int64_t cap, int64_t* rec_ends)
+{
+    PECols c{nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+             nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+             nullptr, nullptr, nullptr, 0,
+             nullptr, nullptr, seq1, qual1, seq2, qual2, Lp1, Lp2,
+             lens1, lens2, qconst, nullptr, nullptr};
+    char* p = out;
+    for (int32_t k = 0; k < nrec; k++) {
+        int32_t pair = r_pair[k], mate = r_mate[k];
+        int32_t rd = pair * 2 + mate;
+        int name_len = (int)(name_off[pair + 1] - name_off[pair]);
+        int32_t seq_len = mate ? lens2[pair] : lens1[pair];
+        int32_t r = r_rname[k];
+        int rn_len = r >= 0
+            ? (int)(refname_off[r + 1] - refname_off[r]) : 1;
+        int64_t worst = 250 + name_len + rn_len + 2 * (int64_t)seq_len
+                        + 12 * (int64_t)MMX;
+        if ((p - out) + worst > cap) return -1;
+        p = put_str(p, (const char*)(name_buf + name_off[pair]), name_len);
+        *p++ = '\t';
+        p = put_int(p, r_flag[k]); *p++ = '\t';
+        if (r >= 0)
+            p = put_str(p, (const char*)(refname_buf + refname_off[r]),
+                        rn_len);
+        else
+            *p++ = '*';
+        *p++ = '\t';
+        p = put_int(p, r_pos1[k]); *p++ = '\t';
+        p = put_int(p, r_mapq[k]); *p++ = '\t';
+        bool unal = (r_flag[k] & 4) != 0;
+        if (unal) {
+            *p++ = '*';
+        } else {
+            if (r_c5[k]) { p = put_int(p, r_c5[k]); *p++ = 'S'; }
+            p = put_int(p, r_mid[k]); *p++ = 'M';
+            if (r_c3[k]) { p = put_int(p, r_c3[k]); *p++ = 'S'; }
+        }
+        *p++ = '\t';
+        *p++ = r_rnext[k] ? '=' : '*';
+        *p++ = '\t';
+        p = put_int(p, r_pn1[k]);
+        p = put_str(p, "\t0\t", 3);
+        p = pe_seq_qual(p, c, rd, !unal && (r_flag[k] & 16));
+        if (!unal) {
+            p = put_tag_i(p, "AS", r_score[k]);
+            if (r_zs[k] != INT32_MIN) p = put_tag_i(p, "ZS", r_zs[k]);
+            p = put_str(p, "\tXN:i:0", 7);
+            p = put_tag_i(p, "XM", r_nmm[k]);
+            p = put_str(p, "\tXO:i:0\tXG:i:0", 14);
+            p = put_tag_i(p, "NM", r_nmm[k]);
+            p = put_str(p, "\tMD:Z:", 6);
+            const int16_t* lanes = mm + (int64_t)k * MMX;
+            int32_t last = -1, cc5 = r_c5[k], n_mm = r_cnt[k];
+            for (int32_t m = 0; m < n_mm; m++) {
+                int32_t col = ((int32_t)(uint16_t)lanes[m] >> 3) - cc5;
+                p = put_int(p, col - last - 1);
+                *p++ = B3_DEC[(lanes[m] & 7) > 4 ? 4 : (lanes[m] & 7)];
+                last = col;
+            }
+            p = put_int(p, r_mid[k] - 1 - last);
+            p = put_str(p, "\tYT:Z:UP", 8);
+            p = put_tag_i(p, "NH", r_nh[k]);
+        } else {
+            p = put_str(p, "\tYT:Z:UP", 8);
+        }
+        *p++ = '\n';
+        rec_ends[k] = p - out;
+    }
+    return p - out;
+}
+
 }  // extern "C"

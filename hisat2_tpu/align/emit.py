@@ -1338,8 +1338,21 @@ def _finish_pe_pack(al: Aligner, b1: ReadBatch, b2: ReadBatch, out,
     pack_dev, m1_dev, m2_dev, pt_dev = out[:4]
     extras = out[4] if len(out) > 4 else None
     fp = np.asarray(pack_dev)
-    ex = ({k: np.asarray(v) for k, v in extras.items()}
+    ex = ({k: np.asarray(v) for k, v in extras.items()
+           if k != "_wire"}
           if extras is not None else None)
+    if fp.dtype == np.uint32:
+        # wire-coded transfer (ops/wire.py): expand to int16 lanes
+        from ..ops import wire as _wire
+        Lw, nvb = extras["_wire"]
+        fp = _wire.pe_pack_decode(fp, Lw, Lw, nvb)
+        NWr = _wire.n_words(_wire.pe_rep_table(Lw, Lw))
+        t = 0
+        while f"mrep{t}" in ex:
+            wr = ex[f"mrep{t}"]
+            ex[f"mrep{t}"] = _wire.pe_rep_decode(wr, Lw, Lw,
+                                                 wr.shape[1] // NWr)
+            t += 1
     B = len(b1)
     o = al.opts
     sc = al.scoring

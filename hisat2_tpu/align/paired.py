@@ -189,7 +189,8 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
                           pe_geo=(False, False, False), khits=None,
                           SB: int = 0, RB: int = 0, w_resc: int = 0,
                           omit_sec: bool = False, n_rep: int = 2,
-                          MB: int = 0, VC: int = 0):
+                          MB: int = 0, VC: int = 0,
+                          wire_nvbits: int = 0):
     """Transfer-packed fused PE step: packed reads in, int16 pair-pack
     out; per-mate merged grids and the combo list stay device-resident
     for the slow-pair gather. Constant-qual batches only.
@@ -539,6 +540,24 @@ def _stage_pe_packed_impl(idx, sctab, sw1, nw1, l1, sw2, nw2, l2, qconst,
             [rrows, a1_l.astype(jnp.int32), dsc.astype(jnp.int32),
              ub, t0, i1, i2, ws_l.astype(jnp.int32),
              mf_l.astype(jnp.int32)], axis=1)
+    if wire_nvbits and NRB == 1:
+        # bit-pack the transfer (ops/wire.py): the tunnel downlink is the
+        # PE throughput ceiling; lanes are restored exactly on host
+        from ..ops import wire as _wire
+        pack = _wire.encode_lanes(pack, _wire.pe_pack_table(L, L,
+                                                            wire_nvbits))
+        rt = _wire.pe_rep_table(L, L)
+        NWr = _wire.n_words(rt)
+        for t in range(len(tiers)):
+            rep = extras[f"mrep{t}"]
+            rows_t = rep.shape[0]
+            nb2 = rep.shape[1] // PEPACK_REP
+            enc = [
+                _wire.encode_lanes(
+                    rep[:, j * PEPACK_REP:(j + 1) * PEPACK_REP], rt)
+                for j in range(nb2)]
+            extras[f"mrep{t}"] = jnp.concatenate(enc, axis=1) \
+                if nb2 > 1 else enc[0].reshape(rows_t, NWr)
     return pack, m1, m2, pair_top, extras
 
 
@@ -561,7 +580,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                 "fb_bucket", "dp_bucket", "dp_pad", "no_dp", "nofw",
                 "norc", "seeder", "fb_seeder", "sc_const", "fr_mode",
                 "pe_geo", "SB", "RB", "w_resc", "omit_sec", "n_rep",
-                "MB", "VC"))
+                "MB", "VC", "wire_nvbits"))
     o = aligner.opts
     B = len(b1)
     L = b1.seqs.shape[1]
@@ -571,6 +590,10 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
     sw2, nw2, quals2, qc2, l2 = b2.packed()
     if quals1 is not None or quals2 is not None or qc1 != qc2:
         return None          # non-constant quals: caller falls back
+    # wire codec params (ops/wire.py): nvalid bit width from the combo
+    # top-k cap; both sides derive the lane table from (L, nvbits)
+    KP2w = min(KP, (min(2 * o.top_cands, max(8, o.khits + 3))) ** 2)
+    wire_nvbits = max(4, KP2w.bit_length())
     out = _stage_pe_packed(
         aligner.idx, aligner.sctab,
         jnp.asarray(sw1), jnp.asarray(nw1), jnp.asarray(l1),
@@ -592,7 +615,8 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         khits=jnp.int32(o.khits), SB=min(B, max(64, B // 16)),
         RB=min(B, 512), w_resc=min(o.maxins, 1000) + L,
         omit_sec=o.omit_sec_seq, n_rep=max(2, min(o.khits, 5)),
-        MB=min(B, max(32, B // 16)), VC=o.verify_cands)
+        MB=min(B, max(32, B // 16)), VC=o.verify_cands,
+        wire_nvbits=wire_nvbits)
     pack, m1, m2, pt, extras = out
     try:
         pack.copy_to_host_async()
@@ -600,6 +624,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
             v.copy_to_host_async()
     except Exception:
         pass
+    extras["_wire"] = (L, wire_nvbits)
     return pack, m1, m2, pt, extras
 
 

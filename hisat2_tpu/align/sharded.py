@@ -143,9 +143,15 @@ class ShardedAligner:
                         d.copy_to_host_async()
                     except Exception:
                         pass
-                pend.append((pack, m1, m2, pt))
+                wire_meta = out[4].get("_wire") if len(out) > 4 else None
+                pend.append((pack, m1, m2, pt, wire_meta))
             for t in pend:
-                per[s].append(tuple(np.asarray(x) for x in t))
+                arrs = [np.asarray(x) for x in t[:4]]
+                if arrs[0].dtype == np.uint32:
+                    from ..ops import wire as _wire
+                    Lw, nvb = t[4]
+                    arrs[0] = _wire.pe_pack_decode(arrs[0], Lw, Lw, nvb)
+                per[s].append(tuple(arrs))
 
         totals: dict = {}
         for bi, (b1, b2) in enumerate(pair_batches):

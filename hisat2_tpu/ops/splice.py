@@ -242,11 +242,14 @@ def _max_intron_len_noncan_dev(anchor, min_anchor=14):
 
 
 def _probscore_thresh_dev(il):
+    """jnp port of splice_model.probscore_thresh (hi_aligner.h:3778-3784),
+    including the 0.99 tier for introns >= 2^16."""
     t = jnp.full(il.shape, 0.8, jnp.float32)
     t = jnp.where(il >> 12 != 0, 0.88, t)
     t = jnp.where(il >> 13 != 0, 0.91, t)
     t = jnp.where(il >> 14 != 0, 0.94, t)
     t = jnp.where(il >> 15 != 0, 0.97, t)
+    t = jnp.where(il >> 16 != 0, 0.99, t)
     return t
 
 

@@ -683,6 +683,16 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
     return fastpack, merged, extras
 
 
+@partial(jax.jit, static_argnames=("B", "L"))
+def _stage_oriented(seq_words, n_words, quals, qual_const, lens,
+                    B: int, L: int):
+    """Device-resident oriented reads (fw rows [0:B), rc rows [B:2B))
+    from the transfer-packed batch — the splice kernels gather lane
+    reads from these instead of shipping host-built (C, L) matrices."""
+    seqs, q = _unpack_reads(seq_words, n_words, quals, qual_const, lens, L)
+    return _with_revcomp(seqs, q, lens)
+
+
 @jax.jit
 def _gather_merged(merged, rows):
     """Slow-read follow-up: fetch only the candidate rows the per-read
@@ -1000,6 +1010,21 @@ class Aligner:
         self.metrics.t_pack += _t.perf_counter() - t0
         return fp_dev, merged_dev, extras
 
+    def _dev_oriented(self, batch: ReadBatch):
+        """(seqs2, quals2, lens2) device arrays for `batch`, computed once
+        and cached on the batch (cheap packed upload + one dispatch)."""
+        cached = getattr(batch, "_dev_oriented", None)
+        if cached is not None:
+            return cached
+        seq_w, n_w, quals, qconst, lens = batch.packed()
+        out = _stage_oriented(
+            jnp.asarray(seq_w), jnp.asarray(n_w),
+            None if quals is None else jnp.asarray(quals),
+            jnp.int32(qconst), jnp.asarray(lens),
+            len(batch), batch.seqs.shape[1])
+        batch._dev_oriented = out
+        return out
+
     def _spl_margin(self, batch: ReadBatch) -> int:
         """Splice-rescue trigger margin: a read crossing a junction with
         the canonical minimum far anchor (7bp, tp.h) scores at most
@@ -1169,12 +1194,18 @@ class Aligner:
             return
         sc, pos = merged["score"], merged["pos"]
         fw = merged["fw"]
-        lanes = self._junction_lanes(trigger, sc, pos, fw, lens)
-        n_seeded = len(lanes)
-        lanes += self._anchor_scan_lanes(batch, trigger, sc, pos, fw, lens)
-        if not lanes:
+        s_row, s_pa, s_pb, s_fa = self._junction_lanes(
+            trigger, sc, pos, fw, lens)
+        n_seeded = s_row.size
+        a_row, a_pa, a_pb, a_fa = self._anchor_scan_lanes(
+            batch, trigger, sc, pos, fw, lens)
+        ri = np.concatenate([s_row, a_row]).astype(np.int64)
+        pa_v = np.concatenate([s_pa, a_pa]).astype(np.int64)
+        pb_v = np.concatenate([s_pb, a_pb]).astype(np.int64)
+        fa_v = np.concatenate([s_fa, a_fa]).astype(bool)
+        P = ri.size
+        if P == 0:
             return
-        P = len(lanes)
         self.metrics.splice_lanes += P
         # pad lane count: x2 growth from 1024 bounds both the compiled
         # shape count (~6; each tunnel compile costs ~30s, but the
@@ -1183,28 +1214,17 @@ class Aligner:
         bucket = 1024
         while bucket < P:
             bucket *= 2
-        lanes_p = lanes + [lanes[0]] * (bucket - P)
-        L = batch.seqs.shape[1]
-        ridx = np.asarray([l[0] for l in lanes_p], np.int32)
-        posA = np.asarray([l[1] for l in lanes_p], np.int32)
-        posB = np.asarray([l[2] for l in lanes_p], np.int32)
-        lfw = np.asarray([l[3] for l in lanes_p], bool)
-        # reads in alignment orientation
-        seqs = batch.seqs[ridx].astype(np.int64)
-        quals = np.clip(batch.quals[ridx].astype(np.int64), 0, 63)
-        rls = lens[ridx]
-        ar = np.arange(L)
-        rcidx = np.clip(rls[:, None] - 1 - ar[None, :], 0, L - 1)
-        comp = np.array([3, 2, 1, 0, 4], np.int64)
-        rd = np.where(lfw[:, None], seqs,
-                      comp[np.take_along_axis(seqs, rcidx, 1)])
-        rd = np.where(ar[None, :] < rls[:, None], rd, 4)
-        q = np.where(lfw[:, None], quals, np.take_along_axis(quals, rcidx, 1))
+        pad = bucket - P
+        ridx = np.concatenate([ri, np.full(pad, ri[0])]).astype(np.int32)
+        posA = np.concatenate([pa_v, np.full(pad, pa_v[0])]).astype(np.int32)
+        posB = np.concatenate([pb_v, np.full(pad, pb_v[0])]).astype(np.int32)
+        lfw = np.concatenate([fa_v, np.full(pad, fa_v[0])]).astype(bool)
 
+        seqs2, quals2, lens2 = self._dev_oriented(batch)
         kleft, kright = self.ssdb.device_arrays()
-        res = np.asarray(_splice.junction_gated(
-            self.idx, self.sctab, jnp.asarray(rd), jnp.asarray(q),
-            jnp.asarray(rls.astype(np.int32)), jnp.asarray(posA),
+        res = np.asarray(_splice.junction_gated_rows(
+            self.idx, self.sctab, seqs2, quals2, lens2,
+            jnp.asarray(ridx), jnp.asarray(lfw), jnp.asarray(posA),
             jnp.asarray(posB), kleft, kright,
             jnp.float32(self.scoring.score_min.I),
             jnp.float32(self.scoring.score_min.S),
@@ -1221,9 +1241,6 @@ class Aligner:
         # reference hi_aligner.h:3753-3786) — only accepted/partial lanes
         # reach the per-lane Python below. probscore stays device-side
         # (nothing downstream reads the stored value).
-        ri = np.fromiter((l[0] for l in lanes), np.int64, P)
-        pa_v = np.fromiter((l[1] for l in lanes), np.int64, P)
-        pb_v = np.fromiter((l[2] for l in lanes), np.int64, P)
         delta_v = pb_v - pa_v
         partial_v = (fl >> 5) & 1
         accept_v = (fl >> 4) & 1
@@ -1243,13 +1260,13 @@ class Aligner:
             if len(cur) < 4:
                 cur.append(dict(
                     score=int(jsc[k]), posA=int(pa_v[k]), posB=int(pb_v[k]),
-                    fw=bool(lanes[k][3]), j=int(jj[k]), delta=int(delta_v[k]),
+                    fw=bool(fa_v[k]), j=int(jj[k]), delta=int(delta_v[k]),
                     strand=str(strands[k]), canon=int(jcan[k]),
                     probscore=0.0))
         for k in np.flatnonzero(accept_v):
             k = int(k)
             i = int(ri[k])
-            pa, pb, fa = int(pa_v[k]), int(pb_v[k]), bool(lanes[k][3])
+            pa, pb, fa = int(pa_v[k]), int(pb_v[k]), bool(fa_v[k])
             c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=fa,
                      j=int(jj[k]), delta=pb - pa,
                      strand=str(strands[k]), canon=int(jcan[k]),
@@ -1287,24 +1304,17 @@ class Aligner:
         f0 = fw[T, 0]
         live0 = sc[T, 0] > NEG_INF // 2
         rows = T[live0]
+        empty4 = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                  np.zeros(0, np.int64), np.zeros(0, bool))
         if rows.size == 0:
-            return []
+            return empty4
         p0 = p0[live0]
         f0 = f0[live0]
         S = rows.size
-        L = batch.seqs.shape[1]
-        rls = lens[rows]
-        seqs = batch.seqs[rows].astype(np.int64)
-        ar = np.arange(L)
-        rcidx = np.clip(rls[:, None] - 1 - ar[None, :], 0, L - 1)
-        comp = np.array([3, 2, 1, 0, 4], np.int64)
-        rd = np.where(f0[:, None], seqs,
-                      comp[np.take_along_axis(seqs, rcidx, 1)])
-        rd = np.where(ar[None, :] < rls[:, None], rd, 4)
         # two scan rows per read: downstream (anchor = read tail) and
         # upstream (anchor = read head)
-        rd2 = np.concatenate([rd, rd]).astype(np.int8)
-        rl2 = np.concatenate([rls, rls]).astype(np.int32)
+        row2 = np.concatenate([rows, rows]).astype(np.int32)
+        fw2 = np.concatenate([f0, f0]).astype(bool)
         pos2 = np.concatenate([p0, p0]).astype(np.int32)
         down2 = np.concatenate([np.ones(S, bool), np.zeros(S, bool)])
         bucket = 256
@@ -1312,30 +1322,23 @@ class Aligner:
             bucket *= 2
         padn = bucket - 2 * S
         if padn:
-            rd2 = np.pad(rd2, ((0, padn), (0, 0)), constant_values=4)
-            rl2 = np.pad(rl2, (0, padn))
+            row2 = np.pad(row2, (0, padn))
+            fw2 = np.pad(fw2, (0, padn))
             pos2 = np.pad(pos2, (0, padn))
             down2 = np.pad(down2, (0, padn))
-        res = np.asarray(_splice.anchor_scan(
-            self.idx, jnp.asarray(rd2), jnp.asarray(rl2),
-            jnp.asarray(pos2), jnp.asarray(down2),
+        seqs2, quals2, lens2 = self._dev_oriented(batch)
+        res = np.asarray(_splice.anchor_scan_rows(
+            self.idx, seqs2, quals2, lens2, jnp.asarray(row2),
+            jnp.asarray(fw2), jnp.asarray(pos2), jnp.asarray(down2),
             jnp.int32(o.min_intron)))[:2 * S]        # (2S, NC, 2)
         mate = res[:, :, 0].astype(np.int64)
         ok = res[:, :, 1] > 0
-        out = []
-        for s, i in enumerate(np.concatenate([rows, rows]).tolist()):
-            dn = s < S
-            pa0 = int(pos2[s])
-            fws = bool(f0[s if dn else s - S])
-            for c in range(mate.shape[1]):
-                if not ok[s, c]:
-                    continue
-                m = int(mate[s, c])
-                if dn:
-                    out.append((i, pa0, m, fws))
-                else:
-                    out.append((i, m, pa0, fws))
-        return out
+        si, ci = np.nonzero(ok)
+        dn = si < S
+        m = mate[si, ci]
+        pa0 = pos2[si].astype(np.int64)
+        return (row2[si].astype(np.int64), np.where(dn, pa0, m),
+                np.where(dn, m, pa0), fw2[si])
 
     def _junction_lanes(self, trigger, sc, pos, fw, lens):
         """Vectorized diagonal-pair enumeration for the junction kernel:
@@ -1403,8 +1406,10 @@ class Aligner:
         fal.append(fws[r, ci])
         rankl.append(8 * K2 + ci * K2 + cj)
         row = np.concatenate(rowl) if rowl else np.zeros(0, np.int64)
+        empty4 = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                  np.zeros(0, np.int64), np.zeros(0, bool))
         if row.size == 0:
-            return []
+            return empty4
         pa = np.concatenate(pal)
         pb = np.concatenate(pbl)
         fa = np.concatenate(fal)
@@ -1427,9 +1432,7 @@ class Aligner:
         nth = np.arange(row.size) - grp_start
         capped = nth < o.pairs_per_read
         row, pa, pb, fa = (x[capped] for x in (row, pa, pb, fa))
-        ri = T[row]
-        return list(zip(ri.tolist(), pa.tolist(), pb.tolist(),
-                        (fa.astype(bool)).tolist()))
+        return T[row], pa, pb, fa.astype(bool)
 
     def _splice_second_pass(self, batch, merged, spl, lens, perfect):
         """Chain a further intron on either side of each read's best
@@ -1509,9 +1512,9 @@ class Aligner:
         while bucket < P:
             bucket *= 4
         lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
-        # vectorized lane read/qual construction: oriented reads gathered
-        # once, residual segments shifted into lane rows with one fancy
-        # index (the former per-lane loop was the second pass's hot spot)
+        # residual-segment lane reads are gathered + shifted ON DEVICE
+        # (ops/splice.junction_score_packed_rows); the host only ships
+        # small per-lane scalars
         li = np.asarray([l[0] for l in lanes_p], np.int64)
         lfw = np.asarray([l[1]["fw"] for l in lanes_p], bool)
         lj = np.asarray([l[1]["j"] for l in lanes_p], np.int64)
@@ -1520,28 +1523,18 @@ class Aligner:
         lpA = np.asarray([l[1]["posA"] for l in lanes_p], np.int64)
         lpB = np.asarray([l[1]["posB"] for l in lanes_p], np.int64)
         rlv = lens[li]
-        seqs_l = batch.seqs[li].astype(np.int64)
-        quals_l = np.clip(batch.quals[li].astype(np.int64), 0, 63)
-        arL = np.arange(L)
-        rci = np.clip(rlv[:, None] - 1 - arL[None, :], 0, L - 1)
-        compT = np.array([3, 2, 1, 0, 4], np.int64)
-        ro_v = np.where(lfw[:, None], seqs_l,
-                        compT[np.take_along_axis(seqs_l, rci, 1)])
-        qo_v = np.where(lfw[:, None], quals_l,
-                        np.take_along_axis(quals_l, rci, 1))
         start = np.where(lside_L, 0, lj)
         seglen = np.where(lside_L, lj, rlv - lj)
-        colidx = np.clip(start[:, None] + arL[None, :], 0, L - 1)
-        inseg = arL[None, :] < seglen[:, None]
-        rd2 = np.where(inseg, np.take_along_axis(ro_v, colidx, 1), 4)
-        q2 = np.where(inseg, np.take_along_axis(qo_v, colidx, 1), 0)
-        rls2 = seglen.astype(np.int32)
         pA2 = np.where(lside_L, lpd, lpB + lj).astype(np.int32)
         pB2 = np.where(lside_L, lpA, lpd + lj).astype(np.int32)
+        seqs2d, quals2d, lens2d = self._dev_oriented(batch)
         kleft, kright = self.ssdb.device_arrays()
-        res2 = np.asarray(_splice.junction_score_packed(
-            self.idx, self.sctab, jnp.asarray(rd2), jnp.asarray(q2),
-            jnp.asarray(rls2), jnp.asarray(pA2), jnp.asarray(pB2),
+        res2 = np.asarray(_splice.junction_score_packed_rows(
+            self.idx, self.sctab, seqs2d, quals2d, lens2d,
+            jnp.asarray(li.astype(np.int32)), jnp.asarray(lfw),
+            jnp.asarray(start.astype(np.int32)),
+            jnp.asarray(seglen.astype(np.int32)),
+            jnp.asarray(pA2), jnp.asarray(pB2),
             kleft, kright))[:P]
         j2 = res2[:, 1]
         st2 = res2[:, 2]

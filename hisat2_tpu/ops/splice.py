@@ -253,17 +253,11 @@ def _probscore_thresh_dev(il):
     return t
 
 
-@partial(jax.jit, static_argnames=("dta",))
-def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
-                   known_left, known_right, minsc_i, minsc_s,
-                   max_intron, dta: bool = False):
-    """junction_score + the novel-junction acceptance gates
-    (hi_aligner.h:3753-3786) evaluated ON DEVICE, results compressed to a
-    (C, 3) int16 pack [score, j, flags] with flags =
-    strand | canon<<2 | accept<<4 | partial<<5 — the device->host fetch
-    shrinks ~5x and the tunnel sync count per rescue drops to one."""
-    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
-                       known_left, known_right)
+def _gate_pack(r, rdlens, posA, posB, minsc_i, minsc_s, max_intron,
+               dta: bool):
+    """Acceptance gates (hi_aligner.h:3753-3786) on a junction_score
+    result dict -> (C, 3) int16 pack [score, j, flags], flags =
+    strand | canon<<2 | accept<<4 | partial<<5."""
     score, j, strand, canon = r["score"], r["j"], r["strand"], r["canon"]
     delta = posB - posA
     min_sc = jnp.ceil(minsc_i + minsc_s
@@ -293,6 +287,82 @@ def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
     return jnp.stack(
         [jnp.clip(score, -32768, 32767), j, flags], axis=1
     ).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("dta",))
+def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
+                   known_left, known_right, minsc_i, minsc_s,
+                   max_intron, dta: bool = False):
+    """junction_score + acceptance gates ON DEVICE -> (C, 3) int16 pack
+    (see _gate_pack); one small device->host fetch per rescue."""
+    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
+                       known_left, known_right)
+    return _gate_pack(r, rdlens, posA, posB, minsc_i, minsc_s,
+                      max_intron, dta)
+
+
+def _gather_oriented(seqs2, quals2, lens2, rows, lfw):
+    """Per-lane alignment-orientation reads by ROW GATHER from the
+    device-resident oriented batch (pipeline._with_revcomp layout:
+    rows [0:B) forward, [B:2B) reverse-complement, tails padded with 4).
+    Replaces the host-built (C, L) rd/q uploads — ~100MB/batch over the
+    tunnel was the RNA path's dominant cost (r4 profile)."""
+    B = seqs2.shape[0] // 2
+    rowidx = rows + jnp.where(lfw, 0, B).astype(rows.dtype)
+    rd = seqs2[rowidx]
+    q = jnp.clip(quals2[rowidx], 0, 63)
+    rl = lens2[rows]
+    return rd, q, rl
+
+
+@partial(jax.jit, static_argnames=("dta",))
+def junction_gated_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
+                        rows, lfw, posA, posB, known_left, known_right,
+                        minsc_i, minsc_s, max_intron, dta: bool = False):
+    """junction_gated with lane reads gathered on device by (row, fw)
+    instead of shipped from the host."""
+    rd, q, rl = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
+    r = junction_score(idx, sctab, rd, q, rl, posA, posB,
+                       known_left, known_right)
+    return _gate_pack(r, rl, posA, posB, minsc_i, minsc_s,
+                      max_intron, dta)
+
+
+@jax.jit
+def junction_score_packed_rows(idx: dict, sctab: dict, seqs2, quals2,
+                               lens2, rows, lfw, jstart, seglen,
+                               posA, posB, known_left, known_right):
+    """Second-pass junction scoring over RESIDUAL read segments
+    [jstart, jstart+seglen), gathered+shifted on device: the
+    (C, L) segment construction and upload move off the host."""
+    from . import rank as _rank
+    rd, q, _rl = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
+    C, L = rd.shape
+    jstart = jstart.astype(jnp.int32)
+    seglen = seglen.astype(jnp.int32)
+    dbl = jnp.concatenate([rd, jnp.full((C, L), 4, rd.dtype)], axis=1)
+    dblq = jnp.concatenate([q, jnp.zeros((C, L), q.dtype)], axis=1)
+    rd2 = _rank._shift_words(dbl, jstart, L)
+    q2 = _rank._shift_words(dblq, jstart, L)
+    inseg = jnp.arange(L, dtype=jnp.int32)[None, :] < seglen[:, None]
+    rd2 = jnp.where(inseg, rd2, 4)
+    q2 = jnp.where(inseg, q2, 0)
+    r = junction_score(idx, sctab, rd2, q2, seglen, posA, posB,
+                       known_left, known_right)
+    return jnp.stack(
+        [r["score"], r["j"], r["strand"], r["canon"],
+         lax.bitcast_convert_type(r["probscore"], jnp.int32),
+         r["mmL"], r["mmR"]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("W", "A", "NC"))
+def anchor_scan_rows(idx: dict, seqs2, quals2, lens2, rows, lfw, pos,
+                     down, min_intron, W: int = 65536, A: int = 8,
+                     NC: int = 4):
+    """anchor_scan with lane reads gathered on device by (row, fw)."""
+    rd, _q, rl = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
+    return anchor_scan(idx, rd, rl, pos, down, min_intron, W=W, A=A,
+                       NC=NC)
 
 
 @partial(jax.jit, static_argnames=("W", "A", "NC"))

@@ -1196,39 +1196,77 @@ class Aligner:
         fw = merged["fw"]
         s_row, s_pa, s_pb, s_fa = self._junction_lanes(
             trigger, sc, pos, fw, lens)
-        n_seeded = s_row.size
-        a_row, a_pa, a_pb, a_fa = self._anchor_scan_lanes(
-            batch, trigger, sc, pos, fw, lens)
-        ri = np.concatenate([s_row, a_row]).astype(np.int64)
-        pa_v = np.concatenate([s_pa, a_pa]).astype(np.int64)
-        pb_v = np.concatenate([s_pb, a_pb]).astype(np.int64)
-        fa_v = np.concatenate([s_fa, a_fa]).astype(bool)
-        P = ri.size
-        if P == 0:
+        P1 = s_row.size
+        # scan rows: triggered reads with a live primary diagonal — the
+        # kernel itself decides which still need the anchor scan after
+        # seeded-lane acceptance (device compaction to the AB bucket)
+        p0 = pos[trigger, 0].astype(np.int64)
+        f0 = fw[trigger, 0]
+        live0 = sc[trigger, 0] > NEG_INF // 2
+        srows = trigger[live0]
+        if P1 == 0 and srows.size == 0:
             return
-        self.metrics.splice_lanes += P
-        # pad lane count: x2 growth from 1024 bounds both the compiled
-        # shape count (~6; each tunnel compile costs ~30s, but the
-        # persistent cache holds them) and the padding waste (the padded
-        # kernel+transfer cost is the RNA path's floor)
-        bucket = 1024
-        while bucket < P:
-            bucket *= 2
-        pad = bucket - P
-        ridx = np.concatenate([ri, np.full(pad, ri[0])]).astype(np.int32)
-        posA = np.concatenate([pa_v, np.full(pad, pa_v[0])]).astype(np.int32)
-        posB = np.concatenate([pb_v, np.full(pad, pb_v[0])]).astype(np.int32)
-        lfw = np.concatenate([fa_v, np.full(pad, fa_v[0])]).astype(bool)
+        # pad buckets: x2 growth from 1024/256 bounds the compiled shape
+        # count (each tunnel compile costs ~30s; the persistent cache
+        # holds them) and the padding waste
+        PB = 1024
+        while PB < max(P1, 1):
+            PB *= 2
+        pad = PB - P1
+        if P1:
+            ridx = np.concatenate(
+                [s_row, np.full(pad, s_row[0])]).astype(np.int32)
+            posA = np.concatenate(
+                [s_pa, np.full(pad, s_pa[0])]).astype(np.int32)
+            posB = np.concatenate(
+                [s_pb, np.full(pad, s_pb[0])]).astype(np.int32)
+            lfw = np.concatenate(
+                [s_fa, np.full(pad, s_fa[0])]).astype(bool)
+        else:
+            ridx = np.zeros(PB, np.int32)
+            posA = np.zeros(PB, np.int32)
+            posB = np.zeros(PB, np.int32)
+            lfw = np.zeros(PB, bool)
+        SBk = 256
+        while SBk < max(srows.size, 1):
+            SBk *= 2
+        spad = SBk - srows.size
+        srow_p = np.pad(srows, (0, spad)).astype(np.int32)
+        sfw_p = np.pad(f0[live0], (0, spad)).astype(bool)
+        spos_p = np.pad(p0[live0], (0, spad)).astype(np.int32)
+        slive_p = np.zeros(SBk, bool)
+        slive_p[:srows.size] = True
+        AB = max(128, SBk // 4)
 
         seqs2, quals2, lens2 = self._dev_oriented(batch)
         kleft, kright = self.ssdb.device_arrays()
-        res = np.asarray(_splice.junction_gated_rows(
+        pack1, pack2, desc2 = _splice.rescue_fused(
             self.idx, self.sctab, seqs2, quals2, lens2,
             jnp.asarray(ridx), jnp.asarray(lfw), jnp.asarray(posA),
-            jnp.asarray(posB), kleft, kright,
+            jnp.asarray(posB), jnp.asarray(srow_p), jnp.asarray(sfw_p),
+            jnp.asarray(spos_p), jnp.asarray(slive_p), kleft, kright,
             jnp.float32(self.scoring.score_min.I),
             jnp.float32(self.scoring.score_min.S),
-            jnp.int32(o.max_intron), dta=o.dta))[:P]
+            jnp.int32(o.max_intron), jnp.int32(o.min_intron),
+            jnp.int32(self._spl_margin(batch)), AB, dta=o.dta)
+        for d in (pack1, pack2, desc2):
+            try:
+                d.copy_to_host_async()
+            except Exception:
+                pass
+        res1 = np.asarray(pack1)[:P1]
+        res2 = np.asarray(pack2)
+        d2 = np.asarray(desc2)
+        # keep only real scan-hit lanes (flags != 0)
+        keep2 = res2[:, 2] != 0
+        res = np.concatenate([res1, res2[keep2]])
+        ri = np.concatenate([s_row, d2[keep2, 0]]).astype(np.int64)
+        pa_v = np.concatenate([s_pa, d2[keep2, 1]]).astype(np.int64)
+        pb_v = np.concatenate([s_pb, d2[keep2, 2]]).astype(np.int64)
+        fa_v = np.concatenate([s_fa, d2[keep2, 3] > 0]).astype(bool)
+        P = ri.size
+        n_seeded = P1
+        self.metrics.splice_lanes += P
         jsc = res[:, 0].astype(np.int64)
         jj = res[:, 1].astype(np.int64)
         fl = res[:, 2].astype(np.int64)
@@ -1284,61 +1322,6 @@ class Aligner:
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
         self._splice_second_pass(batch, merged, spl, lens, perfect)
-
-    def _anchor_scan_lanes(self, batch, trigger, sc, pos, fw, lens):
-        """Far-exon discovery for novel junctions with UNSEEDED short
-        anchors (7-20bp): the reference finds these by searching the
-        neighboring 57Kbp LocalGFM even when no seed lands there
-        (localGFMSearch, hi_aligner.h:6751, driven from
-        spliced_aligner.h:331-560 with _minK_local=8). Batched here as
-        ops/splice.anchor_scan — an exact 8-mer scan of the read's far
-        end over the intron-reachable window next to each triggered
-        read's primary diagonal, both directions. Returns extra
-        (row, posA, posB, fw) lane tuples for the gated junction kernel,
-        which applies the same motif/anchor/score acceptance as seeded
-        pairs."""
-        from ..ops import splice as _splice
-        o = self.opts
-        T = trigger
-        p0 = pos[T, 0].astype(np.int64)
-        f0 = fw[T, 0]
-        live0 = sc[T, 0] > NEG_INF // 2
-        rows = T[live0]
-        empty4 = (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                  np.zeros(0, np.int64), np.zeros(0, bool))
-        if rows.size == 0:
-            return empty4
-        p0 = p0[live0]
-        f0 = f0[live0]
-        S = rows.size
-        # two scan rows per read: downstream (anchor = read tail) and
-        # upstream (anchor = read head)
-        row2 = np.concatenate([rows, rows]).astype(np.int32)
-        fw2 = np.concatenate([f0, f0]).astype(bool)
-        pos2 = np.concatenate([p0, p0]).astype(np.int32)
-        down2 = np.concatenate([np.ones(S, bool), np.zeros(S, bool)])
-        bucket = 256
-        while bucket < 2 * S:
-            bucket *= 2
-        padn = bucket - 2 * S
-        if padn:
-            row2 = np.pad(row2, (0, padn))
-            fw2 = np.pad(fw2, (0, padn))
-            pos2 = np.pad(pos2, (0, padn))
-            down2 = np.pad(down2, (0, padn))
-        seqs2, quals2, lens2 = self._dev_oriented(batch)
-        res = np.asarray(_splice.anchor_scan_rows(
-            self.idx, seqs2, quals2, lens2, jnp.asarray(row2),
-            jnp.asarray(fw2), jnp.asarray(pos2), jnp.asarray(down2),
-            jnp.int32(o.min_intron)))[:2 * S]        # (2S, NC, 2)
-        mate = res[:, :, 0].astype(np.int64)
-        ok = res[:, :, 1] > 0
-        si, ci = np.nonzero(ok)
-        dn = si < S
-        m = mate[si, ci]
-        pa0 = pos2[si].astype(np.int64)
-        return (row2[si].astype(np.int64), np.where(dn, pa0, m),
-                np.where(dn, m, pa0), fw2[si])
 
     def _junction_lanes(self, trigger, sc, pos, fw, lens):
         """Vectorized diagonal-pair enumeration for the junction kernel:

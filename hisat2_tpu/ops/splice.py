@@ -214,20 +214,6 @@ def junction_score(idx: dict, sctab: dict,
     )
 
 
-@jax.jit
-def junction_score_packed(idx: dict, sctab: dict, rd, q, rdlens,
-                          posA, posB, known_left, known_right):
-    """junction_score with the seven per-lane outputs packed into ONE
-    (C, 7) int32 tensor (probscore float32 bit-cast into column 4) — a
-    single device->host fetch instead of seven tunnel syncs."""
-    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
-                       known_left, known_right)
-    return jnp.stack(
-        [r["score"], r["j"], r["strand"], r["canon"],
-         lax.bitcast_convert_type(r["probscore"], jnp.int32),
-         r["mmL"], r["mmR"]], axis=1)
-
-
 def _max_intron_len_dev(anchor, min_anchor):
     """jnp port of splice_model.max_intron_len (hi_aligner.h:48)."""
     a = jnp.maximum(anchor, 2)
@@ -289,18 +275,6 @@ def _gate_pack(r, rdlens, posA, posB, minsc_i, minsc_s, max_intron,
     ).astype(jnp.int16)
 
 
-@partial(jax.jit, static_argnames=("dta",))
-def junction_gated(idx: dict, sctab: dict, rd, q, rdlens, posA, posB,
-                   known_left, known_right, minsc_i, minsc_s,
-                   max_intron, dta: bool = False):
-    """junction_score + acceptance gates ON DEVICE -> (C, 3) int16 pack
-    (see _gate_pack); one small device->host fetch per rescue."""
-    r = junction_score(idx, sctab, rd, q, rdlens, posA, posB,
-                       known_left, known_right)
-    return _gate_pack(r, rdlens, posA, posB, minsc_i, minsc_s,
-                      max_intron, dta)
-
-
 def _gather_oriented(seqs2, quals2, lens2, rows, lfw):
     """Per-lane alignment-orientation reads by ROW GATHER from the
     device-resident oriented batch (pipeline._with_revcomp layout:
@@ -313,19 +287,6 @@ def _gather_oriented(seqs2, quals2, lens2, rows, lfw):
     q = jnp.clip(quals2[rowidx], 0, 63)
     rl = lens2[rows]
     return rd, q, rl
-
-
-@partial(jax.jit, static_argnames=("dta",))
-def junction_gated_rows(idx: dict, sctab: dict, seqs2, quals2, lens2,
-                        rows, lfw, posA, posB, known_left, known_right,
-                        minsc_i, minsc_s, max_intron, dta: bool = False):
-    """junction_gated with lane reads gathered on device by (row, fw)
-    instead of shipped from the host."""
-    rd, q, rl = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
-    r = junction_score(idx, sctab, rd, q, rl, posA, posB,
-                       known_left, known_right)
-    return _gate_pack(r, rl, posA, posB, minsc_i, minsc_s,
-                      max_intron, dta)
 
 
 @jax.jit
@@ -355,14 +316,77 @@ def junction_score_packed_rows(idx: dict, sctab: dict, seqs2, quals2,
          r["mmL"], r["mmR"]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("W", "A", "NC"))
-def anchor_scan_rows(idx: dict, seqs2, quals2, lens2, rows, lfw, pos,
-                     down, min_intron, W: int = 65536, A: int = 8,
-                     NC: int = 4):
-    """anchor_scan with lane reads gathered on device by (row, fw)."""
-    rd, _q, rl = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
-    return anchor_scan(idx, rd, rl, pos, down, min_intron, W=W, A=A,
-                       NC=NC)
+@partial(jax.jit, static_argnames=("AB", "dta", "W", "NC"))
+def rescue_fused(idx: dict, sctab: dict, seqs2, quals2, lens2,
+                 rows, lfw, posA, posB,            # seeded lanes (PB,)
+                 srow, sfw, spos, slive,           # scan rows (SBk,)
+                 known_left, known_right, minsc_i, minsc_s,
+                 max_intron, min_intron, margin, AB: int,
+                 dta: bool = False, W: int = 65536, NC: int = 4):
+    """One-dispatch splice rescue: score+gate the seeded diagonal-pair
+    lanes, then run the anchor scan ONLY for scan rows whose seeded lanes
+    all failed acceptance (device top-k compaction to AB rows — in steady
+    state nearly every junction is known and the scan pool shrinks to the
+    novel tail), score+gate the scan-hit lanes, and return everything in
+    one result set:
+
+      pack1 (PB, 3) int16   — seeded-lane [score, j, flags]
+      pack2 (2*AB*NC, 3)    — scan-lane   [score, j, flags]
+      desc2 (2*AB*NC, 4) i32 — scan-lane (row, posA, posB, fw)
+
+    Replaces the junction_gated_rows + anchor_scan_rows round trips (two
+    tunnel syncs + a fixed-size scan over every triggered row)."""
+    r1d, q1, rl1 = _gather_oriented(seqs2, quals2, lens2, rows, lfw)
+    r1 = junction_score(idx, sctab, r1d, q1, rl1, posA, posB,
+                        known_left, known_right)
+    pack1 = _gate_pack(r1, rl1, posA, posB, minsc_i, minsc_s,
+                       max_intron, dta)
+    # per-read best ACCEPTED seeded-lane score (scatter-max over B): the
+    # scan pool keeps rows whose seeded junctions left score on the table
+    # (margin mirrors the host splice trigger), not just unaccepted rows
+    B = seqs2.shape[0] // 2
+    acc1 = (pack1[:, 2].astype(jnp.int32) >> 4) & 1
+    sc1 = jnp.where(acc1 == 1, pack1[:, 0].astype(jnp.int32), NEG)
+    row_jbest = jnp.full((B,), NEG, jnp.int32).at[rows].max(sc1)
+    perfect = sctab["match_bonus"] * lens2[:B].astype(jnp.int32)
+    need = slive & (row_jbest[srow] < perfect[srow] - margin)
+    # compact scan rows to AB slots (ascending srow order, rank gather)
+    nv, sel = lax.top_k(need.astype(jnp.int32), AB)
+    sel = jnp.clip(sel, 0, srow.shape[0] - 1)
+    arow = srow[sel]
+    afw = sfw[sel]
+    apos = spos[sel]
+    avalid = nv > 0
+    # two scan directions per compacted row
+    row2 = jnp.concatenate([arow, arow])
+    fw2 = jnp.concatenate([afw, afw])
+    pos2 = jnp.concatenate([apos, apos])
+    down2 = jnp.concatenate([jnp.ones(AB, bool), jnp.zeros(AB, bool)])
+    valid2 = jnp.concatenate([avalid, avalid])
+    rd2, _q2, rl2 = _gather_oriented(seqs2, quals2, lens2, row2, fw2)
+    scan = anchor_scan(idx, rd2, rl2, pos2, down2, min_intron,
+                       W=W, NC=NC)                       # (2AB, NC, 2)
+    mate = scan[:, :, 0]
+    ok = (scan[:, :, 1] > 0) & valid2[:, None]
+    # lane set from scan hits: down rows -> (pos, mate), up -> (mate, pos)
+    pA2 = jnp.where(down2[:, None], pos2[:, None], mate)
+    pB2 = jnp.where(down2[:, None], mate, pos2[:, None])
+    rowsl = jnp.repeat(row2, NC)
+    fwl = jnp.repeat(fw2, NC)
+    pAl = pA2.reshape(-1)
+    pBl = pB2.reshape(-1)
+    okl = ok.reshape(-1)
+    # dead lanes get pB = pA (delta 0 -> gated off in junction_score)
+    pBl = jnp.where(okl, pBl, pAl)
+    r2d, q2g, rl2g = _gather_oriented(seqs2, quals2, lens2, rowsl, fwl)
+    r2 = junction_score(idx, sctab, r2d, q2g, rl2g, pAl, pBl,
+                        known_left, known_right)
+    pack2 = _gate_pack(r2, rl2g, pAl, pBl, minsc_i, minsc_s,
+                       max_intron, dta)
+    # kill lanes that weren't real scan hits
+    pack2 = pack2.at[:, 2].set(jnp.where(okl, pack2[:, 2], 0))
+    desc2 = jnp.stack([rowsl, pAl, pBl, fwl.astype(jnp.int32)], axis=1)
+    return pack1, pack2, desc2
 
 
 @partial(jax.jit, static_argnames=("W", "A", "NC"))

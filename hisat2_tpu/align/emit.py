@@ -530,6 +530,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     if al.opts.omit_sec_seq:
         fast &= nrep <= 1          # secondary records go per-read
     ref = al.fm.ref
+    okfs = []
     for k in range(KF):
         r = reps[k]
         astart = r["pos"] + r["c5"]
@@ -542,7 +543,9 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         r["fc"], r["astart"] = fc, astart
         if k >= KFB:
             okf &= tier_has[k_tier[k][0]]
+        okfs.append(okf)
         fast &= (nrep <= k) | okf
+    fastble = fast.copy()     # native eligibility, before the RNA gate
     fast |= unal
     rna = o.spliced
     if rna:
@@ -566,6 +569,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         fast &= ~(trig | (unal & ~filtered))
     if force_slow is not None:
         fast &= ~force_slow
+        fastble &= ~force_slow
 
     mqc = _MapqCache(sc)
     stats = dict(reads=B, unal=0, uniq=0, multi=0)
@@ -593,203 +597,153 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         else:
             mg_fut = al.gather_merged_async(merged_dev, grows)
 
-    fbuf = b""
-    read_end = np.zeros(B, np.int64)
-    frows = np.flatnonzero(fast)
-    if frows.size:
-        nr = np.where(aligned[frows], nrep[frows], 1)
-        rec_read = np.repeat(frows, nr)
-        rec_lidx = np.repeat(np.arange(frows.size), nr)
-        rec_k = np.arange(rec_read.size) - np.repeat(
-            np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
-        # stacked (KF, B) field arrays -> per-record select by rec_k
-        stk = {f: np.stack([r[f] for r in reps])
-               for f in ("pos", "c5", "c3", "nmm", "nmm_all", "score",
-                         "fw", "fc", "astart")}
-        take = lambda fld: stk[fld][rec_k, rec_read]
-        pos = take("pos")
-        c5 = take("c5").astype(np.int32)
-        c3 = take("c3").astype(np.int32)
-        nmm = take("nmm").astype(np.int32)
-        cnt = take("nmm_all")
-        fw = take("fw")
-        score = take("score").astype(np.int32)
-        fc_r = take("fc")
-        astart_r = take("astart")
-        mid = (lens[rec_read] - c5 - c3).astype(np.int32)
-        tidx = ref.frag_tidx[fc_r].astype(np.int32)
-        toff = ref.frag_toff[fc_r] + astart_r - ref.frag_joined[fc_r]
-        flag = (np.where(fw, 0, 16) | np.where(rec_k > 0, 256, 0)
-                ).astype(np.int32)
-        nh = np.repeat(nr, nr).astype(np.int32)
-        # MAPQ (reference 60 fast path; table only on equal second-best)
-        mapq_read = np.full(frows.size, 60, np.int32)
-        need_tab = (has_sec & (secb == best) & aligned)[frows]
-        for j in np.flatnonzero(need_tab):
-            i = frows[j]
-            mapq_read[j] = mqc.get(int(best[i]), int(secb[i]),
-                                   int(lens[i]), False)
-        mapq = np.where(rec_k == 0, mapq_read[rec_lidx], 255).astype(np.int32)
-        zs = np.where(has_sec[rec_read], secb[rec_read],
-                      np.int64(INT32_MIN)).astype(np.int32)
-        ur = unal[rec_read]
-        if ur.any():
-            # flag-4 records: rname -1, pos1 0, YF code rides the mapq col
-            tidx = np.where(ur, -1, tidx).astype(np.int32)
-            toff = np.where(ur, -1, toff)
-            flag = np.where(ur, 4, flag).astype(np.int32)
-            yf_code = np.where(lens == 0, 2, np.where(filtered, 1, 0))
-            if (lens == 0).any() and batch.reads:
-                qcf = np.fromiter(
-                    (not getattr(r, "qc_ok", True) for r in batch.reads),
-                    bool, B)
-                yf_code = np.where(qcf & (lens == 0), 3, yf_code)
-            mapq = np.where(ur, yf_code[rec_read], mapq).astype(np.int32)
-            cnt = np.where(ur, 0, cnt)
+    def fmt_fast(fastm):
+        fbuf = b""
+        read_end = np.zeros(B, np.int64)
+        frows = np.flatnonzero(fastm)
+        if frows.size:
+            nr = np.where(aligned[frows], nrep[frows], 1)
+            rec_read = np.repeat(frows, nr)
+            rec_lidx = np.repeat(np.arange(frows.size), nr)
+            rec_k = np.arange(rec_read.size) - np.repeat(
+                np.concatenate([[0], np.cumsum(nr)[:-1]]), nr)
+            # stacked (KF, B) field arrays -> per-record select by rec_k
+            stk = {f: np.stack([r[f] for r in reps])
+                   for f in ("pos", "c5", "c3", "nmm", "nmm_all", "score",
+                             "fw", "fc", "astart")}
+            take = lambda fld: stk[fld][rec_k, rec_read]
+            pos = take("pos")
+            c5 = take("c5").astype(np.int32)
+            c3 = take("c3").astype(np.int32)
+            nmm = take("nmm").astype(np.int32)
+            cnt = take("nmm_all")
+            fw = take("fw")
+            score = take("score").astype(np.int32)
+            fc_r = take("fc")
+            astart_r = take("astart")
+            mid = (lens[rec_read] - c5 - c3).astype(np.int32)
+            tidx = ref.frag_tidx[fc_r].astype(np.int32)
+            toff = ref.frag_toff[fc_r] + astart_r - ref.frag_joined[fc_r]
+            flag = (np.where(fw, 0, 16) | np.where(rec_k > 0, 256, 0)
+                    ).astype(np.int32)
+            nh = np.repeat(nr, nr).astype(np.int32)
+            # MAPQ (reference 60 fast path; table only on equal second-best)
+            mapq_read = np.full(frows.size, 60, np.int32)
+            need_tab = (has_sec & (secb == best) & aligned)[frows]
+            for j in np.flatnonzero(need_tab):
+                i = frows[j]
+                mapq_read[j] = mqc.get(int(best[i]), int(secb[i]),
+                                       int(lens[i]), False)
+            mapq = np.where(rec_k == 0, mapq_read[rec_lidx], 255).astype(np.int32)
+            zs = np.where(has_sec[rec_read], secb[rec_read],
+                          np.int64(INT32_MIN)).astype(np.int32)
+            ur = unal[rec_read]
+            if ur.any():
+                # flag-4 records: rname -1, pos1 0, YF code rides the mapq col
+                tidx = np.where(ur, -1, tidx).astype(np.int32)
+                toff = np.where(ur, -1, toff)
+                flag = np.where(ur, 4, flag).astype(np.int32)
+                yf_code = np.where(lens == 0, 2, np.where(filtered, 1, 0))
+                if (lens == 0).any() and batch.reads:
+                    qcf = np.fromiter(
+                        (not getattr(r, "qc_ok", True) for r in batch.reads),
+                        bool, B)
+                    yf_code = np.where(qcf & (lens == 0), 3, yf_code)
+                mapq = np.where(ur, yf_code[rec_read], mapq).astype(np.int32)
+                cnt = np.where(ur, 0, cnt)
 
-        mmstk = np.stack([r["mm"] for r in reps])      # (KF, B, MM)
-        mmpk = mmstk[rec_k, rec_read]
-        cnt = cnt.astype(np.int32)
+            mmstk = np.stack([r["mm"] for r in reps])      # (KF, B, MM)
+            mmpk = mmstk[rec_k, rec_read]
+            cnt = cnt.astype(np.int32)
 
-        fbuf, rec_ends = _format_records3(
-            al, batch, frows, rec_read, flag, tidx,
-            toff, mapq, c5, mid, c3, score, nmm, zs, nh,
-            mmpk.astype(np.int16), cnt)
-        last_rec = np.cumsum(nr) - 1
-        read_end[frows] = rec_ends[last_rec]
-        fal = aligned[frows]
-        stats["uniq"] += int((fal & (nvalid[frows] == 1)).sum())
-        stats["multi"] += int((fal & (nvalid[frows] >= 2)).sum())
-        stats["unal"] += int((~fal).sum())
+            fbuf, rec_ends = _format_records3(
+                al, batch, frows, rec_read, flag, tidx,
+                toff, mapq, c5, mid, c3, score, nmm, zs, nh,
+                mmpk.astype(np.int16), cnt)
+            last_rec = np.cumsum(nr) - 1
+            read_end[frows] = rec_ends[last_rec]
+            fal = aligned[frows]
+            stats["uniq"] += int((fal & (nvalid[frows] == 1)).sum())
+            stats["multi"] += int((fal & (nvalid[frows] >= 2)).sum())
+            stats["unal"] += int((~fal).sum())
+
+        return fbuf, read_end
+
+    def build_merged():
+        if merged_full is not None:
+            return merged_full
+        K2 = (smg_h.shape[1] if smg_h is not None
+              else merged_dev.shape[1])
+        msc = np.full((B, K2), NEG_INF, np.int64)
+        mpos = np.zeros((B, K2), np.int64)
+        mfw = np.zeros((B, K2), bool)
+        mgap = np.zeros((B, K2), bool)
+
+        def fill(rows, g):
+            msc[rows] = g[:, :, 0]
+            mpos[rows] = g[:, :, 1]
+            mfw[rows] = (g[:, :, 2] & 1) > 0
+            mgap[rows] = (g[:, :, 2] & 2) > 0
+        if smg_h is not None:
+            sv = srows_h >= 0
+            if sv.any():
+                fill(srows_h[sv], smg_h[sv])
+        if mg_fut is not None:
+            mg = mg_fut()
+            if mg.size:
+                fill(grows, mg)
+        return dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
 
     # ---- slow reads ----
     slow_out: dict[int, list] = {}
-    if slow.size:
-        if merged_full is not None:
-            merged = merged_full
-        else:
-            K2 = (smg_h.shape[1] if smg_h is not None
-                  else merged_dev.shape[1])
-            msc = np.full((B, K2), NEG_INF, np.int64)
-            mpos = np.zeros((B, K2), np.int64)
-            mfw = np.zeros((B, K2), bool)
-            mgap = np.zeros((B, K2), bool)
-
-            def fill(rows, g):
-                msc[rows] = g[:, :, 0]
-                mpos[rows] = g[:, :, 1]
-                mfw[rows] = (g[:, :, 2] & 1) > 0
-                mgap[rows] = (g[:, :, 2] & 2) > 0
-            if smg_h is not None:
-                sv = srows_h >= 0
-                if sv.any():
-                    fill(srows_h[sv], smg_h[sv])
-            if mg_fut is not None:
-                mg = mg_fut()
-                if mg.size:
-                    fill(grows, mg)
-            merged = dict(score=msc, pos=mpos, fw=mfw, gapped=mgap)
-        if rna:
-            # spliced finish: junction rescue over the slow rows' grids,
-            # then the shared contiguous/spliced per-read selection —
-            # the packed-path equivalent of align_batch's RNA flow
-            allowed = np.zeros(B, bool)
-            allowed[slow] = True
-            allowed &= ~filtered
-            n_ss0 = len(al.ssdb)
-            al._splice_rescue(batch, merged, rows=allowed)
-            demoted = np.zeros(0, np.int64)
-            if len(al.ssdb) != n_ss0:
-                # newly published junctions unlock short-anchor reads
-                # (reference cross-thread splice-site sharing, P5). Fast
-                # reads whose span now contains a known junction are
-                # DEMOTED to the per-read path (their native records get
-                # skipped in the stitch below) — matching the legacy
-                # second pass exactly.
-                frows_f = np.flatnonzero(fast & aligned)
-                if frows_f.size:
-                    kl, _kr2 = al.ssdb.lefts_rights()
-                    kr_sorted, _klr2 = al.ssdb.rights_sorted()
-                    p0f = reps[0]["pos"][frows_f]
-                    s_l = p0f + 1
-                    s_r = p0f + lens[frows_f] - 1
-                    hit = ((np.searchsorted(kl, s_r)
-                            > np.searchsorted(kl, s_l))
-                           | (np.searchsorted(kr_sorted, s_r)
-                              > np.searchsorted(kr_sorted, s_l)))
-                    demoted = frows_f[hit]
-                if demoted.size and merged_dev is not None:
-                    mg2 = al.gather_merged_async(merged_dev, demoted)()
-                    merged["score"][demoted] = mg2[:, :, 0]
-                    merged["pos"][demoted] = mg2[:, :, 1]
-                    merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
-                    merged["gapped"][demoted] = (mg2[:, :, 2] & 2) > 0
-                    allowed[demoted] = True
-                    # reverse their fast-path stat contribution
-                    stats["uniq"] -= int((nvalid[demoted] == 1).sum())
-                    stats["multi"] -= int((nvalid[demoted] >= 2).sum())
-                elif demoted.size:
-                    demoted = np.zeros(0, np.int64)
-                al._splice_rescue(batch, merged, rows=allowed)
-            # batched finalization + native formatting for the dominant
-            # junction outcome — a unique single-junction winner with no
-            # valid contiguous placement (the per-read ladder costs
-            # ~200us/read; this path is ~2us/record)
-            spl_map = merged.get("splice", {})
-            vec_done = np.zeros(B, bool)
-            if al.overlay is None and spl_map:
-                cand_rows = [i for i in spl_map
-                             if allowed[i] and len(spl_map[i]) == 1
-                             and "segs" not in spl_map[i][0]
-                             and nvalid[i] == 0
-                             and spl_map[i][0]["score"] >= min_scs[i]]
-                if cand_rows:
-                    vr = np.asarray(sorted(cand_rows), np.int64)
-                    c0 = [spl_map[int(i)][0] for i in vr]
-                    vA = np.asarray([c["posA"] for c in c0], np.int64)
-                    vB = np.asarray([c["posB"] for c in c0], np.int64)
-                    vJ = np.asarray([c["j"] for c in c0], np.int64)
-                    vF = np.asarray([c["fw"] for c in c0], bool)
-                    vStr = np.asarray([c["strand"] for c in c0])
-                    vSc = np.asarray([c["score"] for c in c0], np.int32)
-                    fin2 = al._spliced_fin_rows(batch, vr, vA, vB, vJ, vF,
-                                                vStr, lens[vr])
-                    okm = fin2["ok"]
-                    if okm.any():
-                        sel = np.flatnonzero(okm)
-                        elig = vr[sel]
-                        ntrip = np.diff(fin2["mm_off"])
-                        keep3 = np.repeat(okm, ntrip)
-                        mm_off2 = np.zeros(sel.size + 1, np.int64)
-                        np.cumsum(ntrip[sel], out=mm_off2[1:])
-                        flag2 = np.where(vF[sel], 0, 16).astype(np.int32)
-                        ones = np.ones(sel.size, np.int32)
-                        sbuf, sends = _format_records(
-                            al, batch, elig, elig, flag2,
-                            fin2["tidx"][sel], fin2["toff"][sel],
-                            60 * ones, fin2["c5"][sel], fin2["mid"][sel],
-                            fin2["c3"][sel], vSc[sel], fin2["nm"][sel],
-                            np.full(sel.size, INT32_MIN, np.int32), ones,
-                            fin2["mm_cols"][keep3], fin2["mm_ref"][keep3],
-                            mm_off2, m1=fin2["m1"][sel],
-                            gapn=fin2["gap"][sel], xs=fin2["xs"][sel])
-                        stext = sbuf.decode("ascii")
-                        prev = 0
-                        for k, i in enumerate(elig):
-                            slow_out[int(i)] = [stext[prev:int(sends[k])]]
-                            prev = int(sends[k])
-                        vec_done[elig] = True
-                        allowed[elig] = False
-                        stats["uniq"] += int(elig.size)
-            res_map = al._finalize_results(
-                batch, merged, only_rows=np.flatnonzero(allowed))
-            for i in np.concatenate([slow, demoted]):
+    if not rna:
+        fbuf, read_end = fmt_fast(fast)
+        if slow.size:
+            merged = build_merged()
+            plans: dict[int, list] = {}
+            ug_items: list[tuple[int, int, bool]] = []
+            for i in slow:
                 i = int(i)
-                if vec_done[i]:
+                if filtered[i]:
                     continue
-                res = res_map.get(i)
-                if res is None:
+                entries = [("reg", s, p, f, g) for s, p, f, g, _, _
+                           in al._ranked_candidates(merged, i, int(min_scs[i]))]
+                entries = entries[: khits + 1]
+                plans[i] = entries
+                for kind, s, p, f, g in entries:
+                    if not g:
+                        ug_items.append((i, int(p), bool(f)))
+            lookup: dict[tuple, object] = {}
+            if ug_items:
+                ridx = np.asarray([x[0] for x in ug_items])
+                upos = np.asarray([x[1] for x in ug_items])
+                ufw = np.asarray([x[2] for x in ug_items])
+                alns = al._finalize_ungapped_list(batch, ridx, upos, ufw,
+                                                  lens[ridx])
+                for (i, p, f), a in zip(ug_items, alns):
+                    lookup[(i, p, f)] = a
+            from .pipeline import _dedup_alns
+            for i in slow:
+                i = int(i)
+                if filtered[i]:
                     res = ReadResult(filtered=_filter_reason(batch, i, lens))
+                else:
+                    res = ReadResult()
+                    entries = plans.get(i, [])
+                    if entries:
+                        res.best = entries[0][1]
+                        if len(entries) > 1:
+                            res.secbest = entries[1][1]
+                        for kind, s, p, f, g in entries:
+                            a = (al._finalize(i, batch, s, p, f, True,
+                                              int(lens[i])) if g
+                                 else lookup.get((i, p, f)))
+                            if a is not None:
+                                res.alns.append(a)
+                        if res.alns:
+                            _dedup_alns(res, khits)
+                        else:
+                            res = ReadResult()
                 lines = _format_slow(al, batch, i, res, sc)
                 if not res.aligned:
                     stats["unal"] += 1
@@ -799,61 +753,141 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 else:
                     stats["uniq"] += 1
                 slow_out[i] = lines
-            slow = np.zeros(0, np.int64)      # handled
-        plans: dict[int, list] = {}
-        ug_items: list[tuple[int, int, bool]] = []
-        for i in slow:
-            i = int(i)
-            if filtered[i]:
-                continue
-            entries = [("reg", s, p, f, g) for s, p, f, g, _, _
-                       in al._ranked_candidates(merged, i, int(min_scs[i]))]
-            entries = entries[: khits + 1]
-            plans[i] = entries
-            for kind, s, p, f, g in entries:
-                if not g:
-                    ug_items.append((i, int(p), bool(f)))
-        lookup: dict[tuple, object] = {}
-        if ug_items:
-            ridx = np.asarray([x[0] for x in ug_items])
-            upos = np.asarray([x[1] for x in ug_items])
-            ufw = np.asarray([x[2] for x in ug_items])
-            alns = al._finalize_ungapped_list(batch, ridx, upos, ufw,
-                                              lens[ridx])
-            for (i, p, f), a in zip(ug_items, alns):
-                lookup[(i, p, f)] = a
-        from .pipeline import _dedup_alns
-        for i in slow:
-            i = int(i)
-            if filtered[i]:
-                res = ReadResult(filtered=_filter_reason(batch, i, lens))
-            else:
-                res = ReadResult()
-                entries = plans.get(i, [])
-                if entries:
-                    res.best = entries[0][1]
-                    if len(entries) > 1:
-                        res.secbest = entries[1][1]
-                    for kind, s, p, f, g in entries:
-                        a = (al._finalize(i, batch, s, p, f, True,
-                                          int(lens[i])) if g
-                             else lookup.get((i, p, f)))
-                        if a is not None:
-                            res.alns.append(a)
-                    if res.alns:
-                        _dedup_alns(res, khits)
-                    else:
-                        res = ReadResult()
-            lines = _format_slow(al, batch, i, res, sc)
-            if not res.aligned:
-                stats["unal"] += 1
-            elif len(res.alns) > 1 or (res.secbest is not None
-                                       and res.secbest >= min_scs[i]):
-                stats["multi"] += 1
-            else:
-                stats["uniq"] += 1
-            slow_out[i] = lines
 
+    else:
+        # RNA: rescue FIRST, format after — contiguous winners rejoin
+        # the native fast path instead of the per-read ladder, and
+        # spliced winners format through the vectorized column path.
+        merged = build_merged()
+        allowed = np.zeros(B, bool)
+        allowed[slow] = True
+        allowed &= ~filtered
+        n_ss0 = len(al.ssdb)
+        al._splice_rescue(batch, merged, rows=allowed)
+        if len(al.ssdb) != n_ss0:
+            # newly published junctions unlock short-anchor reads
+            # (reference cross-thread splice-site sharing, P5): rows not
+            # yet rescued whose primary span now contains a known site
+            # join the pool and the rescue re-runs over the union
+            cand = np.flatnonzero(~allowed & aligned)
+            demoted = np.zeros(0, np.int64)
+            if cand.size:
+                kl, _kr2 = al.ssdb.lefts_rights()
+                kr_sorted, _klr2 = al.ssdb.rights_sorted()
+                p0f = reps[0]["pos"][cand]
+                s_l = p0f + 1
+                s_r = p0f + lens[cand] - 1
+                hit = ((np.searchsorted(kl, s_r)
+                        > np.searchsorted(kl, s_l))
+                       | (np.searchsorted(kr_sorted, s_r)
+                          > np.searchsorted(kr_sorted, s_l)))
+                demoted = cand[hit]
+            if demoted.size and merged_dev is not None:
+                mg2 = al.gather_merged_async(merged_dev, demoted)()
+                merged["score"][demoted] = mg2[:, :, 0]
+                merged["pos"][demoted] = mg2[:, :, 1]
+                merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
+                merged["gapped"][demoted] = (mg2[:, :, 2] & 2) > 0
+                allowed[demoted] = True
+            al._splice_rescue(batch, merged, rows=allowed)
+        # ---- spliced-winner selection (columns) ----
+        spl_map = merged.get("splice", {})
+        swin = np.zeros(B, bool)       # spliced candidate wins selection
+        svec = np.zeros(B, bool)       # eligible for vectorized finish
+        vf: dict[int, dict] = {}
+        msc0 = merged["score"][:, 0]
+        for i, cands in spl_map.items():
+            if not allowed[i]:
+                continue
+            c0 = cands[0]
+            if not (not aligned[i] or c0["score"] > msc0[i]
+                    or (c0["score"] == msc0[i] and c0["canon"] == 1)):
+                continue
+            swin[i] = True
+            if (len(cands) == 1 and "segs" not in c0
+                    and c0["score"] >= min_scs[i]):
+                svec[i] = True
+                vf[i] = c0
+        # contiguous winners (and unaligned leftovers) rejoin the native
+        # path; spliced winners + non-native-eligible rows handled below
+        fast = (fastble | unal) & ~swin
+        if force_slow is not None:
+            fast &= ~force_slow
+        vec_done = np.zeros(B, bool)
+        if al.overlay is None and svec.any():
+            vr = np.flatnonzero(svec)
+            c0s = [vf[int(i)] for i in vr]
+            vA = np.asarray([c["posA"] for c in c0s], np.int64)
+            vB = np.asarray([c["posB"] for c in c0s], np.int64)
+            vJ = np.asarray([c["j"] for c in c0s], np.int64)
+            vF = np.asarray([c["fw"] for c in c0s], bool)
+            vStr = np.asarray([c["strand"] for c in c0s])
+            vSc = np.asarray([c["score"] for c in c0s], np.int32)
+            fin2 = al._spliced_fin_rows(batch, vr, vA, vB, vJ, vF,
+                                        vStr, lens[vr])
+            okm = fin2["ok"].copy()
+            # every contiguous placement must be redundant with the
+            # spliced span (reference RedundantAlns start/end dedup,
+            # pipeline._dedup_alns); rows keeping a real secondary fall
+            # to the per-read ladder (genuinely multimapped junction
+            # reads), as do rows with more placements than rep slots
+            spl_start = vA + fin2["c5"]
+            spl_end = vB + fin2["c5"] + fin2["mid"]
+            nsurv = np.zeros(vr.size, np.int64)
+            for k in range(KF):
+                r = reps[k]
+                in_rep = nrep[vr] > k
+                st_k = r["astart"][vr]
+                en_k = st_k + (lens[vr] - r["c5"][vr] - r["c3"][vr])
+                same = ((r["fw"][vr] == vF) & ~r["gapped"][vr]
+                        & ((st_k == spl_start) | (en_k == spl_end)))
+                nsurv += (in_rep & ~same).astype(np.int64)
+            okm &= (nsurv == 0) & (nrep[vr] <= KF)
+            if okm.any():
+                sel = np.flatnonzero(okm)
+                elig = vr[sel]
+                ntrip = np.diff(fin2["mm_off"])
+                keep3 = np.repeat(okm, ntrip)
+                mm_off2 = np.zeros(sel.size + 1, np.int64)
+                np.cumsum(ntrip[sel], out=mm_off2[1:])
+                flag2 = np.where(vF[sel], 0, 16).astype(np.int32)
+                ones = np.ones(sel.size, np.int32)
+                sbuf, sends = _format_records(
+                    al, batch, elig, elig, flag2,
+                    fin2["tidx"][sel], fin2["toff"][sel],
+                    60 * ones, fin2["c5"][sel], fin2["mid"][sel],
+                    fin2["c3"][sel], vSc[sel], fin2["nm"][sel],
+                    np.full(sel.size, INT32_MIN, np.int32), ones,
+                    fin2["mm_cols"][keep3], fin2["mm_ref"][keep3],
+                    mm_off2, m1=fin2["m1"][sel],
+                    gapn=fin2["gap"][sel], xs=fin2["xs"][sel])
+                stext = sbuf.decode("ascii")
+                prev = 0
+                for kk, i in enumerate(elig):
+                    slow_out[int(i)] = [stext[prev:int(sends[kk])]]
+                    prev = int(sends[kk])
+                vec_done[elig] = True
+                stats["uniq"] += int(elig.size)
+        # ---- per-read stragglers ----
+        pr = np.flatnonzero(~fast & ~vec_done)
+        if pr.size:
+            res_map = al._finalize_results(batch, merged, only_rows=pr)
+            for i in pr:
+                i = int(i)
+                res = res_map.get(i)
+                if res is None:
+                    res = ReadResult(filtered=_filter_reason(batch, i,
+                                                             lens))
+                lines = _format_slow(al, batch, i, res, sc)
+                if not res.aligned:
+                    stats["unal"] += 1
+                elif len(res.alns) > 1 or (res.secbest is not None
+                                           and res.secbest >= min_scs[i]):
+                    stats["multi"] += 1
+                else:
+                    stats["uniq"] += 1
+                slow_out[i] = lines
+        fbuf, read_end = fmt_fast(fast)
     w = writer.out.write
     if not slow_out:
         if fbuf:

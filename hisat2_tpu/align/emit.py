@@ -97,8 +97,12 @@ def align_and_emit_stream(al: Aligner, batches, writer,
     batches (device queue + worker slack)."""
     if al.opts.spliced:
         # splice rescue mutates the novel-junction DB; finishes must run
-        # serially so later batches see earlier discoveries in order
+        # serially so later batches see earlier discoveries in order.
+        # Depth is capped too: the fused splice stage bakes the site
+        # table into each SUBMIT, and a deep pipeline leaves every batch
+        # stale (all its device lanes re-run through the legacy rescue)
         workers = 0
+        depth = min(depth, 1)
     return _stream(al, ((b,) for b in batches), writer, submit_se,
                    finish_se, on_batch, depth, workers)
 
@@ -301,6 +305,17 @@ def _native_fast_se(al, batch, fp, ex, KFB, lens, L):
     return (fast_u8.astype(bool), fbuf, read_end, stats, nvalid)
 
 
+def _unpack_smerged(g) -> np.ndarray:
+    """Inverse of the device-side grid pack (_stage_align_packed SB
+    block): (n, K2, 2) [pos, score<<8|flags] -> (n, K2, 3)
+    [score, pos, flags], dead candidates restored to NEG_INF."""
+    g = np.asarray(g)
+    sc = (g[:, :, 1] >> 8).astype(np.int64)
+    sc = np.where(sc <= -(1 << 22), np.int64(NEG_INF), sc)
+    return np.stack([sc, g[:, :, 0].astype(np.int64),
+                     (g[:, :, 1] & 0xFF).astype(np.int64)], axis=2)
+
+
 def _finish_slow_and_stitch(al, batch, fp, ex, merged_dev, writer, fast,
                             filtered, nvalid, min_scs, lens, fbuf,
                             read_end, stats, _unused, spl) -> dict:
@@ -315,7 +330,7 @@ def _finish_slow_and_stitch(al, batch, fp, ex, merged_dev, writer, fast,
     mg_fut = None
     if ex is not None and "srows" in ex:
         srows_h = ex["srows"]
-        smg_h = ex["smerged"]
+        smg_h = _unpack_smerged(ex["smerged"])
         miss = grows[~np.isin(grows, srows_h)]
         mg_fut = (al.gather_merged_async(merged_dev, miss)
                   if miss.size else None)
@@ -589,7 +604,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
     if merged_full is None:
         if ex is not None and "srows" in ex:
             srows_h = ex["srows"]
-            smg_h = ex["smerged"]
+            smg_h = _unpack_smerged(ex["smerged"])
             miss = grows[~np.isin(grows, srows_h)]
             mg_fut = (al.gather_merged_async(merged_dev, miss)
                       if miss.size else None)
@@ -763,7 +778,16 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         allowed[slow] = True
         allowed &= ~filtered
         n_ss0 = len(al.ssdb)
-        al._splice_rescue(batch, merged, rows=allowed)
+        ssv0 = al.ssdb.version()
+        # fused pass-1 lanes from the submit dispatch (spliced_stage):
+        # legacy rescue runs only for rows the device missed
+        dev_lanes = None
+        if ex is not None and "splanes16" in ex:
+            dev_lanes = (ex["splanes32"], ex["splanes16"],
+                         ex["spl_cov"], int(ex["spl_nsel"]),
+                         int(ex["spl_ssv"]))
+        al._splice_rescue(batch, merged, rows=allowed,
+                          dev_lanes=dev_lanes)
         if len(al.ssdb) != n_ss0:
             # newly published junctions unlock short-anchor reads
             # (reference cross-thread splice-site sharing, P5): rows not
@@ -789,7 +813,14 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
                 merged["gapped"][demoted] = (mg2[:, :, 2] & 2) > 0
                 allowed[demoted] = True
-            al._splice_rescue(batch, merged, rows=allowed)
+            # already-rescued rows re-run only where one of THIS batch's
+            # novel sites can add a lane (a full-union re-run costs a
+            # second rescue dispatch per batch for no new lanes)
+            newp = al.ssdb.added_since(ssv0)
+            allowed2 = allowed & al._spl_affected(merged, lens, newp)
+            if demoted.size:
+                allowed2[demoted] = True
+            al._splice_rescue(batch, merged, rows=allowed2)
         # ---- spliced-winner selection (columns) ----
         spl_map = merged.get("splice", {})
         swin = np.zeros(B, bool)       # spliced candidate wins selection

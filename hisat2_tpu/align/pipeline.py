@@ -633,7 +633,7 @@ def _stage_fastpack(idx, sctab, merged, st, minsc, B: int, K2: int,
     "B", "L", "max_seeds", "n_seeds", "locs_per_seg", "top_cands",
     "min_seg_len", "ftab_k", "K2", "KF", "fb_bucket", "dp_bucket", "dp_pad",
     "no_dp", "nofw", "norc", "seeder", "fb_seeder", "sc_const", "SB",
-    "omit_sec", "MB", "VC", "spliced"))
+    "omit_sec", "MB", "VC", "spliced", "SPL"))
 def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         quals, qual_const, lens, minsc_i, minsc_s, gap1,
                         B: int, L: int, max_seeds: int, n_seeds: int,
@@ -644,7 +644,8 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                         seeder: str, fb_seeder: str, sc_const,
                         khits=None, SB: int = 0, omit_sec: bool = False,
                         MB: int = 0, VC: int = 0, spliced: bool = False,
-                        spl_margin=None):
+                        spl_margin=None, spl_kss=None, spl_nceil=None,
+                        spl_introns=None, SPL=None):
     """SE fused path with transfer-packed I/O: unpack 2-bit reads, run
     the core, and compress results to the int16 fastpack. Returns
     (fastpack (B, FASTPACK_W) int16, merged (B, K2, 3) int32) — merged
@@ -664,12 +665,30 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
                      * lens.astype(jnp.float32)).astype(jnp.int32)
     fastpack, need, bex = _stage_fastpack(idx, sctab, merged, st, minsc,
                                           B, K2, KF, khits, omit_sec, MB)
-    if spliced:
-        # RNA mode: reads whose contiguous score can hide a junction
-        # (best < perfect - min-anchor clip cost) fall off the fast path —
-        # ship their merged grids so the host splice rescue needs no
-        # follow-up gather. The HOST trigger (emit) is the source of
-        # truth; this only pre-ships grids.
+    if spliced and SPL is not None:
+        # RNA mode: splice pass-1 runs INSIDE this dispatch (seeded lane
+        # enumeration + junction scoring + gates + anchor scan), shipping
+        # compacted accepted/partial lanes with the fastpack instead of a
+        # separate rescue round trip (ops/splice.spliced_stage)
+        from ..ops.splice import spliced_stage
+        ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+        nNs = ((seqs >= 4)
+               & (ar < lens.astype(jnp.int32)[:, None])).sum(axis=1)
+        TBs, PJs, ABs, NCs, NLs, dta_s = SPL
+        sp32, sp16, need, spl_cov, spl_nsel = spliced_stage(
+            idx, sctab, merged, st, need, nNs, B,
+            spl_kss[0], spl_kss[1], spl_kss[2], spl_kss[3],
+            minsc_i, minsc_s, spl_nceil[0], spl_nceil[1], spl_margin,
+            spl_introns[0], spl_introns[1], TBs, PJs, ABs, NCs, NLs,
+            dta_s)
+        bex = dict(bex, splanes32=sp32, splanes16=sp16, spl_cov=spl_cov,
+                   spl_nsel=spl_nsel)
+    elif spliced:
+        # RNA mode without the fused splice stage: reads whose contiguous
+        # score can hide a junction (best < perfect - min-anchor clip
+        # cost) fall off the fast path — ship their merged grids so the
+        # host splice rescue needs no follow-up gather. The HOST trigger
+        # (emit) is the source of truth; this only pre-ships grids.
         perfect = (sctab["match_bonus"]
                    * lens.astype(jnp.int32)).astype(jnp.int32)
         need = need | (merged[:, 0, 0] < perfect - spl_margin)
@@ -679,7 +698,13 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
     if SB:
         sv, sr = lax.top_k(need.astype(jnp.int32), min(SB, B))
         extras["srows"] = jnp.where(sv > 0, sr, -1).astype(jnp.int32)
-        extras["smerged"] = merged[jnp.clip(sr, 0, B - 1)]
+        # packed grid rows (tunnel bytes): [pos, score<<8 | flags] — the
+        # host unpacks (emit._unpack_smerged); scores below -2^22 all
+        # mean "dead candidate" so the clip loses nothing
+        sm = merged[jnp.clip(sr, 0, B - 1)]
+        scpk = jnp.maximum(sm[:, :, 0], -(1 << 22))
+        extras["smerged"] = jnp.stack(
+            [sm[:, :, 1], (scpk << 8) | (sm[:, :, 2] & 0xFF)], axis=2)
     return fastpack, merged, extras
 
 
@@ -983,6 +1008,21 @@ class Aligner:
         self.metrics.seeds += 2 * B * o.n_seeds
         seq_w, n_w, quals, qconst, lens = batch.packed()
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+        spl_kw = {}
+        if o.spliced and self.sctab is not None:
+            # fused splice pass-1 buckets: TB triggered rows (junction
+            # reads are routinely ~half an RNA batch), AB anchor-scan
+            # rows, NL result lanes — static per (B, PJ) so the dispatch
+            # compiles once
+            TB = min(B, max(256, 5 * B // 8))
+            spl_kw = dict(
+                spl_kss=self.ssdb.device_arrays4(),
+                spl_nceil=(jnp.float32(self.scoring.n_ceil.I),
+                           jnp.float32(self.scoring.n_ceil.S)),
+                spl_introns=(jnp.int32(o.min_intron),
+                             jnp.int32(o.max_intron)),
+                SPL=(TB, o.pairs_per_read, min(TB, max(128, TB // 4)), 4,
+                     2 * TB, o.dta))
         fp_dev, merged_dev, extras = _stage_align_packed(
             self.idx, self.sctab,
             jnp.asarray(seq_w), jnp.asarray(n_w),
@@ -997,11 +1037,15 @@ class Aligner:
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, self.sc_const,
-            khits=jnp.int32(o.khits), SB=min(B, max(64, B // (4 if o.spliced
+            khits=jnp.int32(o.khits), SB=min(B, max(64, B // (2 if o.spliced
                                                                else 16))),
             omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)),
             VC=o.verify_cands, spliced=o.spliced,
-            spl_margin=jnp.int32(self._spl_margin(batch)))
+            spl_margin=jnp.int32(self._spl_margin(batch)), **spl_kw)
+        if spl_kw:
+            # snapshot for finish-time consumers: lanes were enumerated
+            # against THIS site table; later publications re-run rows
+            extras["spl_ssv"] = self.ssdb.version()
         for d in (fp_dev, *extras.values()):
             try:
                 d.copy_to_host_async()
@@ -1051,9 +1095,11 @@ class Aligner:
         if rows.size == 0:
             empty = np.zeros((0,) + tuple(merged_dev.shape[1:]), np.int32)
             return lambda: empty
-        bucket = 32
+        # fixed size classes (see _splice_rescue bucket note: every
+        # distinct shape costs a one-time executable load)
+        bucket = 256
         while bucket < rows.size:
-            bucket *= 2
+            bucket *= 8
         rows_p = np.pad(rows, (0, bucket - rows.size))
         out = _gather_merged(merged_dev, jnp.asarray(rows_p, jnp.int32))
         try:
@@ -1156,14 +1202,23 @@ class Aligner:
 
     # ---- spliced rescue (RNA mode) ----
 
-    def _splice_rescue(self, batch: ReadBatch, merged, rows=None) -> None:
+    def _splice_rescue(self, batch: ReadBatch, merged, rows=None,
+                       dev_lanes=None) -> None:
         """Junction search for reads whose contiguous alignment is poor:
         enumerate same-orientation diagonal pairs from the candidate lists,
         score the best junction per pair on device (ops/splice.py), and
         attach winning spliced candidates to `merged['splice']`.
 
         rows: optional (B,) bool mask restricting which reads may trigger
-        (the packed RNA path only fetches slow rows' candidate grids)."""
+        (the packed RNA path only fetches slow rows' candidate grids).
+
+        dev_lanes: optional (splanes, cov, nsel, ss_version) from the
+        fused dispatch (ops/splice.spliced_stage) — pass-1 lanes already
+        enumerated, scored and gated ON DEVICE inside the main submit.
+        Rows the device buckets dropped, rows it didn't trigger, and rows
+        a site published after submit could affect re-run through the
+        legacy rescue_fused path below; in steady state that set is
+        empty and pass 1 costs no extra round trip."""
         from ..ops import splice as _splice
         o = self.opts
         lens = batch.lens.astype(np.int64)
@@ -1189,83 +1244,129 @@ class Aligner:
             trig_mask |= has_left | has_right
         if rows is not None:
             trig_mask &= rows
-        trigger = np.flatnonzero(trig_mask)
-        if trigger.size == 0:
-            return
         sc, pos = merged["score"], merged["pos"]
         fw = merged["fw"]
-        s_row, s_pa, s_pb, s_fa = self._junction_lanes(
-            trigger, sc, pos, fw, lens)
-        P1 = s_row.size
-        # scan rows: triggered reads with a live primary diagonal — the
-        # kernel itself decides which still need the anchor scan after
-        # seeded-lane acceptance (device compaction to the AB bucket)
-        p0 = pos[trigger, 0].astype(np.int64)
-        f0 = fw[trigger, 0]
-        live0 = sc[trigger, 0] > NEG_INF // 2
-        srows = trigger[live0]
-        if P1 == 0 and srows.size == 0:
-            return
-        # pad buckets: x2 growth from 1024/256 bounds the compiled shape
-        # count (each tunnel compile costs ~30s; the persistent cache
-        # holds them) and the padding waste
-        PB = 1024
-        while PB < max(P1, 1):
-            PB *= 2
-        pad = PB - P1
-        if P1:
-            ridx = np.concatenate(
-                [s_row, np.full(pad, s_row[0])]).astype(np.int32)
-            posA = np.concatenate(
-                [s_pa, np.full(pad, s_pa[0])]).astype(np.int32)
-            posB = np.concatenate(
-                [s_pb, np.full(pad, s_pb[0])]).astype(np.int32)
-            lfw = np.concatenate(
-                [s_fa, np.full(pad, s_fa[0])]).astype(bool)
-        else:
-            ridx = np.zeros(PB, np.int32)
-            posA = np.zeros(PB, np.int32)
-            posB = np.zeros(PB, np.int32)
-            lfw = np.zeros(PB, bool)
-        SBk = 256
-        while SBk < max(srows.size, 1):
-            SBk *= 2
-        spad = SBk - srows.size
-        srow_p = np.pad(srows, (0, spad)).astype(np.int32)
-        sfw_p = np.pad(f0[live0], (0, spad)).astype(bool)
-        spos_p = np.pad(p0[live0], (0, spad)).astype(np.int32)
-        slive_p = np.zeros(SBk, bool)
-        slive_p[:srows.size] = True
-        AB = max(128, SBk // 4)
 
-        seqs2, quals2, lens2 = self._dev_oriented(batch)
-        kleft, kright = self.ssdb.device_arrays()
-        pack1, pack2, desc2 = _splice.rescue_fused(
-            self.idx, self.sctab, seqs2, quals2, lens2,
-            jnp.asarray(ridx), jnp.asarray(lfw), jnp.asarray(posA),
-            jnp.asarray(posB), jnp.asarray(srow_p), jnp.asarray(sfw_p),
-            jnp.asarray(spos_p), jnp.asarray(slive_p), kleft, kright,
-            jnp.float32(self.scoring.score_min.I),
-            jnp.float32(self.scoring.score_min.S),
-            jnp.int32(o.max_intron), jnp.int32(o.min_intron),
-            jnp.int32(self._spl_margin(batch)), AB, dta=o.dta)
-        for d in (pack1, pack2, desc2):
-            try:
-                d.copy_to_host_async()
-            except Exception:
-                pass
-        res1 = np.asarray(pack1)[:P1]
-        res2 = np.asarray(pack2)
-        d2 = np.asarray(desc2)
-        # keep only real scan-hit lanes (flags != 0)
-        keep2 = res2[:, 2] != 0
-        res = np.concatenate([res1, res2[keep2]])
-        ri = np.concatenate([s_row, d2[keep2, 0]]).astype(np.int64)
-        pa_v = np.concatenate([s_pa, d2[keep2, 1]]).astype(np.int64)
-        pb_v = np.concatenate([s_pb, d2[keep2, 2]]).astype(np.int64)
-        fa_v = np.concatenate([s_fa, d2[keep2, 3] > 0]).astype(bool)
+        # ---- device pass-1 lanes (fused dispatch) ----
+        resid_mask = trig_mask
+        d_res = np.zeros((0, 3), np.int64)
+        d_ri = d_pa = d_pb = np.zeros(0, np.int64)
+        d_fa = np.zeros(0, bool)
+        if dev_lanes is not None:
+            sp32, sp16, cov, nsel, ssv = dev_lanes
+            if nsel <= sp16.shape[0]:
+                covered = (((cov & 1) > 0) & ((cov & 2) == 0)
+                           & trig_mask)
+                newp = self.ssdb.added_since(ssv)
+                if newp.size and covered.any():
+                    # sites published between submit and finish: any row
+                    # that could GAIN a known-implied lane (new site
+                    # inside a candidate span) re-runs legacy
+                    covered &= ~self._spl_affected(merged, lens, newp)
+                resid_mask = trig_mask & ~covered
+                rows16 = sp16[:, 0].astype(np.int64)
+                lv = (sp16[:, 4] != 0)
+                rclip = np.clip(rows16, 0, covered.size - 1)
+                lv &= covered[rclip]
+                d_ri = rows16[lv]
+                d_pa = sp32[lv, 0].astype(np.int64)
+                d_pb = sp32[lv, 1].astype(np.int64)
+                d_fa = sp16[lv, 1] > 0
+                d_res = sp16[lv, 2:5].astype(np.int64)
+        trigger = np.flatnonzero(resid_mask)
+        if trigger.size == 0 and d_ri.size == 0:
+            return
+
+        # ---- legacy path for residual rows ----
+        res1 = np.zeros((0, 3), np.int64)
+        res2 = np.zeros((0, 3), np.int64)
+        d2 = np.zeros((0, 4), np.int64)
+        keep2 = np.zeros(0, bool)
+        s_row = s_pa = s_pb = np.zeros(0, np.int64)
+        s_fa = np.zeros(0, bool)
+        P1 = 0
+        if trigger.size:
+            s_row, s_pa, s_pb, s_fa = self._junction_lanes(
+                trigger, sc, pos, fw, lens)
+            P1 = s_row.size
+            # scan rows: triggered reads with a live primary diagonal — the
+            # kernel itself decides which still need the anchor scan after
+            # seeded-lane acceptance (device compaction to the AB bucket)
+            p0 = pos[trigger, 0].astype(np.int64)
+            f0 = fw[trigger, 0]
+            live0 = sc[trigger, 0] > NEG_INF // 2
+            srows = trigger[live0]
+        else:
+            srows = np.zeros(0, np.int64)
+        if P1 or srows.size:
+            # FIXED size-class buckets (small/mid/full), NOT free pow2
+            # growth: every distinct dispatch shape costs a one-time
+            # multi-second executable load over the tunnel (compile OR
+            # persistent-cache read), so the shape set must be small
+            # enough that warmup covers it. PB and SBk are coupled into
+            # one class so (PB, SBk) pairs stay at three executables.
+            for PB, SBk in ((2048, 512), (8192, 4096), (32768, 8192)):
+                if P1 <= PB and srows.size <= SBk:
+                    break
+            if P1 > PB:          # beyond full: keep the best-ranked lanes
+                s_row, s_pa, s_pb, s_fa = (
+                    x[:PB] for x in (s_row, s_pa, s_pb, s_fa))
+                P1 = PB
+            srows_c = srows[:SBk]
+            pad = PB - P1
+            if P1:
+                ridx = np.concatenate(
+                    [s_row, np.full(pad, s_row[0])]).astype(np.int32)
+                posA = np.concatenate(
+                    [s_pa, np.full(pad, s_pa[0])]).astype(np.int32)
+                posB = np.concatenate(
+                    [s_pb, np.full(pad, s_pb[0])]).astype(np.int32)
+                lfw = np.concatenate(
+                    [s_fa, np.full(pad, s_fa[0])]).astype(bool)
+            else:
+                ridx = np.zeros(PB, np.int32)
+                posA = np.zeros(PB, np.int32)
+                posB = np.zeros(PB, np.int32)
+                lfw = np.zeros(PB, bool)
+            spad = SBk - srows_c.size
+            srow_p = np.pad(srows_c, (0, spad)).astype(np.int32)
+            sfw_p = np.pad(f0[live0][:SBk], (0, spad)).astype(bool)
+            spos_p = np.pad(p0[live0][:SBk], (0, spad)).astype(np.int32)
+            slive_p = np.zeros(SBk, bool)
+            slive_p[:srows_c.size] = True
+            AB = max(128, SBk // 4)
+
+            seqs2, quals2, lens2 = self._dev_oriented(batch)
+            kleft, kright = self.ssdb.device_arrays()
+            pack1, pack2, desc2 = _splice.rescue_fused(
+                self.idx, self.sctab, seqs2, quals2, lens2,
+                jnp.asarray(ridx), jnp.asarray(lfw), jnp.asarray(posA),
+                jnp.asarray(posB), jnp.asarray(srow_p), jnp.asarray(sfw_p),
+                jnp.asarray(spos_p), jnp.asarray(slive_p), kleft, kright,
+                jnp.float32(self.scoring.score_min.I),
+                jnp.float32(self.scoring.score_min.S),
+                jnp.int32(o.max_intron), jnp.int32(o.min_intron),
+                jnp.int32(self._spl_margin(batch)), AB, dta=o.dta)
+            for d in (pack1, pack2, desc2):
+                try:
+                    d.copy_to_host_async()
+                except Exception:
+                    pass
+            res1 = np.asarray(pack1)[:P1]
+            res2 = np.asarray(pack2)
+            d2 = np.asarray(desc2)
+            # keep only real scan-hit lanes (flags != 0)
+            keep2 = res2[:, 2] != 0
+        res = np.concatenate([d_res, res1, res2[keep2]])
+        ri = np.concatenate([d_ri, s_row, d2[keep2, 0]]).astype(np.int64)
+        pa_v = np.concatenate([d_pa, s_pa, d2[keep2, 1]]).astype(np.int64)
+        pb_v = np.concatenate([d_pb, s_pb, d2[keep2, 2]]).astype(np.int64)
+        fa_v = np.concatenate([d_fa, s_fa, d2[keep2, 3] > 0]).astype(bool)
         P = ri.size
-        n_seeded = P1
+        # device splanes already cleared scan-lane partial bits, so only
+        # the legacy scan tail needs the no-partial rule below
+        is_scan = np.zeros(P, bool)
+        is_scan[d_ri.size + P1:] = True
         self.metrics.splice_lanes += P
         jsc = res[:, 0].astype(np.int64)
         jj = res[:, 1].astype(np.int64)
@@ -1285,7 +1386,7 @@ class Aligner:
         strands = np.where(jstr == 1, "+", "-")
         for k in np.flatnonzero(partial_v):
             k = int(k)
-            if k >= n_seeded:
+            if is_scan[k]:
                 # anchor-scan lanes may only land fully-accepted
                 # junctions: their far diagonal is an 8-mer guess, so a
                 # partial (chain-base) entry would seed multi-segment
@@ -1322,6 +1423,29 @@ class Aligner:
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
         self._splice_second_pass(batch, merged, spl, lens, perfect)
+
+    def _spl_affected(self, merged, lens, newp) -> np.ndarray:
+        """(B,) bool — rows whose candidate spans contain one of the
+        `newp` (n, 2) splice sites: only these can gain a known-implied
+        junction lane from the new sites, so re-rescue is limited to
+        them (the reference's cross-thread sharing is likewise
+        best-effort within a read-id skew window, hisat2.cpp:3285)."""
+        sc, pos = merged["score"], merged["pos"]
+        live = sc > NEG_INF // 2
+        posl = pos.astype(np.int64)
+        nl = np.sort(newp[:, 0])
+        nr = np.sort(newp[:, 1])
+        aff = np.zeros(sc.shape[0], bool)
+        # per-candidate spans (an envelope over all K2 candidates covers
+        # most of the genome — junk loci scatter), matching the lane
+        # enumerator's per-candidate site windows [pos, pos + len)
+        for t in range(sc.shape[1]):
+            lo = posl[:, t]
+            hi = lo + lens
+            aff |= live[:, t] & (
+                (np.searchsorted(nl, hi) > np.searchsorted(nl, lo))
+                | (np.searchsorted(nr, hi) > np.searchsorted(nr, lo)))
+        return aff
 
     def _junction_lanes(self, trigger, sc, pos, fw, lens):
         """Vectorized diagonal-pair enumeration for the junction kernel:
@@ -1491,9 +1615,10 @@ class Aligner:
                 ncnt[ln[0]] = ncnt.get(ln[0], 0) + 1
         lanes2 = capped2
         P = len(lanes2)
-        bucket = 64
+        # fixed size classes (one-time executable load per shape)
+        bucket = 1024
         while bucket < P:
-            bucket *= 4
+            bucket *= 8
         lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
         # residual-segment lane reads are gathered + shifted ON DEVICE
         # (ops/splice.junction_score_packed_rows); the host only ships

@@ -23,12 +23,21 @@ class SpliceSiteDB:
         self.strands: dict[tuple[int, int], str] = {}
         self._keys_cache: np.ndarray | None = None
         self._dirty = True
+        # insertion log of distinct sites, for submit-time snapshots:
+        # the fused splice stage bakes the site table into the dispatch,
+        # and the pipelined stream publishes new sites between a batch's
+        # submit and its finish — finish-time consumers re-run rows a
+        # post-submit site could affect (pipeline._splice_rescue)
+        self._log: list[tuple[int, int]] = []
 
     # ---- ingestion ----
 
     def add_known(self, left: int, right: int, strand: str = ".") -> None:
-        self.known.add((left, right))
-        self.strands[(left, right)] = strand
+        k = (left, right)
+        if k not in self.known and k not in self.novel:
+            self._log.append(k)
+        self.known.add(k)
+        self.strands[k] = strand
         self._dirty = True
 
     def load_ss_file(self, path, ref) -> int:
@@ -51,9 +60,21 @@ class SpliceSiteDB:
 
     def add_novel(self, left: int, right: int, strand: str) -> None:
         k = (left, right)
+        if k not in self.novel and k not in self.known:
+            self._log.append(k)
         self.novel[k] = self.novel.get(k, 0) + 1
         self.strands.setdefault(k, strand)
         self._dirty = True
+
+    def version(self) -> int:
+        """Monotone site-count snapshot (distinct sites inserted)."""
+        return len(self._log)
+
+    def added_since(self, version: int) -> np.ndarray:
+        """(n, 2) int64 sites inserted after snapshot `version`."""
+        new = self._log[version:]
+        return (np.asarray(new, np.int64).reshape(-1, 2) if new
+                else np.zeros((0, 2), np.int64))
 
     # ---- device view ----
 
@@ -74,6 +95,20 @@ class SpliceSiteDB:
         junction kernel compiles once per size CLASS — novel-site
         discovery grows the table every batch, and unpadded shapes would
         recompile the kernel each time (a 30s tunnel compile per batch)."""
+        return self.device_arrays4()[:2]
+
+    def device_arrays4(self):
+        """(left, right, rights_sorted, lefts_by_right) int32 device
+        arrays, all padded to the same power-of-two cap with INT32_MAX
+        sentinels — the by-left pair for the junction kernel's known-site
+        probe, the by-right pair for downstream-anchor lane enumeration
+        (ops/splice.spliced_stage). Cached until the DB mutates."""
+        # keyed on the distinct-site count, NOT _dirty (any _sorted_pairs
+        # caller clears _dirty; the key set == the insertion log)
+        cached = getattr(self, "_dev4", None)
+        if cached is not None and self._dev4_v == len(self._log):
+            return cached
+        self._dev4_v = len(self._log)
         import jax.numpy as jnp
         arr = self._sorted_pairs()
         n = arr.shape[0]
@@ -81,11 +116,14 @@ class SpliceSiteDB:
         while cap < n:
             cap *= 2
         big = np.int32(0x7FFFFFFF)
-        lp = np.full(cap, big, np.int32)
-        rp = np.full(cap, big, np.int32)
-        lp[:n] = arr[:, 0]
-        rp[:n] = arr[:, 1]
-        return jnp.asarray(lp), jnp.asarray(rp)
+        pads = np.full((4, cap), big, np.int32)
+        pads[0, :n] = arr[:, 0]
+        pads[1, :n] = arr[:, 1]
+        order = np.argsort(arr[:, 1], kind="stable")
+        pads[2, :n] = arr[order, 1]
+        pads[3, :n] = arr[order, 0]
+        self._dev4 = tuple(jnp.asarray(p) for p in pads)
+        return self._dev4
 
     def lefts_rights(self) -> tuple[np.ndarray, np.ndarray]:
         """Host view for known-site-driven pair generation."""

@@ -389,6 +389,246 @@ def rescue_fused(idx: dict, sctab: dict, seqs2, quals2, lens2,
     return pack1, pack2, desc2
 
 
+def _lane_enum(mrows, lens_rows, kleft, kright, krs, klr,
+               min_intron, max_intron, PJ: int):
+    """Device mirror of pipeline._junction_lanes: per compacted trigger
+    row, enumerate known-site-implied diagonal pairs (8 rank variants per
+    grid candidate) + same-orientation candidate-pair diagonals from the
+    (TB, K2, 3) merged grid, dedup (pa, pb, fw) keeping the lowest rank,
+    and keep the PJ lowest-rank lanes per row.
+
+    Returns (pa, pb, fa, ok) each (TB, PJ)."""
+    TB, K2, _ = mrows.shape
+    sc = mrows[:, :, 0]
+    pos = mrows[:, :, 1]
+    fwv = (mrows[:, :, 2] & 1) == 1
+    live = sc > NEG // 2
+    # first-occurrence dedup of (pos, fw) per row, in column order
+    samep = (pos[:, :, None] == pos[:, None, :]) \
+        & (fwv[:, :, None] == fwv[:, None, :])
+    earlier = jnp.tril(jnp.ones((K2, K2), bool), -1)
+    live &= ~(samep & earlier[None]).any(axis=2)
+
+    BIGP = jnp.int32(0x7FFFFFFF)
+    BIGR = jnp.int32(1 << 24)
+    pas, pbs, fas, rks = [], [], [], []
+
+    def add(pa, pb, fa, ok, rank):
+        pas.append(jnp.where(ok, pa, BIGP))
+        pbs.append(jnp.where(ok, pb, BIGP))
+        fas.append(fa & ok)
+        rks.append(jnp.where(ok, rank, BIGR))
+
+    if kleft.shape[0] > 0:
+        nk = kleft.shape[0]
+        rlen = lens_rows[:, None].astype(jnp.int32)
+        lo = jnp.searchsorted(kleft, pos).astype(jnp.int32)
+        hi = jnp.searchsorted(kleft, pos + rlen - 1).astype(jnp.int32)
+        lo2 = jnp.searchsorted(krs, pos).astype(jnp.int32)
+        hi2 = jnp.searchsorted(krs, pos + rlen).astype(jnp.int32)
+        cidx = jnp.arange(K2, dtype=jnp.int32)[None, :]
+        for s in range(4):
+            # upstream anchor: known left site inside [pa, pa+rl-1)
+            ok = live & (lo + s < hi)
+            si = jnp.minimum(lo + s, nk - 1)
+            pb = kright[si] - (kleft[si] - pos + 1)
+            ok &= pb > pos
+            add(pos, pb, fwv, ok, cidx * 8 + s)
+            # downstream anchor: known right site inside [pa, pa+rl)
+            ok = live & (lo2 + s < hi2)
+            si = jnp.minimum(lo2 + s, nk - 1)
+            intron = krs[si] - klr[si] - 1
+            pa2 = pos - intron
+            ok &= pa2 < pos
+            add(pa2, pos, fwv, ok, cidx * 8 + 4 + s)
+    # candidate-pair diagonals (same orientation, intron-range delta)
+    d = pos[:, None, :] - pos[:, :, None]               # pb - pa
+    okcc = (live[:, :, None] & live[:, None, :]
+            & (fwv[:, :, None] == fwv[:, None, :])
+            & (d >= min_intron) & (d <= max_intron))
+    ci = jnp.arange(K2, dtype=jnp.int32)
+    rankcc = 8 * K2 + ci[:, None] * K2 + ci[None, :]
+    add(jnp.broadcast_to(pos[:, :, None], (TB, K2, K2)).reshape(TB, -1),
+        jnp.broadcast_to(pos[:, None, :], (TB, K2, K2)).reshape(TB, -1),
+        jnp.broadcast_to(fwv[:, :, None], (TB, K2, K2)).reshape(TB, -1),
+        okcc.reshape(TB, -1),
+        jnp.broadcast_to(rankcc[None], (TB, K2, K2)).reshape(TB, -1))
+
+    PA = jnp.concatenate(pas, axis=1)
+    PB = jnp.concatenate(pbs, axis=1)
+    FA = jnp.concatenate(fas, axis=1).astype(jnp.int32)
+    RK = jnp.concatenate(rks, axis=1)
+    # dedup (pa, pb, fa) keeping lowest rank: group by sort, mark
+    # non-first members dead
+    spa, spb, sfa, srk = lax.sort((PA, PB, FA, RK), dimension=1,
+                                  num_keys=4)
+    dup = jnp.concatenate(
+        [jnp.zeros((TB, 1), bool),
+         (spa[:, 1:] == spa[:, :-1]) & (spb[:, 1:] == spb[:, :-1])
+         & (sfa[:, 1:] == sfa[:, :-1])], axis=1)
+    srk = jnp.where(dup, BIGR, srk)
+    # PJ lowest-rank lanes per row (host cap: pairs_per_read in rank
+    # order), carrying the descriptors
+    fr, fpa, fpb, ffa = lax.sort((srk, spa, spb, sfa), dimension=1,
+                                 num_keys=1)
+    pa = fpa[:, :PJ]
+    pb = fpb[:, :PJ]
+    fa = ffa[:, :PJ] > 0
+    ok = fr[:, :PJ] < BIGR
+    return pa, pb, fa, ok
+
+
+def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
+                  B: int, kleft, kright, krs, klr, minsc_i, minsc_s,
+                  nceil_i, nceil_s, margin, min_intron, max_intron,
+                  TB: int, PJ: int, AB: int, NC: int, NL: int,
+                  dta: bool):
+    """Splice pass-1 INSIDE the main fused dispatch (replaces the
+    separate rescue round trip): trigger mirror of the host rescue mask,
+    TB-row compaction, device lane enumeration (_lane_enum), junction
+    scoring + acceptance gates, device-compacted anchor scan for rows
+    whose seeded junctions left score on the table, and compaction of
+    accepted/partial lanes to an NL-lane result:
+
+      sp32 (NL, 2) int32: [posA, posB]   (split widths: tunnel bytes)
+      sp16 (NL, 5) int16: [row, fw, score, j, flags]
+      need    (B,) bool — updated slow-row prediction (rows with lanes
+              join the grid-shipping pool: second pass / ladder rows)
+      cov     (B,) int8 — coverage bits: 1 = device trigger mirror,
+              2 = triggered but dropped by a bucket (TB/AB overflow) —
+              the host re-runs its legacy rescue for those rows only
+      nsel    () int32 — total accepted/partial lanes BEFORE the NL cap
+              (host falls back wholesale when nsel > NL)
+
+    flags == 0 marks padding. Novel-site publication and the known-site
+    second pass stay host-side (align/emit.py)."""
+    lens_b = st["lens2"][:B].astype(jnp.int32)
+    best = merged[:, 0, 0]
+    p0 = merged[:, 0, 1]
+    perfect = sctab["match_bonus"] * lens_b
+    min_sc = jnp.ceil(minsc_i + minsc_s
+                      * lens_b.astype(jnp.float32)).astype(jnp.int32)
+    filt = (lens_b == 0) | (nNs.astype(jnp.float32)
+                            > nceil_i + nceil_s
+                            * lens_b.astype(jnp.float32))
+    aligned = (best >= min_sc) & ~filt
+    if kleft.shape[0] > 0:
+        kspan = ((jnp.searchsorted(kleft, p0 + lens_b - 1)
+                  > jnp.searchsorted(kleft, p0 + 1))
+                 | (jnp.searchsorted(krs, p0 + lens_b - 1)
+                    > jnp.searchsorted(krs, p0 + 1)))
+    else:
+        kspan = jnp.zeros(best.shape, bool)
+    emit_trig = aligned & ((best < perfect - margin) | kspan)
+    slow = need_base | emit_trig | ~aligned
+    allowed = slow & ~filt
+    trig = allowed & ((best < perfect) | kspan)
+    tv, trows = lax.top_k(trig.astype(jnp.int32), TB)
+    trows = jnp.clip(trows, 0, B - 1)
+    tvalid = tv > 0
+    mrows = merged[trows]
+    pa, pb, fa, lok = _lane_enum(mrows, lens_b[trows], kleft, kright,
+                                 krs, klr, min_intron, max_intron, PJ)
+    lok &= tvalid[:, None]
+    # compact REAL lanes to LB slots before scoring: the (TB, PJ) grid
+    # is ~70% dead padding (most rows carry 1-3 lanes), and the junction
+    # kernel's window fetches + cumsums are the stage's dominant cost.
+    # Rows whose lanes overflow LB re-run on the host legacy path.
+    LB = 3 * TB
+    rows_f = jnp.repeat(trows, PJ)
+    okf = lok.reshape(-1)
+    lvc, lic = lax.top_k(okf.astype(jnp.int32), LB)
+    lic = jnp.clip(lic, 0, okf.shape[0] - 1)
+    okl = lvc > 0
+    rowsl = rows_f[lic]
+    pal = jnp.where(okl, pa.reshape(-1)[lic], 0)
+    pbl = jnp.where(okl, pb.reshape(-1)[lic], 0)
+    fal = fa.reshape(-1)[lic]
+    pbl = jnp.where(okl, pbl, pal)      # dead lanes: delta 0 -> gated off
+    lrank = jnp.cumsum(okf.astype(jnp.int32)) - 1
+    lane_lost = jnp.zeros((B,), bool).at[rows_f].max(okf & (lrank >= LB))
+    seqs2, quals2, lens2 = st["seqs2"], st["quals2"], st["lens2"]
+    rd1, q1, rl1 = _gather_oriented(seqs2, quals2, lens2, rowsl, fal)
+    r1 = junction_score(idx, sctab, rd1, q1, rl1, pal, pbl,
+                        kleft, kright)
+    pack1 = _gate_pack(r1, rl1, pal, pbl, minsc_i, minsc_s,
+                       max_intron, dta)
+    pack1 = pack1.at[:, 2].set(jnp.where(okl, pack1[:, 2], 0))
+
+    # anchor scan for rows whose best ACCEPTED seeded junction still
+    # leaves score on the table (same pool rule as rescue_fused)
+    acc1 = (pack1[:, 2].astype(jnp.int32) >> 4) & 1
+    sc1 = jnp.where(acc1 == 1, pack1[:, 0].astype(jnp.int32), NEG)
+    row_jbest = jnp.full((B,), NEG, jnp.int32).at[rowsl].max(sc1)
+    live0 = (mrows[:, 0, 0] > NEG // 2) & tvalid
+    sneed = live0 & (row_jbest[trows] < (perfect - margin)[trows])
+    nv, sels = lax.top_k(sneed.astype(jnp.int32), AB)
+    sels = jnp.clip(sels, 0, TB - 1)
+    arow = trows[sels]
+    afw = (mrows[sels, 0, 2] & 1) == 1
+    apos = mrows[sels, 0, 1]
+    avalid = nv > 0
+    row2 = jnp.concatenate([arow, arow])
+    fw2 = jnp.concatenate([afw, afw])
+    pos2 = jnp.concatenate([apos, apos])
+    down2 = jnp.concatenate([jnp.ones(AB, bool), jnp.zeros(AB, bool)])
+    valid2 = jnp.concatenate([avalid, avalid])
+    rd2, _q2, rl2 = _gather_oriented(seqs2, quals2, lens2, row2, fw2)
+    scan = anchor_scan(idx, rd2, rl2, pos2, down2, min_intron, NC=NC)
+    mate = scan[:, :, 0]
+    sok = (scan[:, :, 1] > 0) & valid2[:, None]
+    pA2 = jnp.where(down2[:, None], pos2[:, None], mate)
+    pB2 = jnp.where(down2[:, None], mate, pos2[:, None])
+    rows2l = jnp.repeat(row2, NC)
+    fw2l = jnp.repeat(fw2, NC)
+    pA2l = pA2.reshape(-1)
+    pB2l = pB2.reshape(-1)
+    sokl = sok.reshape(-1)
+    pB2l = jnp.where(sokl, pB2l, pA2l)
+    rd3, q3, rl3 = _gather_oriented(seqs2, quals2, lens2, rows2l, fw2l)
+    r2 = junction_score(idx, sctab, rd3, q3, rl3, pA2l, pB2l,
+                        kleft, kright)
+    pack2 = _gate_pack(r2, rl3, pA2l, pB2l, minsc_i, minsc_s,
+                       max_intron, dta)
+    # scan lanes: only fully-accepted junctions count (no partials —
+    # their far diagonal is an 8-mer guess, pipeline._splice_rescue note)
+    fl2 = pack2[:, 2].astype(jnp.int32)
+    fl2 = jnp.where(sokl & (((fl2 >> 4) & 1) == 1), fl2 & ~0x20, 0)
+    pack2 = pack2.at[:, 2].set(fl2.astype(jnp.int16))
+
+    # compact accepted/partial lanes to NL (lane order preserved:
+    # seeded row-major first, scan lanes after)
+    all_row = jnp.concatenate([rowsl, rows2l])
+    all_pa = jnp.concatenate([pal, pA2l])
+    all_pb = jnp.concatenate([pbl, pB2l])
+    all_fa = jnp.concatenate([fal, fw2l])
+    all_pack = jnp.concatenate([pack1, pack2]).astype(jnp.int32)
+    sel_mask = (all_pack[:, 2] >> 4) & 3 != 0
+    lv, li = lax.top_k(sel_mask.astype(jnp.int32), NL)
+    li = jnp.clip(li, 0, all_row.shape[0] - 1)
+    # split-width pack (tunnel bytes): positions need 32 bits, the rest
+    # fit 16 — (NL, 2) int32 + (NL, 5) int16
+    sp32 = jnp.stack([all_pa[li], all_pb[li]], axis=1)
+    sp16 = jnp.stack(
+        [all_row[li], all_fa[li].astype(jnp.int32),
+         all_pack[li, 0], all_pack[li, 1],
+         jnp.where(lv > 0, all_pack[li, 2], 0)], axis=1).astype(jnp.int16)
+    # grid shipping: rows with any accepted/partial lane (second pass +
+    # ladder) join the slow pool; so do all host-slow rows
+    has_lane = jnp.zeros((B,), jnp.int32).at[all_row].max(
+        sel_mask.astype(jnp.int32))
+    need = slow | (has_lane == 1)
+    # coverage report: TB-overflow rows (trigger rank >= TB) re-run on
+    # the host legacy path. Scan-pool overflow past AB is dropped like
+    # the legacy path's own AB compaction drops it (rescue_fused top_k)
+    # — the scan is a bounded-sensitivity heuristic on both paths.
+    trank = jnp.cumsum(trig.astype(jnp.int32)) - 1
+    uncov = (trig & (trank >= TB)) | lane_lost
+    nsel = sel_mask.sum().astype(jnp.int32)
+    cov = (trig.astype(jnp.int8) | (uncov.astype(jnp.int8) << 1))
+    return sp32, sp16, need, cov, nsel
+
+
 @partial(jax.jit, static_argnames=("W", "A", "NC"))
 def anchor_scan(idx: dict, rd, rdlens, pos, down,
                 min_intron, W: int = 65536, A: int = 8, NC: int = 4):

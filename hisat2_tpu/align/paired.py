@@ -832,12 +832,18 @@ def _grid_from_pairtop(pair_top, m1, m2):
                 sec=sec, t1s=t1, t2s=t2, totals=total)
 
 
-def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
-                ) -> list[PairResult]:
+def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
+                premerged=None, dev_lanes=None) -> list[PairResult]:
+    """premerged: optional (m1, m2) candidate dicts already computed (the
+    sharded path merges per-shard grids into global coordinates and runs
+    the rest of the pairing on the host). dev_lanes: optional per-mate
+    fused splice-lane tuples to feed _splice_rescue."""
     o = aligner.opts
     B = len(b1)
     pair_top = None
-    if o.seed_mode:
+    if premerged is not None:
+        m1, m2 = premerged
+    elif o.seed_mode:
         m1, m2, pair_top, _f1, _f2, _s1, _s2 = stage_pe_fused(
             aligner, b1, b2, KP=max(8, o.khits + 3), KF=1)
     else:
@@ -846,9 +852,10 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch
         m1 = aligner._merged_host(st1, dp1, B)
         m2 = aligner._merged_host(st2, dp2, B)
     if o.spliced:
+        dl1, dl2 = dev_lanes if dev_lanes is not None else (None, None)
         n_ss = len(aligner.ssdb)
-        aligner._splice_rescue(b1, m1)
-        aligner._splice_rescue(b2, m2)
+        aligner._splice_rescue(b1, m1, dev_lanes=dl1)
+        aligner._splice_rescue(b2, m2, dev_lanes=dl2)
         if len(aligner.ssdb) != n_ss:   # second pass with shared sites (P5)
             aligner._splice_rescue(b1, m1)
             aligner._splice_rescue(b2, m2)

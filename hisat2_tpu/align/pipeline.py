@@ -1298,7 +1298,24 @@ class Aligner:
             srows = trigger[live0]
         else:
             srows = np.zeros(0, np.int64)
-        if P1 or srows.size:
+        if (P1 or srows.size) and self.sctab is None:
+            # host_only aligner (sharded finish): score lanes with the
+            # NumPy mirror over the global joined text — shard arrays
+            # are not HBM-resident at finish time. No anchor scan here:
+            # covered rows already got the per-shard device scan, and
+            # residual rows are the coverage tail.
+            from ..ops import splice_host as _sph
+            if P1:
+                rd_h, q_h = self._host_oriented(batch, s_row, s_fa)
+                kl_h, kr_h = self.ssdb.lefts_rights()
+                rh = _sph.junction_score_host(
+                    self.fm.ref.joined, self.scoring, rd_h, q_h,
+                    lens[s_row], s_pa, s_pb, kl_h, kr_h,
+                    overlay=self.overlay)
+                res1 = _sph.gate_pack_host(
+                    rh, self.scoring, lens[s_row], s_pa, s_pb,
+                    o.max_intron, o.dta)
+        elif P1 or srows.size:
             # FIXED size-class buckets (small/mid/full), NOT free pow2
             # growth: every distinct dispatch shape costs a one-time
             # multi-second executable load over the tunnel (compile OR
@@ -1423,6 +1440,26 @@ class Aligner:
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
         self._splice_second_pass(batch, merged, spl, lens, perfect)
+
+    def _host_oriented(self, batch: ReadBatch, rows, fw):
+        """(C, L) reads + quals in alignment orientation for arbitrary
+        (row, fw) lanes, on the host (NumPy) — the sharded finish path's
+        counterpart of ops/splice._gather_oriented."""
+        L = batch.seqs.shape[1]
+        seqs = batch.seqs[rows].astype(np.int64)
+        quals = np.clip(batch.quals[rows].astype(np.int64), 0, 63)
+        lens_r = batch.lens[rows].astype(np.int64)
+        ar = np.arange(L)
+        rcidx = np.clip(lens_r[:, None] - 1 - ar[None, :], 0, L - 1)
+        comp = np.array([3, 2, 1, 0, 4], np.int64)
+        rd = np.where(np.asarray(fw)[:, None], seqs,
+                      comp[np.take_along_axis(seqs, rcidx, 1)])
+        q = np.where(np.asarray(fw)[:, None], quals,
+                     np.take_along_axis(quals, rcidx, 1))
+        in_read = ar[None, :] < lens_r[:, None]
+        rd = np.where(in_read, rd, 4)
+        q = np.where(in_read, q, 0)
+        return rd, q
 
     def _spl_affected(self, merged, lens, newp) -> np.ndarray:
         """(B,) bool — rows whose candidate spans contain one of the
@@ -1635,15 +1672,41 @@ class Aligner:
         seglen = np.where(lside_L, lj, rlv - lj)
         pA2 = np.where(lside_L, lpd, lpB + lj).astype(np.int32)
         pB2 = np.where(lside_L, lpA, lpd + lj).astype(np.int32)
-        seqs2d, quals2d, lens2d = self._dev_oriented(batch)
-        kleft, kright = self.ssdb.device_arrays()
-        res2 = np.asarray(_splice.junction_score_packed_rows(
-            self.idx, self.sctab, seqs2d, quals2d, lens2d,
-            jnp.asarray(li.astype(np.int32)), jnp.asarray(lfw),
-            jnp.asarray(start.astype(np.int32)),
-            jnp.asarray(seglen.astype(np.int32)),
-            jnp.asarray(pA2), jnp.asarray(pB2),
-            kleft, kright))[:P]
+        if self.sctab is None:
+            # host_only (sharded finish): NumPy segment scoring against
+            # the global joined text (ops/splice_host)
+            from ..ops import splice_host as _sph
+            rd_f, q_f = self._host_oriented(batch, li, lfw)
+            C2 = li.size
+            ar2 = np.arange(L)
+            take = np.clip(start[:, None] + ar2[None, :], 0, 2 * L - 1)
+            dbl = np.concatenate([rd_f, np.full((C2, L), 4, np.int64)], 1)
+            dblq = np.concatenate([q_f, np.zeros((C2, L), np.int64)], 1)
+            rd2h = np.take_along_axis(dbl, take, 1)
+            q2h = np.take_along_axis(dblq, take, 1)
+            inseg = ar2[None, :] < seglen[:, None]
+            rd2h = np.where(inseg, rd2h, 4)
+            q2h = np.where(inseg, q2h, 0)
+            kl_h, kr_h = self.ssdb.lefts_rights()
+            rh = _sph.junction_score_host(
+                self.fm.ref.joined, self.scoring, rd2h, q2h, seglen,
+                pA2.astype(np.int64), pB2.astype(np.int64), kl_h, kr_h,
+                overlay=self.overlay)
+            res2 = np.stack(
+                [np.maximum(rh["score"], np.int64(-(1 << 30))), rh["j"],
+                 rh["strand"], rh["canon"],
+                 rh["probscore"].astype(np.float32).view(np.int32),
+                 rh["mmL"], rh["mmR"]], axis=1).astype(np.int32)[:P]
+        else:
+            seqs2d, quals2d, lens2d = self._dev_oriented(batch)
+            kleft, kright = self.ssdb.device_arrays()
+            res2 = np.asarray(_splice.junction_score_packed_rows(
+                self.idx, self.sctab, seqs2d, quals2d, lens2d,
+                jnp.asarray(li.astype(np.int32)), jnp.asarray(lfw),
+                jnp.asarray(start.astype(np.int32)),
+                jnp.asarray(seglen.astype(np.int32)),
+                jnp.asarray(pA2), jnp.asarray(pB2),
+                kleft, kright))[:P]
         j2 = res2[:, 1]
         st2 = res2[:, 2]
         cn2 = res2[:, 3]

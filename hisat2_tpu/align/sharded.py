@@ -24,6 +24,52 @@ from .pipeline import Aligner, AlignerOpts, NEG_INF, FASTPACK_REP
 from .scoring import Scoring, DEFAULT_SCORING
 
 
+class _ShardSSView:
+    """Shard-local device view of the GLOBAL splice-site DB: the fused
+    splice stage bakes site tables into each per-shard dispatch, in that
+    shard's local coordinates. Mirrors SpliceSiteDB.device_arrays4's
+    padding (power-of-two cap, INT32_MAX sentinels)."""
+
+    def __init__(self, db, base: int, length: int):
+        self.db = db
+        self.base = int(base)
+        self.length = int(length)
+        self._cache = None
+        self._cache_v = -1
+
+    def version(self) -> int:
+        return self.db.version()
+
+    def __len__(self) -> int:
+        return len(self.db)
+
+    def device_arrays4(self):
+        if self._cache is not None and self._cache_v == self.db.version():
+            return self._cache
+        self._cache_v = self.db.version()
+        import jax.numpy as jnp
+        arr = self.db._sorted_pairs()
+        inb = ((arr[:, 0] >= self.base)
+               & (arr[:, 1] < self.base + self.length))
+        loc = arr[inb] - self.base
+        n = loc.shape[0]
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        big = np.int32(0x7FFFFFFF)
+        pads = np.full((4, cap), big, np.int32)
+        pads[0, :n] = loc[:, 0]
+        pads[1, :n] = loc[:, 1]
+        order = np.argsort(loc[:, 1], kind="stable")
+        pads[2, :n] = loc[order, 1]
+        pads[3, :n] = loc[order, 0]
+        self._cache = tuple(jnp.asarray(p) for p in pads)
+        return self._cache
+
+    def device_arrays(self):
+        return self.device_arrays4()[:2]
+
+
 class ShardedAligner:
     def __init__(self, sh: ShardedIndex, scoring: Scoring = DEFAULT_SCORING,
                  opts: AlignerOpts | None = None):
@@ -69,39 +115,161 @@ class ShardedAligner:
             import gc
             gc.collect()
         self._active = Aligner(self.sh.shards[i], self.scoring, self.opts)
+        if self.opts.spliced:
+            # fused splice stage sees the GLOBAL site DB through a
+            # shard-local coordinate view
+            self._active.ssdb = _ShardSSView(
+                self.host.ssdb, self.sh.bases[i],
+                int(self.sh.shards[i].n))
         self._active_i = i
         return self._active
 
     def align_and_emit(self, batches: list[ReadBatch], writer) -> dict:
         """Two-pass (pass per shard) SE alignment + SAM emission for a
-        list of batches; returns merged summary stats."""
+        list of batches; returns merged summary stats. In spliced (RNA)
+        mode each shard's fused dispatch also runs splice pass-1 against
+        its local text (shard-local site-table view), and the lanes merge
+        into global coordinates for the host finish — residual junction
+        work scores on the host NumPy mirror (ops/splice_host)."""
         from . import emit as _emit
 
         S = len(self.sh)
+        spliced = self.opts.spliced
+        ssv0 = self.host.ssdb.version()
         per_shard_fp: list[list[np.ndarray]] = [[] for _ in range(S)]
         per_shard_mg: list[list[np.ndarray]] = [[] for _ in range(S)]
+        per_shard_ex: list[list[dict]] = [[] for _ in range(S)]
         for s in range(S):
             al = self._activate(s)
             pend = []
             for b in batches:
-                fp_dev, merged_dev = al.device_align_fast(b)[:2]
+                out = al.device_align_fast(b)
+                fp_dev, merged_dev = out[:2]
+                ex = out[2] if len(out) > 2 else {}
                 try:
                     merged_dev.copy_to_host_async()
                 except Exception:
                     pass
-                pend.append((fp_dev, merged_dev))
-            for fp_dev, merged_dev in pend:
+                pend.append((fp_dev, merged_dev, ex))
+            for fp_dev, merged_dev, ex in pend:
                 per_shard_fp[s].append(np.asarray(fp_dev))
                 per_shard_mg[s].append(np.asarray(merged_dev))
+                per_shard_ex[s].append(
+                    {k: np.asarray(ex[k]) for k in
+                     ("splanes32", "splanes16", "spl_cov", "spl_nsel")
+                     if k in ex} if spliced else {})
 
         totals: dict = {}
         for bi, b in enumerate(batches):
             fp, force_slow, merged = self._merge_shard_results(
                 [per_shard_fp[s][bi] for s in range(S)],
                 [per_shard_mg[s][bi] for s in range(S)])
+            slow_pack = (self._merge_splice_lanes(
+                [per_shard_ex[s][bi] for s in range(S)], ssv0)
+                if spliced else None)
             st = _emit._finish_fastpack(self.host, b, fp, None, writer,
                                         force_slow=force_slow,
-                                        merged_full=merged)
+                                        merged_full=merged,
+                                        slow_pack=slow_pack)
+            for k, v in st.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def _merge_splice_lanes(self, exs: list[dict], ssv0: int
+                            ) -> dict | None:
+        """Globalize + concatenate per-shard fused splice lanes.
+        Returns a slow_pack dict for emit._finish_fastpack (splanes32/16,
+        spl_cov, spl_nsel, spl_ssv) or None when any shard lacked lanes
+        or overflowed its NL cap (wholesale host fallback)."""
+        if not exs or any("splanes16" not in ex for ex in exs):
+            return None
+        sp32s, sp16s = [], []
+        cov0 = np.zeros_like(np.asarray(exs[0]["spl_cov"]))
+        cov1 = np.zeros_like(cov0)
+        for s, ex in enumerate(exs):
+            if int(ex["spl_nsel"]) > ex["splanes16"].shape[0]:
+                return None
+            sp16 = ex["splanes16"].astype(np.int64)
+            live = sp16[:, 4] != 0
+            sp16 = sp16[live]
+            sp32 = (ex["splanes32"].astype(np.int64)[live]
+                    + int(self.sh.bases[s]))
+            sp16s.append(sp16)
+            sp32s.append(sp32)
+            cov = np.asarray(ex["spl_cov"])
+            cov0 |= cov & 1
+            cov1 |= cov & 2
+        sp16c = np.concatenate(sp16s)
+        sp32c = np.concatenate(sp32s)
+        return dict(splanes32=sp32c, splanes16=sp16c,
+                    spl_cov=(cov0 | cov1).astype(np.int8),
+                    spl_nsel=np.int64(sp16c.shape[0]),
+                    spl_ssv=np.int64(ssv0))
+
+    def _merge_grids(self, mgs: list[np.ndarray]) -> dict:
+        """Per-shard (B, K2, 3) candidate grids -> one global-coordinate
+        merged dict sorted by score (the grid half of
+        _merge_shard_results)."""
+        bases = np.asarray(self.sh.bases, np.int64)
+        msc = np.concatenate([m[:, :, 0].astype(np.int64) for m in mgs], 1)
+        mpos = np.concatenate(
+            [m[:, :, 1].astype(np.int64) + bases[s]
+             for s, m in enumerate(mgs)], 1)
+        mfl = np.concatenate([m[:, :, 2] for m in mgs], 1)
+        order = np.argsort(-msc, axis=1, kind="stable")
+        return dict(
+            score=np.take_along_axis(msc, order, 1),
+            pos=np.take_along_axis(mpos, order, 1),
+            fw=np.take_along_axis((mfl & 1) > 0, order, 1),
+            gapped=np.take_along_axis((mfl & 2) > 0, order, 1))
+
+    def align_and_emit_pe_rna(self, pair_batches, writer) -> dict:
+        """Paired-end SPLICED alignment over a sharded index: each mate
+        runs the per-shard fused spliced dispatch (SE core + splice
+        pass-1); grids and junction lanes merge into global coordinates,
+        and the host pairing ladder (paired.align_pairs over premerged
+        grids + host splice rescue) resolves concordance — junctions and
+        mate windows are intra-chromosome, hence intra-shard, so every
+        shard's candidate search is complete."""
+        from . import paired as _paired
+
+        S = len(self.sh)
+        ssv0 = self.host.ssdb.version()
+        per: list[list[tuple]] = [[] for _ in range(S)]
+        keys = ("splanes32", "splanes16", "spl_cov", "spl_nsel")
+        for s in range(S):
+            al = self._activate(s)
+            pend = []
+            for b1, b2 in pair_batches:
+                _fp1, mg1, ex1 = al.device_align_fast(b1)
+                _fp2, mg2, ex2 = al.device_align_fast(b2)
+                for d in (mg1, mg2):
+                    try:
+                        d.copy_to_host_async()
+                    except Exception:
+                        pass
+                pend.append((mg1, mg2, ex1, ex2))
+            for mg1, mg2, ex1, ex2 in pend:
+                per[s].append((
+                    np.asarray(mg1), np.asarray(mg2),
+                    {k: np.asarray(ex1[k]) for k in keys if k in ex1},
+                    {k: np.asarray(ex2[k]) for k in keys if k in ex2}))
+
+        totals: dict = {}
+        for bi, (b1, b2) in enumerate(pair_batches):
+            m1 = self._merge_grids([per[s][bi][0] for s in range(S)])
+            m2 = self._merge_grids([per[s][bi][1] for s in range(S)])
+            dls = []
+            for mi in (2, 3):
+                sp = self._merge_splice_lanes(
+                    [per[s][bi][mi] for s in range(S)], ssv0)
+                dls.append(None if sp is None else (
+                    sp["splanes32"], sp["splanes16"], sp["spl_cov"],
+                    int(sp["spl_nsel"]), int(sp["spl_ssv"])))
+            res = _paired.align_pairs(self.host, b1, b2,
+                                      premerged=(m1, m2),
+                                      dev_lanes=tuple(dls))
+            st = _paired.pairs_to_sam(b1, b2, res, self.host, writer)
             for k, v in st.items():
                 totals[k] = totals.get(k, 0) + v
         return totals
@@ -122,6 +290,9 @@ class ShardedAligner:
         MANUAL.markdown:221-231)."""
         from . import paired as _paired
         from . import emit as _emit
+
+        if self.opts.spliced:
+            return self.align_and_emit_pe_rna(pair_batches, writer)
 
         S = len(self.sh)
         KP = max(8, self.opts.khits + 3)

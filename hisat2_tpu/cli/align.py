@@ -198,10 +198,10 @@ def main(argv=None) -> int:
         # genome-sharded index (>2^31-bp references; reference .ht2l role)
         from ..index.sharded import ShardedIndex
         sharded = ShardedIndex.load(idx_pref)
-        fm = sharded.shards[0]
         fm = type("_R", (), {})()      # name/ref carrier for the writer
         fm.ref = sharded.ref
-        fm.known_ss = None
+        fm.known_ss = sharded.known_ss
+        fm.known_exons = sharded.known_exons
     else:
         fm = FMIndex.load(args.index)
     if args.remove_chrname:
@@ -292,12 +292,12 @@ def main(argv=None) -> int:
         opts.verify_cands = 24
     if sharded is not None:
         from ..align.sharded import ShardedAligner
-        if (args.tab6 or opts.spliced or args.un or args.al
+        if (args.tab6 or args.un or args.al
                 or args.repeat or args.un_conc or args.al_conc
                 or args.tmo):
-            print("hisat2-tpu: sharded indexes currently support plain "
-                  "DNA alignment (-U / -1 -2, --no-spliced-alignment; no "
-                  "--un/--al/--repeat/--tmo outputs)", file=sys.stderr)
+            print("hisat2-tpu: sharded indexes currently support -U / "
+                  "-1 -2 input (spliced or not); no --un/--al/--repeat/"
+                  "--tmo outputs yet", file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)
         al = sal.host

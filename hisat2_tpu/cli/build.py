@@ -60,9 +60,13 @@ def main(argv=None) -> int:
         from ..index.sharded import build_sharded
         sh = build_sharded(ref, max_bases=args.shard_bases or
                            MAX_SHARD_BASES, snps=snps, haplotypes=haps)
-        if args.ss or args.exon:
-            print("warning: --ss/--exon not yet supported on sharded "
-                  "indexes", file=sys.stderr)
+        if args.ss:
+            sh.known_ss = _load_ss(args.ss, ref)
+            if not args.quiet:
+                print(f"  {sh.known_ss.shape[0]} splice sites baked into "
+                      "sharded index (global coordinates)", file=sys.stderr)
+        if args.exon:
+            sh.known_exons = _load_exons(args.exon, ref)
         sh.save(args.prefix)
         if not args.quiet:
             print(f"  sharded index ({len(sh)} shard(s)"

@@ -32,6 +32,8 @@ class ShardedIndex:
     ref: JoinedReference    # the full (global) reference, host-side
     snps: object = None     # global SNPDB (graph mode)
     snv_overlay: np.ndarray = None   # global 0/alt+1/15 overlay (graph mode)
+    known_ss: np.ndarray = None      # (K, 3) int64 [left, right, strand]
+    known_exons: np.ndarray = None   # (K, 3) int64 — global joined coords
 
     def __len__(self):
         return len(self.shards)
@@ -54,6 +56,10 @@ class ShardedIndex:
                 snp_chroms=np.asarray(s.chroms),
                 snp_ins=np.asarray([_al.decode(x) for x in s.ins_seqs]),
                 snv_overlay=self.snv_overlay)
+        if self.known_ss is not None:
+            extra["known_ss"] = self.known_ss
+        if self.known_exons is not None:
+            extra["known_exons"] = self.known_exons
         np.savez_compressed(
             prefix + ".global.npz",
             bases=np.asarray(self.bases, np.int64), tlens=r.tlens,
@@ -91,7 +97,11 @@ class ShardedIndex:
             overlay = z["snv_overlay"]
         return ShardedIndex(shards=shards,
                             bases=[int(b) for b in z["bases"]], ref=ref,
-                            snps=snps, snv_overlay=overlay)
+                            snps=snps, snv_overlay=overlay,
+                            known_ss=(z["known_ss"] if "known_ss" in z
+                                      else None),
+                            known_exons=(z["known_exons"]
+                                         if "known_exons" in z else None))
 
 
 def build_table_index(ref: JoinedReference, kt: int | None = None

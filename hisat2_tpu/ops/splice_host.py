@@ -1,0 +1,215 @@
+"""Host (NumPy) mirror of the junction kernel (ops/splice.py).
+
+Exists for paths where the WHOLE reference text is not device-resident:
+genome-sharded (Gbp) indexes stream one shard's arrays through HBM at a
+time, so finish-time junction work for residual lanes — rows the
+per-shard fused splice stage could not cover, the within-batch second
+rescue, and second-pass chaining — scores against the host copy of the
+joined text (ShardedIndex.ref.joined) instead of re-activating shards.
+
+Semantics mirror ops/splice.junction_score + _gate_pack exactly (same
+reference policy: hi_aligner.h:3753-3786, tp.h anchors, splice_site.cpp
+PWM); tests/test_splice_host.py cross-checks against the device kernel
+lane-for-lane. Lane counts here are small (hundreds), so plain NumPy is
+adequate and keeps shard activation off the finish path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..align import splice_model as _sm
+from .splice import (CANON_PEN, NONCANON_PEN, MIN_ANCHOR_CANON,
+                     MIN_ANCHOR_NONCANON, NEG)
+
+
+def _window(joined: np.ndarray, start: np.ndarray, length: int,
+            overlay: np.ndarray | None):
+    """(C, length) text codes at joined[start + k] (4 beyond the ends),
+    plus the matching SNV-overlay nibbles (0 where absent)."""
+    idx = start[:, None].astype(np.int64) + np.arange(length)[None, :]
+    inb = (idx >= 0) & (idx < joined.size)
+    w = np.where(inb, joined[np.clip(idx, 0, joined.size - 1)], 4
+                 ).astype(np.int64)
+    if overlay is None:
+        ov = None
+    else:
+        ov = np.where(inb, overlay[np.clip(idx, 0, overlay.size - 1)], 0
+                      ).astype(np.int64)
+    return w, ov
+
+
+def junction_score_host(joined: np.ndarray, scoring, rd, q, rdlens,
+                        posA, posB, kleft, kright,
+                        overlay: np.ndarray | None = None) -> dict:
+    """NumPy junction_score: rd (C, L) codes in alignment orientation,
+    posA/posB (C,) joined diagonals. kleft/kright: known sites sorted by
+    (left, right). overlay: optional global 4-bit SNV overlay (graph
+    mode free alt-allele matches). Returns the same per-lane dict as the
+    device kernel."""
+    C, L = rd.shape
+    rd = rd.astype(np.int64)
+    q = np.clip(q.astype(np.int64), 0, 63)
+    rdlens = rdlens.astype(np.int64)
+    posA = posA.astype(np.int64)
+    posB = posB.astype(np.int64)
+    delta = posB - posA
+
+    winA, ovA = _window(joined, posA, L + 16, overlay)
+    winB_ext, ovBx = _window(joined, posB - 16, L + 18, overlay)
+    winB = winB_ext[:, 16:16 + L]
+    ovB = None if ovBx is None else ovBx[:, 16:16 + L]
+
+    ar = np.arange(L)[None, :]
+    in_read = ar < rdlens[:, None]
+    mm_pens = scoring.mm_pens()
+    sc_pens = scoring.sc_pens()
+
+    def pos_scores(win, ov):
+        isn = ((rd >= 4) | (win >= 4)) & in_read
+        mm = (rd != win) & ~isn & in_read
+        if ov is not None:
+            mm = mm & ~((ov == rd + 1) | (ov == 15))
+        s = -np.where(mm, mm_pens[q], 0) \
+            - np.where(isn, scoring.n_pen, 0) \
+            + np.where(~mm & ~isn & in_read, scoring.match_bonus, 0)
+        return s.astype(np.int64)
+
+    sA = pos_scores(winA[:, :L], None if ovA is None else ovA[:, :L])
+    sB = pos_scores(winB, ovB)
+    scp = np.where(in_read, sc_pens[q], 0).astype(np.int64)
+    SCP = np.zeros((C, L + 1), np.int64)
+    np.cumsum(scp, axis=1, out=SCP[:, 1:])
+    A = np.zeros((C, L + 1), np.int64)
+    np.cumsum(sA, axis=1, out=A[:, 1:])
+    prefix = A - np.minimum.accumulate(A + SCP, axis=1)
+    SB = np.zeros((C, L + 1), np.int64)
+    np.cumsum(sB, axis=1, out=SB[:, 1:])
+    sufsum = SB[:, -1:] - SB
+    tailclip = SCP[:, -1:] - SCP
+    suffix = sufsum - np.minimum.accumulate(
+        (sufsum + tailclip)[:, ::-1], axis=1)[:, ::-1]
+    base = prefix + suffix
+
+    jcol = np.arange(L + 1)[None, :]
+    don1 = winA[:, 0:L + 1]
+    don2 = winA[:, 1:L + 2]
+    acc1 = winB_ext[:, 14:L + 15]
+    acc2 = winB_ext[:, 15:L + 16]
+    plus = (don1 == 2) & (don2 == 3) & (acc1 == 0) & (acc2 == 2)
+    minus = (don1 == 1) & (don2 == 3) & (acc1 == 0) & (acc2 == 1)
+    canonical = plus | minus
+
+    known = np.zeros((C, L + 1), bool)
+    if kleft.size:
+        base_l = np.searchsorted(kleft, posA)
+        nk = kleft.size
+        for dpr in range(12):
+            kk = np.clip(base_l + dpr, 0, nk - 1)
+            l_p = kleft[kk]
+            r_p = kright[kk]
+            jv = (l_p - posA + 1).astype(np.int64)
+            okp = (l_p < posA + L) & (r_p == posB + jv) \
+                & (jv >= 0) & (jv <= L)
+            known |= okp[:, None] & (jcol == jv[:, None])
+
+    ilp = np.maximum(
+        0, (-8.0 + np.log(np.maximum(delta, 1).astype(np.float64)))
+    ).astype(np.int64)[:, None]
+    pen_canon = ilp + CANON_PEN
+    pen_non = ilp + NONCANON_PEN
+
+    def anchor_ok(a):
+        return (jcol >= a) & (jcol <= rdlens[:, None] - a)
+    cand_known = np.where(known & anchor_ok(1), base - ilp, NEG)
+    cand_canon = np.where(canonical & anchor_ok(MIN_ANCHOR_CANON),
+                          base - pen_canon, NEG)
+    cand_non = np.where(anchor_ok(MIN_ANCHOR_NONCANON),
+                        base - pen_non, NEG)
+    allc = np.maximum(np.maximum(cand_known, cand_canon), cand_non)
+
+    best_j = np.argmax(allc, axis=1).astype(np.int64)
+    rr = np.arange(C)
+    best = allc[rr, best_j]
+    bknown = known[rr, best_j]
+    bcanon = canonical[rr, best_j]
+    bplus = plus[rr, best_j]
+    ok = (delta >= 20) & (best > NEG // 2)
+    strand = np.where(bplus | (bknown & ~bcanon), 1, 2)
+
+    mmA = ((rd != winA[:, :L]) | (rd >= 4) | (winA[:, :L] >= 4)) & in_read
+    mmB = ((rd != winB) | (rd >= 4) | (winB >= 4)) & in_read
+    MA = np.zeros((C, L + 1), np.int64)
+    np.cumsum(mmA, axis=1, out=MA[:, 1:])
+    MBc = np.zeros((C, L + 1), np.int64)
+    np.cumsum(mmB, axis=1, out=MBc[:, 1:])
+    mmL = MA[rr, best_j]
+    mmR = MBc[rr, rdlens] - MBc[rr, best_j]
+
+    # PWM probscore at the chosen junction (splice_model; '-' junctions
+    # score the reverse-complemented windows; N -> base 0 pre-complement,
+    # hi_aligner.h:1672)
+    md = np.arange(_sm.DONOR_LEN)[None, :]
+    ma = np.arange(_sm.ACCEPTOR_LEN)[None, :]
+    j1 = best_j[:, None]
+    fixn = lambda w: np.where(w > 3, 0, w)
+    dp_idx = np.clip(j1 - 3 + md, 0, L + 15)
+    ap_idx = np.clip(2 + j1 + ma, 0, L + 17)
+    dm_idx = np.clip(18 + j1 - md, 0, L + 17)
+    am_idx = np.clip(j1 + 13 - ma, 0, L + 15)
+    dplus = fixn(np.take_along_axis(winA, dp_idx, 1))
+    aplus = fixn(np.take_along_axis(winB_ext, ap_idx, 1))
+    dmin = 3 - fixn(np.take_along_axis(winB_ext, dm_idx, 1))
+    amin = 3 - fixn(np.take_along_axis(winA, am_idx, 1))
+    use_plus = bplus[:, None]
+    dwin = np.where(use_plus, dplus, dmin)
+    awin = np.where(use_plus, aplus, amin)
+    # gather log-odds by (base, position)
+    dlo = _sm.DONOR_LOGODDS
+    alo = _sm.ACCEPTOR_LOGODDS
+    s_sig = dlo[dwin, md].sum(axis=1) + alo[awin, ma].sum(axis=1)
+    pscore = (1.0 / (1.0 + np.exp(-s_sig))).astype(np.float32)
+
+    return dict(
+        score=np.where(ok, best, NEG),
+        j=best_j,
+        strand=np.where(ok, strand, 0).astype(np.int64),
+        canon=np.where(bknown, 1, np.where(bcanon, 2, 0)).astype(np.int64),
+        probscore=pscore,
+        mmL=mmL.astype(np.int64),
+        mmR=mmR.astype(np.int64),
+    )
+
+
+def gate_pack_host(r: dict, scoring, rdlens, posA, posB, max_intron,
+                   dta: bool) -> np.ndarray:
+    """NumPy _gate_pack: acceptance gates (hi_aligner.h:3753-3786) ->
+    (C, 3) int64 [score, j, flags]."""
+    score, j, strand, canon = r["score"], r["j"], r["strand"], r["canon"]
+    rdlens = rdlens.astype(np.int64)
+    delta = (posB - posA).astype(np.int64)
+    min_sc = np.ceil(scoring.score_min.I
+                     + scoring.score_min.S * rdlens).astype(np.int64)
+    alive = strand != 0
+    below = score < min_sc
+    part = alive & below & (canon != 0) & (score > NEG // 2)
+    aL = j - 2 * r["mmL"]
+    aR = rdlens - j - 2 * r["mmR"]
+    shorter = np.maximum(np.minimum(aL, aR), 1)
+    lim_c = _sm.max_intron_len(shorter)
+    lim_n = _sm.max_intron_len_noncan(shorter)
+    ok = np.ones(score.shape, bool)
+    is_can = canon == 2
+    gate_c = lim_c < max_intron
+    ok &= ~(is_can & gate_c & (delta > lim_c))
+    ok &= ~(is_can & gate_c
+            & (r["probscore"] < _sm.probscore_thresh(delta)))
+    is_non = canon == 0
+    ok &= ~(is_non & (lim_n < max_intron) & (delta > lim_n))
+    if dta:
+        anchor = np.minimum(j, rdlens - j)
+        ok &= ~(is_can & (anchor < 14))
+    accept = alive & ~below & ok
+    flags = (strand | (canon << 2) | (accept.astype(np.int64) << 4)
+             | (part.astype(np.int64) << 5))
+    return np.stack([score, j, flags], axis=1)

@@ -785,42 +785,63 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         if ex is not None and "splanes16" in ex:
             dev_lanes = (ex["splanes32"], ex["splanes16"],
                          ex["spl_cov"], int(ex["spl_nsel"]),
-                         int(ex["spl_ssv"]))
-        al._splice_rescue(batch, merged, rows=allowed,
-                          dev_lanes=dev_lanes)
-        if len(al.ssdb) != n_ss0:
-            # newly published junctions unlock short-anchor reads
-            # (reference cross-thread splice-site sharing, P5): rows not
-            # yet rescued whose primary span now contains a known site
-            # join the pool and the rescue re-runs over the union
-            cand = np.flatnonzero(~allowed & aligned)
-            demoted = np.zeros(0, np.int64)
-            if cand.size:
-                kl, _kr2 = al.ssdb.lefts_rights()
-                kr_sorted, _klr2 = al.ssdb.rights_sorted()
-                p0f = reps[0]["pos"][cand]
-                s_l = p0f + 1
-                s_r = p0f + lens[cand] - 1
-                hit = ((np.searchsorted(kl, s_r)
-                        > np.searchsorted(kl, s_l))
-                       | (np.searchsorted(kr_sorted, s_r)
-                          > np.searchsorted(kr_sorted, s_l)))
-                demoted = cand[hit]
-            if demoted.size and merged_dev is not None:
-                mg2 = al.gather_merged_async(merged_dev, demoted)()
-                merged["score"][demoted] = mg2[:, :, 0]
-                merged["pos"][demoted] = mg2[:, :, 1]
-                merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
-                merged["gapped"][demoted] = (mg2[:, :, 2] & 2) > 0
-                allowed[demoted] = True
-            # already-rescued rows re-run only where one of THIS batch's
-            # novel sites can add a lane (a full-union re-run costs a
-            # second rescue dispatch per batch for no new lanes)
-            newp = al.ssdb.added_since(ssv0)
-            allowed2 = allowed & al._spl_affected(merged, lens, newp)
-            if demoted.size:
-                allowed2[demoted] = True
-            al._splice_rescue(batch, merged, rows=allowed2)
+                         int(ex["spl_ssv"]),
+                         ex.get("splanes32b"), ex.get("splanes16b"),
+                         int(ex.get("spl_nsel2", 0)))
+        resid = al._splice_rescue(batch, merged, rows=allowed,
+                                  dev_lanes=dev_lanes, defer_resid=True)
+        cleanup = resid if resid is not None else np.zeros(B, bool)
+        prev_n, prev_v = n_ss0, ssv0
+        for _round in range(2):
+            if len(al.ssdb) != prev_n:
+                # newly published junctions unlock short-anchor reads
+                # (reference cross-thread splice-site sharing, P5): rows
+                # not yet rescued whose primary span now contains a known
+                # site join the pool; already-rescued rows re-run only
+                # where a new site can add a lane. All of it folds into
+                # ONE cleanup rescue together with the rows the fused
+                # dispatch missed (resid).
+                cand = np.flatnonzero(~allowed & aligned)
+                demoted = np.zeros(0, np.int64)
+                if cand.size:
+                    kl, _kr2 = al.ssdb.lefts_rights()
+                    kr_sorted, _klr2 = al.ssdb.rights_sorted()
+                    p0f = reps[0]["pos"][cand]
+                    s_l = p0f + 1
+                    s_r = p0f + lens[cand] - 1
+                    hit = ((np.searchsorted(kl, s_r)
+                            > np.searchsorted(kl, s_l))
+                           | (np.searchsorted(kr_sorted, s_r)
+                              > np.searchsorted(kr_sorted, s_l)))
+                    demoted = cand[hit]
+                if demoted.size:
+                    all_shipped = (srows_h is not None
+                                   and srows_h.size >= B
+                                   and (srows_h >= 0).all())
+                    if not all_shipped and merged_dev is not None:
+                        mg2 = al.gather_merged_async(merged_dev,
+                                                     demoted)()
+                        merged["score"][demoted] = mg2[:, :, 0]
+                        merged["pos"][demoted] = mg2[:, :, 1]
+                        merged["fw"][demoted] = (mg2[:, :, 2] & 1) > 0
+                        merged["gapped"][demoted] = (mg2[:, :, 2]
+                                                     & 2) > 0
+                    # all-B grid ship (RNA SB=B): merged already holds
+                    # every row's grid — no gather needed
+                    allowed[demoted] = True
+                newp = al.ssdb.added_since(prev_v)
+                if newp.size:
+                    cleanup = cleanup | (allowed
+                                         & al._spl_affected(merged, lens,
+                                                            newp))
+                if demoted.size:
+                    cleanup[demoted] = True
+            prev_n, prev_v = len(al.ssdb), al.ssdb.version()
+            if not cleanup.any():
+                break
+            al._splice_rescue(batch, merged, rows=cleanup,
+                              scan_covered=dev_lanes is not None)
+            cleanup = np.zeros(B, bool)
         # ---- spliced-winner selection (columns) ----
         spl_map = merged.get("splice", {})
         swin = np.zeros(B, bool)       # spliced candidate wins selection

@@ -854,11 +854,36 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
     if o.spliced:
         dl1, dl2 = dev_lanes if dev_lanes is not None else (None, None)
         n_ss = len(aligner.ssdb)
-        aligner._splice_rescue(b1, m1, dev_lanes=dl1)
-        aligner._splice_rescue(b2, m2, dev_lanes=dl2)
-        if len(aligner.ssdb) != n_ss:   # second pass with shared sites (P5)
-            aligner._splice_rescue(b1, m1)
-            aligner._splice_rescue(b2, m2)
+        ssv0 = aligner.ssdb.version()
+        r1 = aligner._splice_rescue(b1, m1, dev_lanes=dl1,
+                                    defer_resid=True)
+        r2 = aligner._splice_rescue(b2, m2, dev_lanes=dl2,
+                                    defer_resid=True)
+        c1 = r1 if r1 is not None else np.zeros(B, bool)
+        c2 = r2 if r2 is not None else np.zeros(B, bool)
+        prev_n, prev_v = n_ss, ssv0
+        l1 = b1.lens.astype(np.int64)
+        l2 = b2.lens.astype(np.int64)
+        for _round in range(2):
+            if len(aligner.ssdb) != prev_n:
+                # shared-site re-run (P5) folded into the cleanup: only
+                # rows a newly published site can affect re-run
+                newp = aligner.ssdb.added_since(prev_v)
+                if newp.size:
+                    c1 = c1 | aligner._spl_affected(m1, l1, newp)
+                    c2 = c2 | aligner._spl_affected(m2, l2, newp)
+            prev_n = len(aligner.ssdb)
+            prev_v = aligner.ssdb.version()
+            if not (c1.any() or c2.any()):
+                break
+            if c1.any():
+                aligner._splice_rescue(b1, m1, rows=c1,
+                                       scan_covered=dl1 is not None)
+            if c2.any():
+                aligner._splice_rescue(b2, m2, rows=c2,
+                                       scan_covered=dl2 is not None)
+            c1 = np.zeros(B, bool)
+            c2 = np.zeros(B, bool)
 
     def mate_cands(m, batch, i, min_sc, rdlen):
         """Per-mate candidate dicts (regular + spliced), best first."""

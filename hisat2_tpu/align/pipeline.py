@@ -675,14 +675,16 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
         nNs = ((seqs >= 4)
                & (ar < lens.astype(jnp.int32)[:, None])).sum(axis=1)
         TBs, PJs, ABs, NCs, NLs, dta_s = SPL
-        sp32, sp16, need, spl_cov, spl_nsel = spliced_stage(
+        (sp32, sp16, need, spl_cov, spl_nsel,
+         sp32b, sp16b, spl_nsel2) = spliced_stage(
             idx, sctab, merged, st, need, nNs, B,
             spl_kss[0], spl_kss[1], spl_kss[2], spl_kss[3],
             minsc_i, minsc_s, spl_nceil[0], spl_nceil[1], spl_margin,
             spl_introns[0], spl_introns[1], TBs, PJs, ABs, NCs, NLs,
             dta_s)
         bex = dict(bex, splanes32=sp32, splanes16=sp16, spl_cov=spl_cov,
-                   spl_nsel=spl_nsel)
+                   spl_nsel=spl_nsel, splanes32b=sp32b, splanes16b=sp16b,
+                   spl_nsel2=spl_nsel2)
     elif spliced:
         # RNA mode without the fused splice stage: reads whose contiguous
         # score can hide a junction (best < perfect - min-anchor clip
@@ -695,9 +697,18 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
     if SB == 0 and not bex:
         return fastpack, merged
     extras = dict(bex)
-    if SB:
+    if SB >= B and spliced:
+        # RNA: ship EVERY row's grid with the fastpack — junction rescue,
+        # site-publication demotion, and the pairing ladder all reach
+        # into grids of rows the slow-row prediction can't foresee, and
+        # a mid-finish gather dispatch queues behind the next batch's
+        # submit (~50-100ms round trip for a handful of rows)
+        sr = jnp.arange(B, dtype=jnp.int32)
+        extras["srows"] = sr
+    elif SB:
         sv, sr = lax.top_k(need.astype(jnp.int32), min(SB, B))
         extras["srows"] = jnp.where(sv > 0, sr, -1).astype(jnp.int32)
+    if SB:
         # packed grid rows (tunnel bytes): [pos, score<<8 | flags] — the
         # host unpacks (emit._unpack_smerged); scores below -2^22 all
         # mean "dead candidate" so the clip loses nothing
@@ -1037,8 +1048,8 @@ class Aligner:
             min(B, max(32, B // 8)), min(B, max(64, B // 8)),
             o.dp_pad, o.no_dp, o.nofw, o.norc,
             self.seeder, self.fb_seeder, self.sc_const,
-            khits=jnp.int32(o.khits), SB=min(B, max(64, B // (2 if o.spliced
-                                                               else 16))),
+            khits=jnp.int32(o.khits),
+            SB=B if o.spliced else min(B, max(64, B // 16)),
             omit_sec=o.omit_sec_seq, MB=min(B, max(32, B // 16)),
             VC=o.verify_cands, spliced=o.spliced,
             spl_margin=jnp.int32(self._spl_margin(batch)), **spl_kw)
@@ -1203,7 +1214,8 @@ class Aligner:
     # ---- spliced rescue (RNA mode) ----
 
     def _splice_rescue(self, batch: ReadBatch, merged, rows=None,
-                       dev_lanes=None) -> None:
+                       dev_lanes=None, defer_resid: bool = False,
+                       scan_covered: bool = False):
         """Junction search for reads whose contiguous alignment is poor:
         enumerate same-orientation diagonal pairs from the candidate lists,
         score the best junction per pair on device (ops/splice.py), and
@@ -1252,8 +1264,9 @@ class Aligner:
         d_res = np.zeros((0, 3), np.int64)
         d_ri = d_pa = d_pb = np.zeros(0, np.int64)
         d_fa = np.zeros(0, bool)
+        d2blk = None        # (sp32, sp16, sp32b, sp16b, covered)
         if dev_lanes is not None:
-            sp32, sp16, cov, nsel, ssv = dev_lanes
+            sp32, sp16, cov, nsel, ssv = dev_lanes[:5]
             if nsel <= sp16.shape[0]:
                 covered = (((cov & 1) > 0) & ((cov & 2) == 0)
                            & trig_mask)
@@ -1267,15 +1280,32 @@ class Aligner:
                 rows16 = sp16[:, 0].astype(np.int64)
                 lv = (sp16[:, 4] != 0)
                 rclip = np.clip(rows16, 0, covered.size - 1)
-                lv &= covered[rclip]
+                # covered rows keep all their lanes; UNcovered trigger
+                # rows keep their anchor-SCAN lanes (bit 6) — the host
+                # cleanup re-enumerates seeded lanes but has no scan
+                is_scan_l = (sp16[:, 4].astype(np.int64) & 0x40) != 0
+                lv &= covered[rclip] | (is_scan_l & trig_mask[rclip])
                 d_ri = rows16[lv]
                 d_pa = sp32[lv, 0].astype(np.int64)
                 d_pb = sp32[lv, 1].astype(np.int64)
                 d_fa = sp16[lv, 1] > 0
                 d_res = sp16[lv, 2:5].astype(np.int64)
+                if len(dev_lanes) >= 8 and dev_lanes[5] is not None:
+                    d2blk = (sp32, sp16, dev_lanes[5], dev_lanes[6],
+                             covered)
+        # defer_resid: process ONLY the fused-dispatch lanes now; rows
+        # the device missed (bucket overflow / post-submit sites) are
+        # RETURNED so the caller can fold them into one combined cleanup
+        # rescue with this batch's newly published sites — one legacy
+        # dispatch per batch instead of two (r4 steady-state profile:
+        # each extra dispatch costs a ~180ms tunnel round trip)
+        ret_resid = None
+        if defer_resid:
+            ret_resid = resid_mask.copy()
+            resid_mask = np.zeros_like(resid_mask)
         trigger = np.flatnonzero(resid_mask)
         if trigger.size == 0 and d_ri.size == 0:
-            return
+            return ret_resid
 
         # ---- legacy path for residual rows ----
         res1 = np.zeros((0, 3), np.int64)
@@ -1298,12 +1328,17 @@ class Aligner:
             srows = trigger[live0]
         else:
             srows = np.zeros(0, np.int64)
-        if (P1 or srows.size) and self.sctab is None:
-            # host_only aligner (sharded finish): score lanes with the
-            # NumPy mirror over the global joined text — shard arrays
-            # are not HBM-resident at finish time. No anchor scan here:
-            # covered rows already got the per-shard device scan, and
-            # residual rows are the coverage tail.
+        if (P1 or srows.size) and (
+                self.sctab is None
+                or (P1 <= 8192 and (scan_covered or dev_lanes is not None))):
+            # host-scored legacy: (a) host_only aligner (sharded finish)
+            # — shard arrays are not HBM-resident at finish time; (b)
+            # SMALL lane sets on the single-index path — a mid-finish
+            # device dispatch queues behind the next batch's submit
+            # (~100-180ms round trip) while the NumPy mirror scores a few
+            # thousand lanes in milliseconds. No anchor scan here: the
+            # fused dispatch's scan lanes are kept for uncovered trigger
+            # rows (bit 6), so only seeded re-enumeration is needed.
             from ..ops import splice_host as _sph
             if P1:
                 rd_h, q_h = self._host_oriented(batch, s_row, s_fa)
@@ -1439,7 +1474,95 @@ class Aligner:
         for i in list(spl):
             spl[i].sort(key=lambda c: (-c["score"],
                                        0 if c["canon"] == 1 else 1))
-        self._splice_second_pass(batch, merged, spl, lens, perfect)
+        # second pass: device-covered rows already got their chain lanes
+        # from the fused dispatch (ops/splice.spliced_stage pass 2) —
+        # attach those, then re-chain only rows OUTSIDE device coverage
+        # within this call's scope
+        scope = trig_mask
+        if ret_resid is not None:
+            scope = scope & ~ret_resid
+        if d2blk is not None:
+            self._attach_dev_chains(batch, spl, d2blk, lens)
+            scope = scope & ~d2blk[4]
+        if scope.any():
+            self._splice_second_pass(batch, merged, spl, lens, perfect,
+                                     scope=scope)
+        return ret_resid
+
+    def _attach_dev_chains(self, batch, spl, d2blk, lens) -> None:
+        """Attach the fused dispatch's gated pass-2 chain lanes (device
+        mirror of _splice_second_pass): rebuild 3-segment chains from the
+        shipped (base lane, diagonal) descriptors, score them exactly
+        (vectorized _score_segs_rows / per-lane overlay path), and attach
+        winners to merged['splice']."""
+        sp32, sp16, sp32b, sp16b, covered = d2blk
+        s16 = sp16b.astype(np.int64)
+        valid = s16[:, 4] != 0
+        if not valid.any():
+            return
+        rows2 = s16[valid, 0]
+        keep = covered[rows2]
+        if not keep.any():
+            return
+        rows2 = rows2[keep]
+        basei = s16[valid, 1][keep]
+        j2 = s16[valid, 2][keep]
+        fl2 = s16[valid, 4][keep]
+        b32 = sp32b.astype(np.int64)[valid][keep]
+        pA2, pB2 = b32[:, 0], b32[:, 1]
+        s16f = sp16.astype(np.int64)
+        pa_b = sp32[basei, 0].astype(np.int64)
+        pb_b = sp32[basei, 1].astype(np.int64)
+        sc_b = s16f[basei, 2]
+        j_b = s16f[basei, 3]
+        fw_b = s16f[basei, 1] > 0
+        flb = s16f[basei, 4]
+        strand_b = flb & 3
+        canon_b = (flb >> 2) & 3
+        isL = ((fl2 >> 4) & 1) == 1
+        canon2 = (fl2 >> 2) & 3
+        pd = np.where(isL, pA2, pB2 - j_b)
+        # segs [(p0,0),(p1,b1),(p2,b2)]
+        p0 = np.where(isL, pd, pa_b)
+        p1 = np.where(isL, pa_b, pb_b)
+        p2v = np.where(isL, pb_b, pd)
+        b1 = np.where(isL, j2, j_b)
+        b2 = np.where(isL, j_b, j_b + j2)
+        cA = np.where(isL, canon2, canon_b)
+        cB = np.where(isL, canon_b, canon2)
+        rl = lens[rows2]
+        if self.overlay is None:
+            score2 = self._score_segs_rows(batch, rows2, p0, p1, p2v,
+                                           b1, b2, fw_b, cA, cB, rl)
+        else:
+            score2 = np.empty(rows2.size, np.int64)
+            for k in range(rows2.size):
+                score2[k] = self._score_segs(
+                    int(rows2[k]), batch,
+                    [(int(p0[k]), 0), (int(p1[k]), int(b1[k])),
+                     (int(p2v[k]), int(b2[k]))], bool(fw_b[k]),
+                    [int(cA[k]), int(cB[k])], int(rl[k]))
+        min_sc = np.ceil(self.scoring.score_min.I
+                         + self.scoring.score_min.S * rl).astype(np.int64)
+        win = (score2 >= min_sc) & (score2 > sc_b)
+        strands = np.where(strand_b == 1, "+", "-")
+        for k in np.flatnonzero(win):
+            k = int(k)
+            i = int(rows2[k])
+            segs = [(int(p0[k]), 0), (int(p1[k]), int(b1[k])),
+                    (int(p2v[k]), int(b2[k]))]
+            canons = [int(cA[k]), int(cB[k])]
+            c2 = dict(score=int(score2[k]), posA=segs[0][0],
+                      posB=segs[1][0], j=segs[1][1],
+                      delta=segs[1][0] - segs[0][0], fw=bool(fw_b[k]),
+                      strand=str(strands[k]), canon=min(canons),
+                      canons=canons, segs=segs)
+            cur = spl.setdefault(i, [])
+            if any(x.get("segs") == segs for x in cur):
+                continue
+            cur.append(c2)
+            cur.sort(key=lambda x: (-x["score"],
+                                    0 if x["canon"] == 1 else 1))
 
     def _host_oriented(self, batch: ReadBatch, rows, fw):
         """(C, L) reads + quals in alignment orientation for arbitrary
@@ -1578,7 +1701,8 @@ class Aligner:
         row, pa, pb, fa = (x[capped] for x in (row, pa, pb, fa))
         return T[row], pa, pb, fa.astype(bool)
 
-    def _splice_second_pass(self, batch, merged, spl, lens, perfect):
+    def _splice_second_pass(self, batch, merged, spl, lens, perfect,
+                            scope=None):
         """Chain a further intron on either side of each read's best
         junction — reads crossing 2+ junctions (short middle exons),
         where the reference recurses (spliced_aligner.h:331
@@ -1600,7 +1724,8 @@ class Aligner:
         margin = self._spl_margin(batch)
         kl_all, _kr_all = self.ssdb.lefts_rights()
         cand_items = [(i, cands[0]) for i, cands in spl.items()
-                      if "segs" not in cands[0]
+                      if (scope is None or scope[i])
+                      and "segs" not in cands[0]
                       and cands[0]["score"] < int(perfect[i])]
         if cand_items:
             csc = np.asarray([c["score"] for _, c in cand_items])
@@ -1619,6 +1744,8 @@ class Aligner:
                 if k:
                     bases.setdefault(i, []).append(c)
         for i, cands in partial.items():
+            if scope is not None and not scope[i]:
+                continue
             cands.sort(key=lambda x: -x["score"])
             for c in cands[:2]:
                 bases.setdefault(i, []).append(c)
@@ -1672,10 +1799,15 @@ class Aligner:
         seglen = np.where(lside_L, lj, rlv - lj)
         pA2 = np.where(lside_L, lpd, lpB + lj).astype(np.int32)
         pB2 = np.where(lside_L, lpA, lpd + lj).astype(np.int32)
-        if self.sctab is None:
-            # host_only (sharded finish): NumPy segment scoring against
-            # the global joined text (ops/splice_host)
+        if self.sctab is None or P <= 8192:
+            # NumPy segment scoring against the joined text
+            # (ops/splice_host): the sharded finish has no HBM-resident
+            # shard arrays, and SMALL lane sets beat a mid-finish device
+            # round trip on the single-index path too
             from ..ops import splice_host as _sph
+            li, lfw, start, seglen = (x[:P] for x in
+                                      (li, lfw, start, seglen))
+            pA2, pB2 = pA2[:P], pB2[:P]
             rd_f, q_f = self._host_oriented(batch, li, lfw)
             C2 = li.size
             ar2 = np.arange(L)

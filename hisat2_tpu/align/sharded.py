@@ -156,7 +156,8 @@ class ShardedAligner:
                 per_shard_mg[s].append(np.asarray(merged_dev))
                 per_shard_ex[s].append(
                     {k: np.asarray(ex[k]) for k in
-                     ("splanes32", "splanes16", "spl_cov", "spl_nsel")
+                     ("splanes32", "splanes16", "spl_cov", "spl_nsel",
+                      "splanes32b", "splanes16b", "spl_nsel2")
                      if k in ex} if spliced else {})
 
         totals: dict = {}
@@ -184,27 +185,42 @@ class ShardedAligner:
         if not exs or any("splanes16" not in ex for ex in exs):
             return None
         sp32s, sp16s = [], []
+        sp32bs, sp16bs = [], []
         cov0 = np.zeros_like(np.asarray(exs[0]["spl_cov"]))
         cov1 = np.zeros_like(cov0)
+        off = 0
         for s, ex in enumerate(exs):
             if int(ex["spl_nsel"]) > ex["splanes16"].shape[0]:
                 return None
+            base = int(self.sh.bases[s])
             sp16 = ex["splanes16"].astype(np.int64)
             live = sp16[:, 4] != 0
-            sp16 = sp16[live]
-            sp32 = (ex["splanes32"].astype(np.int64)[live]
-                    + int(self.sh.bases[s]))
-            sp16s.append(sp16)
-            sp32s.append(sp32)
+            remap = np.cumsum(live) - 1 + off     # old NL idx -> merged
+            sp16s.append(sp16[live])
+            sp32s.append(ex["splanes32"].astype(np.int64)[live] + base)
+            if "splanes16b" in ex:
+                s16b = ex["splanes16b"].astype(np.int64)
+                lb = s16b[:, 4] != 0
+                s16b = s16b[lb]
+                s16b[:, 1] = remap[np.clip(s16b[:, 1], 0, live.size - 1)]
+                sp16bs.append(s16b)
+                sp32bs.append(ex["splanes32b"].astype(np.int64)[lb]
+                              + base)
+            off += int(live.sum())
             cov = np.asarray(ex["spl_cov"])
             cov0 |= cov & 1
             cov1 |= cov & 2
         sp16c = np.concatenate(sp16s)
         sp32c = np.concatenate(sp32s)
-        return dict(splanes32=sp32c, splanes16=sp16c,
-                    spl_cov=(cov0 | cov1).astype(np.int8),
-                    spl_nsel=np.int64(sp16c.shape[0]),
-                    spl_ssv=np.int64(ssv0))
+        out = dict(splanes32=sp32c, splanes16=sp16c,
+                   spl_cov=(cov0 | cov1).astype(np.int8),
+                   spl_nsel=np.int64(sp16c.shape[0]),
+                   spl_ssv=np.int64(ssv0))
+        if sp16bs and len(sp16bs) == len(exs):
+            out["splanes16b"] = np.concatenate(sp16bs)
+            out["splanes32b"] = np.concatenate(sp32bs)
+            out["spl_nsel2"] = np.int64(out["splanes16b"].shape[0])
+        return out
 
     def _merge_grids(self, mgs: list[np.ndarray]) -> dict:
         """Per-shard (B, K2, 3) candidate grids -> one global-coordinate
@@ -236,7 +252,8 @@ class ShardedAligner:
         S = len(self.sh)
         ssv0 = self.host.ssdb.version()
         per: list[list[tuple]] = [[] for _ in range(S)]
-        keys = ("splanes32", "splanes16", "spl_cov", "spl_nsel")
+        keys = ("splanes32", "splanes16", "spl_cov", "spl_nsel",
+                      "splanes32b", "splanes16b", "spl_nsel2")
         for s in range(S):
             al = self._activate(s)
             pend = []
@@ -265,7 +282,9 @@ class ShardedAligner:
                     [per[s][bi][mi] for s in range(S)], ssv0)
                 dls.append(None if sp is None else (
                     sp["splanes32"], sp["splanes16"], sp["spl_cov"],
-                    int(sp["spl_nsel"]), int(sp["spl_ssv"])))
+                    int(sp["spl_nsel"]), int(sp["spl_ssv"]),
+                    sp.get("splanes32b"), sp.get("splanes16b"),
+                    int(sp.get("spl_nsel2", 0))))
             res = _paired.align_pairs(self.host, b1, b2,
                                       premerged=(m1, m2),
                                       dev_lanes=tuple(dls))

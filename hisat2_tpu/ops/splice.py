@@ -534,7 +534,7 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     # is ~70% dead padding (most rows carry 1-3 lanes), and the junction
     # kernel's window fetches + cumsums are the stage's dominant cost.
     # Rows whose lanes overflow LB re-run on the host legacy path.
-    LB = 3 * TB
+    LB = 6 * TB
     rows_f = jnp.repeat(trows, PJ)
     okf = lok.reshape(-1)
     lvc, lic = lax.top_k(okf.astype(jnp.int32), LB)
@@ -591,9 +591,13 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     pack2 = _gate_pack(r2, rl3, pA2l, pB2l, minsc_i, minsc_s,
                        max_intron, dta)
     # scan lanes: only fully-accepted junctions count (no partials —
-    # their far diagonal is an 8-mer guess, pipeline._splice_rescue note)
+    # their far diagonal is an 8-mer guess, pipeline._splice_rescue note).
+    # Bit 6 tags them: rows that fall OUT of device coverage keep their
+    # scan lanes (the host cleanup rescue re-enumerates seeded lanes but
+    # has no anchor scan).
     fl2 = pack2[:, 2].astype(jnp.int32)
-    fl2 = jnp.where(sokl & (((fl2 >> 4) & 1) == 1), fl2 & ~0x20, 0)
+    fl2 = jnp.where(sokl & (((fl2 >> 4) & 1) == 1),
+                    (fl2 & ~0x20) | 0x40, 0)
     pack2 = pack2.at[:, 2].set(fl2.astype(jnp.int16))
 
     # compact accepted/partial lanes to NL (lane order preserved:
@@ -613,6 +617,138 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
         [all_row[li], all_fa[li].astype(jnp.int32),
          all_pack[li, 0], all_pack[li, 1],
          jnp.where(lv > 0, all_pack[li, 2], 0)], axis=1).astype(jnp.int16)
+    # ---- fused pass 2: chain a second junction on either side of each
+    # row's best accepted lane (device mirror of
+    # pipeline._splice_second_pass's enumeration + junction gates; the
+    # reference recurses, spliced_aligner.h:331). Chain SCORING and
+    # attachment stay host-side (vectorized _score_segs_rows) — the
+    # device ships gated candidate chain lanes with the fastpack, so the
+    # steady-state second pass costs no extra round trip.
+    NLn = sp16.shape[0]
+    idxv = jnp.arange(NLn, dtype=jnp.int32)
+    l_row = jnp.clip(all_row[li], 0, B - 1)
+    l_pa = all_pa[li]
+    l_pb = all_pb[li]
+    l_fa = all_fa[li]
+    l_sc = all_pack[li, 0]
+    l_j = all_pack[li, 1]
+    l_fl = jnp.where(lv > 0, all_pack[li, 2], 0)
+    l_valid = l_fl != 0
+    l_acc = ((l_fl >> 4) & 1) == 1
+    l_part = ((l_fl >> 5) & 1) == 1
+    l_canon = (l_fl >> 2) & 3
+    l_strand = l_fl & 3
+    l_rl = lens_b[l_row]
+    # winner lane per row: max (score, canon==1) then earliest lane
+    wkey = jnp.where(l_valid & l_acc,
+                     ((l_sc + 32768) << 1) | (l_canon == 1), -1)
+    row_w = jnp.full((B,), -1, jnp.int32).at[l_row].max(wkey)
+    is_w = l_valid & l_acc & (wkey >= 0) & (wkey == row_w[l_row])
+    wfirst = jnp.full((B,), -1, jnp.int32).at[l_row].max(
+        jnp.where(is_w, NLn - idxv, -1))
+    is_w &= (NLn - idxv) == wfirst[l_row]
+    # winner keeps pass-2 eligibility below perfect-margin, or when a
+    # KNOWN left site falls in either residual diagonal's span
+    w_sc = jnp.full((B,), NEG, jnp.int32).at[l_row].max(
+        jnp.where(is_w, l_sc, NEG))
+    keep_w = w_sc < (perfect - margin)
+    if kleft.shape[0] > 0:
+        kres = ((jnp.searchsorted(kleft, l_pa + l_rl)
+                 > jnp.searchsorted(kleft, l_pa))
+                | (jnp.searchsorted(kleft, l_pb + l_rl)
+                   > jnp.searchsorted(kleft, l_pb)))
+        keep_w = keep_w | (jnp.zeros((B,), bool).at[l_row].max(
+            is_w & kres) & (w_sc < perfect))
+    # top-2 partial lanes per row (host: first-4 in lane order sorted by
+    # score, top 2 — mirrored as best-2 by (score, earliest))
+    pkey = jnp.where(l_valid & l_part,
+                     ((l_sc + 32768) << 14) | (NLn - 1 - idxv), -1)
+    p1 = jnp.full((B,), -1, jnp.int32).at[l_row].max(pkey)
+    is_p1 = (pkey >= 0) & (pkey == p1[l_row])
+    pkey2 = jnp.where(is_p1, -1, pkey)
+    p2m = jnp.full((B,), -1, jnp.int32).at[l_row].max(pkey2)
+    is_p2 = (pkey2 >= 0) & (pkey2 == p2m[l_row])
+    base_ok = (is_w & keep_w[l_row]) | is_p1 | is_p2
+    # enumerate (base lane x live merged diagonal) chain candidates
+    mrows2 = merged[l_row]                       # (NL, K2, 3)
+    pd_g = mrows2[:, :, 1]
+    fd_g = (mrows2[:, :, 2] & 1) == 1
+    live_g = mrows2[:, :, 0] > NEG // 2
+    dL = l_pa[:, None] - pd_g
+    dR = pd_g - l_pb[:, None]
+    sameo = live_g & (fd_g == l_fa[:, None]) & base_ok[:, None]
+    okL_g = sameo & (dL >= min_intron) & (dL <= max_intron) \
+        & (l_j >= 2)[:, None]
+    okR_g = sameo & ~okL_g & (dR >= min_intron) & (dR <= max_intron) \
+        & (l_j <= l_rl - 2)[:, None]
+    ok_g = okL_g | okR_g
+    K2g = pd_g.shape[1]
+    L2B = min(2 * TB, NLn * K2g)
+    okf2 = ok_g.reshape(-1)
+    lv2, li2 = lax.top_k(okf2.astype(jnp.int32), L2B)
+    li2 = jnp.clip(li2, 0, okf2.shape[0] - 1)
+    ok2v = lv2 > 0
+    c_base = jnp.clip(li2 // K2g, 0, NLn - 1)
+    c_isL = okL_g.reshape(-1)[li2]
+    c_pd = pd_g.reshape(-1)[li2]
+    c_row = l_row[c_base]
+    c_fa = l_fa[c_base]
+    c_j = l_j[c_base]
+    c_rl = l_rl[c_base]
+    c_start = jnp.where(c_isL, 0, c_j)
+    c_seglen = jnp.where(c_isL, c_j, c_rl - c_j)
+    c_pA = jnp.where(ok2v, jnp.where(c_isL, c_pd, l_pb[c_base] + c_j), 0)
+    c_pB = jnp.where(ok2v, jnp.where(c_isL, l_pa[c_base], c_pd + c_j),
+                     c_pA)
+    lrank2 = jnp.cumsum(okf2.astype(jnp.int32)) - 1
+    lane_lost2 = jnp.zeros((B,), bool).at[jnp.repeat(l_row, K2g)].max(
+        okf2 & (lrank2 >= L2B))
+    # residual-segment junction scoring (shift-by-start, mask seglen)
+    rdc, qc, _rlc = _gather_oriented(seqs2, quals2, lens2, c_row, c_fa)
+    Lr = rdc.shape[1]
+    dblr = jnp.concatenate([rdc, jnp.full_like(rdc, 4)], axis=1)
+    dblq = jnp.concatenate([qc, jnp.zeros_like(qc)], axis=1)
+    rd2s = _rank._shift_words(dblr, c_start.astype(jnp.int32), Lr)
+    q2s = _rank._shift_words(dblq, c_start.astype(jnp.int32), Lr)
+    inseg = jnp.arange(Lr, dtype=jnp.int32)[None, :] < c_seglen[:, None]
+    rd2s = jnp.where(inseg, rd2s, 4)
+    q2s = jnp.where(inseg, q2s, 0)
+    r2p = junction_score(idx, sctab, rd2s, q2s, c_seglen.astype(jnp.int32),
+                         c_pA.astype(jnp.int32), c_pB.astype(jnp.int32),
+                         kleft, kright)
+    # host pass-2 gates (pipeline._splice_second_pass okv)
+    j2c = r2p["j"]
+    ok2 = ok2v & (r2p["strand"] != 0) & (r2p["score"] > NEG // 2)
+    ok2 &= r2p["strand"] == l_strand[c_base]
+    ok2 &= (j2c > 0) & (j2c < c_seglen)
+    delta2 = c_pB - c_pA
+    shorter2 = jnp.maximum(jnp.minimum(j2c, c_seglen - j2c), 1)
+    lim_c2 = _max_intron_len_dev(shorter2, MIN_ANCHOR_CANON)
+    lim_n2 = _max_intron_len_noncan_dev(shorter2)
+    is_can2 = r2p["canon"] == 2
+    gate_c2 = lim_c2 < max_intron
+    ok2 &= ~(is_can2 & gate_c2 & (delta2 > lim_c2))
+    ok2 &= ~(is_can2 & gate_c2
+             & (r2p["probscore"] < _probscore_thresh_dev(delta2)))
+    is_non2 = r2p["canon"] == 0
+    ok2 &= ~(is_non2 & (lim_n2 < max_intron) & (delta2 > lim_n2))
+    # ship gated chain lanes (chain scoring + comparison on host)
+    L2S = min(max(256, TB // 4), L2B)
+    sv2, si2 = lax.top_k(ok2.astype(jnp.int32), L2S)
+    si2 = jnp.clip(si2, 0, ok2.shape[0] - 1)
+    live_s = sv2 > 0
+    fl2s = (r2p["strand"][si2] | (r2p["canon"][si2] << 2)
+            | (c_isL[si2].astype(jnp.int32) << 4) | (1 << 5))
+    sp32b = jnp.stack([c_pA[si2], c_pB[si2]], axis=1)
+    sp16b = jnp.stack(
+        [c_row[si2], c_base[si2], j2c[si2],
+         jnp.clip(r2p["score"][si2], -32768, 32767),
+         jnp.where(live_s, fl2s, 0)], axis=1).astype(jnp.int16)
+    srank2 = jnp.cumsum(ok2.astype(jnp.int32)) - 1
+    lane_lost2 = lane_lost2 | jnp.zeros((B,), bool).at[c_row].max(
+        ok2 & (srank2 >= L2S))
+    nsel2 = ok2.sum().astype(jnp.int32)
+
     # grid shipping: rows with any accepted/partial lane (second pass +
     # ladder) join the slow pool; so do all host-slow rows
     has_lane = jnp.zeros((B,), jnp.int32).at[all_row].max(
@@ -623,10 +759,10 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     # the legacy path's own AB compaction drops it (rescue_fused top_k)
     # — the scan is a bounded-sensitivity heuristic on both paths.
     trank = jnp.cumsum(trig.astype(jnp.int32)) - 1
-    uncov = (trig & (trank >= TB)) | lane_lost
+    uncov = (trig & (trank >= TB)) | lane_lost | lane_lost2
     nsel = sel_mask.sum().astype(jnp.int32)
     cov = (trig.astype(jnp.int8) | (uncov.astype(jnp.int8) << 1))
-    return sp32, sp16, need, cov, nsel
+    return sp32, sp16, need, cov, nsel, sp32b, sp16b, nsel2
 
 
 @partial(jax.jit, static_argnames=("W", "A", "NC"))

@@ -791,8 +791,11 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         resid = al._splice_rescue(batch, merged, rows=allowed,
                                   dev_lanes=dev_lanes, defer_resid=True)
         cleanup = resid if resid is not None else np.zeros(B, bool)
+        perfect_v = (al.scoring.match_bonus * lens).astype(np.int64)
         prev_n, prev_v = n_ss0, ssv0
         for _round in range(2):
+            newp_mask = np.zeros(B, bool)
+            newp = np.zeros((0, 2), np.int64)
             if len(al.ssdb) != prev_n:
                 # newly published junctions unlock short-anchor reads
                 # (reference cross-thread splice-site sharing, P5): rows
@@ -831,16 +834,25 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                     allowed[demoted] = True
                 newp = al.ssdb.added_since(prev_v)
                 if newp.size:
-                    cleanup = cleanup | (allowed
-                                         & al._spl_affected(merged, lens,
-                                                            newp))
+                    aff = allowed & al._spl_affected(merged, lens, newp)
+                    # previously-TRIGGERED affected rows only need the
+                    # new-site-implied lanes (precision host repair);
+                    # affected rows that never triggered (perfect score,
+                    # site newly in span) need full enumeration
+                    prevtrig = merged["score"][:, 0] < perfect_v
+                    newp_mask = aff & prevtrig & ~cleanup
+                    cleanup = cleanup | (aff & ~prevtrig)
                 if demoted.size:
                     cleanup[demoted] = True
+                    newp_mask[demoted] = False
             prev_n, prev_v = len(al.ssdb), al.ssdb.version()
-            if not cleanup.any():
+            if not (cleanup.any() or newp_mask.any()):
                 break
-            al._splice_rescue(batch, merged, rows=cleanup,
-                              scan_covered=dev_lanes is not None)
+            if newp_mask.any():
+                al._newp_rescue(batch, merged, newp_mask, newp)
+            if cleanup.any():
+                al._splice_rescue(batch, merged, rows=cleanup,
+                                  scan_covered=dev_lanes is not None)
             cleanup = np.zeros(B, bool)
         # ---- spliced-winner selection (columns) ----
         spl_map = merged.get("splice", {})

@@ -864,21 +864,37 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         prev_n, prev_v = n_ss, ssv0
         l1 = b1.lens.astype(np.int64)
         l2 = b2.lens.astype(np.int64)
+        pf1 = (aligner.scoring.match_bonus * l1).astype(np.int64)
+        pf2 = (aligner.scoring.match_bonus * l2).astype(np.int64)
         for _round in range(2):
+            nm1 = np.zeros(B, bool)
+            nm2 = np.zeros(B, bool)
+            newp = np.zeros((0, 2), np.int64)
             if len(aligner.ssdb) != prev_n:
-                # shared-site re-run (P5) folded into the cleanup: only
-                # rows a newly published site can affect re-run
+                # shared-site re-run (P5) folded into the cleanup:
+                # previously-triggered affected rows get the precision
+                # new-site repair; the rest re-run fully
                 newp = aligner.ssdb.added_since(prev_v)
                 if newp.size:
-                    c1 = c1 | aligner._spl_affected(m1, l1, newp)
-                    c2 = c2 | aligner._spl_affected(m2, l2, newp)
+                    a1 = aligner._spl_affected(m1, l1, newp)
+                    a2 = aligner._spl_affected(m2, l2, newp)
+                    pt1 = m1["score"][:, 0] < pf1
+                    pt2 = m2["score"][:, 0] < pf2
+                    nm1 = a1 & pt1 & ~c1
+                    nm2 = a2 & pt2 & ~c2
+                    c1 = c1 | (a1 & ~pt1)
+                    c2 = c2 | (a2 & ~pt2)
             prev_n = len(aligner.ssdb)
             prev_v = aligner.ssdb.version()
-            if not (c1.any() or c2.any()):
+            if not (c1.any() or c2.any() or nm1.any() or nm2.any()):
                 break
+            if nm1.any():
+                aligner._newp_rescue(b1, m1, nm1, newp)
             if c1.any():
                 aligner._splice_rescue(b1, m1, rows=c1,
                                        scan_covered=dl1 is not None)
+            if nm2.any():
+                aligner._newp_rescue(b2, m2, nm2, newp)
             if c2.any():
                 aligner._splice_rescue(b2, m2, rows=c2,
                                        scan_covered=dl2 is not None)

@@ -1489,6 +1489,130 @@ class Aligner:
                                      scope=scope)
         return ret_resid
 
+    def _newp_rescue(self, batch: ReadBatch, merged, rows_mask,
+                     newp: np.ndarray) -> None:
+        """Precision re-run for already-rescued rows whose spans contain
+        sites published AFTER their lanes were scored: a known site
+        (l, r) changes lane (posA, posB) scoring iff it fits that
+        diagonal pair exactly at j = l - posA + 1 with r == posB + j —
+        which is exactly the lane the known-site enumeration below
+        generates. So instead of re-enumerating every seeded lane (full
+        legacy rescue over ~hundreds of rows), only the handful of
+        new-site-implied lanes are scored, on the host mirror
+        (ops/splice_host) with the FULL site table; winners attach with
+        replace-if-better and only rows whose candidate list changed
+        re-run second-pass chaining."""
+        from ..ops import splice_host as _sph
+        o = self.opts
+        lens = batch.lens.astype(np.int64)
+        rowsv = np.flatnonzero(rows_mask)
+        if rowsv.size == 0 or newp.size == 0:
+            return
+        sc, pos, fw = merged["score"], merged["pos"], merged["fw"]
+        posr = pos[rowsv].astype(np.int64)           # (R, K2)
+        fwr = fw[rowsv]
+        liver = sc[rowsv] > NEG_INF // 2
+        rl = lens[rowsv][:, None]
+        nl = newp[np.argsort(newp[:, 0], kind="stable")]
+        nr = newp[np.argsort(newp[:, 1], kind="stable")]
+        rgrid = np.broadcast_to(rowsv[:, None], posr.shape)
+        l_row, l_pa, l_pb, l_fa = [], [], [], []
+
+        def add(rr, pa, pb, fa, okm):
+            l_row.append(rr[okm])
+            l_pa.append(pa[okm])
+            l_pb.append(pb[okm])
+            l_fa.append(fa[okm])
+        lo = np.searchsorted(nl[:, 0], posr)
+        hi = np.searchsorted(nl[:, 0], posr + rl - 1)
+        for s in range(4):
+            okm = liver & (lo + s < hi)
+            si = np.minimum(lo + s, nl.shape[0] - 1)
+            pb = nl[si, 1] - (nl[si, 0] - posr + 1)
+            okm &= pb > posr
+            add(rgrid, posr, pb, fwr, okm)
+        lo2 = np.searchsorted(nr[:, 1], posr)
+        hi2 = np.searchsorted(nr[:, 1], posr + rl)
+        for s in range(4):
+            okm = liver & (lo2 + s < hi2)
+            si = np.minimum(lo2 + s, nr.shape[0] - 1)
+            intron = nr[si, 1] - nr[si, 0] - 1
+            pa2 = posr - intron
+            okm &= pa2 < posr
+            add(rgrid, pa2, posr, fwr, okm)
+        if not l_row or sum(x.size for x in l_row) == 0:
+            return
+        ri = np.concatenate(l_row)
+        pa_v = np.concatenate(l_pa)
+        pb_v = np.concatenate(l_pb)
+        fa_v = np.concatenate(l_fa)
+        key = np.stack([ri, pa_v, pb_v, fa_v.astype(np.int64)], 1)
+        _u, uidx = np.unique(key, axis=0, return_index=True)
+        ri, pa_v, pb_v, fa_v = (x[uidx] for x in (ri, pa_v, pb_v, fa_v))
+        rd_h, q_h = self._host_oriented(batch, ri, fa_v)
+        kl_h, kr_h = self.ssdb.lefts_rights()
+        rh = _sph.junction_score_host(
+            self.fm.ref.joined, self.scoring, rd_h, q_h, lens[ri],
+            pa_v, pb_v, kl_h, kr_h, overlay=self.overlay)
+        pack = _sph.gate_pack_host(rh, self.scoring, lens[ri],
+                                   pa_v, pb_v, o.max_intron, o.dta)
+        jsc = pack[:, 0]
+        jj = pack[:, 1]
+        fl = pack[:, 2]
+        accept_v = (fl >> 4) & 1
+        partial_v = (fl >> 5) & 1
+        jstr = fl & 3
+        jcan = (fl >> 2) & 3
+        strands = np.where(jstr == 1, "+", "-")
+        spl: dict = merged.setdefault("splice", {})
+        partial: dict = merged.setdefault("splice_partial", {})
+        changed = set()
+        for k in np.flatnonzero(partial_v):
+            k = int(k)
+            i = int(ri[k])
+            cur = partial.setdefault(i, [])
+            if len(cur) < 4 and not any(
+                    x["posA"] == pa_v[k] and x["posB"] == pb_v[k]
+                    and x["fw"] == fa_v[k] for x in cur):
+                cur.append(dict(
+                    score=int(jsc[k]), posA=int(pa_v[k]),
+                    posB=int(pb_v[k]), fw=bool(fa_v[k]), j=int(jj[k]),
+                    delta=int(pb_v[k] - pa_v[k]),
+                    strand=str(strands[k]), canon=int(jcan[k]),
+                    probscore=0.0))
+                changed.add(i)
+        for k in np.flatnonzero(accept_v):
+            k = int(k)
+            i = int(ri[k])
+            pa, pb, fa = int(pa_v[k]), int(pb_v[k]), bool(fa_v[k])
+            cur = spl.setdefault(i, [])
+            # same dedup rule as the main attach (skip existing
+            # (posA, posB, fw) — the full legacy re-run keeps the old
+            # entry too); only genuinely NEW lanes change the row
+            if any(x["posA"] == pa and x["posB"] == pb
+                   and x["fw"] == fa for x in cur):
+                continue
+            cur.append(dict(
+                score=int(jsc[k]), posA=pa, posB=pb, fw=fa,
+                j=int(jj[k]), delta=pb - pa,
+                strand=str(strands[k]), canon=int(jcan[k]),
+                probscore=0.0))
+            changed.add(i)
+            if (not o.no_temp_splicesite and int(jcan[k]) == 2):
+                self.ssdb.add_novel(pa + int(jj[k]) - 1, pb + int(jj[k]),
+                                    str(strands[k]))
+        if not changed:
+            return
+        for i in changed:
+            if i in spl:
+                spl[i].sort(key=lambda c: (-c["score"],
+                                           0 if c["canon"] == 1 else 1))
+        scope = np.zeros(rows_mask.size, bool)
+        scope[list(changed)] = True
+        perfect = (self.scoring.match_bonus * lens).astype(np.int64)
+        self._splice_second_pass(batch, merged, spl, lens, perfect,
+                                 scope=scope)
+
     def _attach_dev_chains(self, batch, spl, d2blk, lens) -> None:
         """Attach the fused dispatch's gated pass-2 chain lanes (device
         mirror of _splice_second_pass): rebuild 3-segment chains from the

@@ -1330,7 +1330,7 @@ class Aligner:
             srows = np.zeros(0, np.int64)
         if (P1 or srows.size) and (
                 self.sctab is None
-                or (P1 <= 8192 and (scan_covered or dev_lanes is not None))):
+                or scan_covered or dev_lanes is not None):
             # host-scored legacy: (a) host_only aligner (sharded finish)
             # — shard arrays are not HBM-resident at finish time; (b)
             # SMALL lane sets on the single-index path — a mid-finish
@@ -1343,13 +1343,10 @@ class Aligner:
             if P1:
                 rd_h, q_h = self._host_oriented(batch, s_row, s_fa)
                 kl_h, kr_h = self.ssdb.lefts_rights()
-                rh = _sph.junction_score_host(
+                _rh, res1 = _sph.junction_score_gate(
                     self.fm.ref.joined, self.scoring, rd_h, q_h,
                     lens[s_row], s_pa, s_pb, kl_h, kr_h,
-                    overlay=self.overlay)
-                res1 = _sph.gate_pack_host(
-                    rh, self.scoring, lens[s_row], s_pa, s_pb,
-                    o.max_intron, o.dta)
+                    self.overlay, o.max_intron, o.dta)
         elif P1 or srows.size:
             # FIXED size-class buckets (small/mid/full), NOT free pow2
             # growth: every distinct dispatch shape costs a one-time
@@ -1430,50 +1427,92 @@ class Aligner:
         partial: dict[int, list] = merged.setdefault("splice_partial", {})
         # acceptance gates ran ON DEVICE (ops/splice.junction_gated,
         # reference hi_aligner.h:3753-3786) — only accepted/partial lanes
-        # reach the per-lane Python below. probscore stays device-side
-        # (nothing downstream reads the stored value).
+        # reach the attach below, VECTORIZED: keep-first (row,pa,pb,fw)
+        # dedup + lexsort by the candidate order, then per-row slices
+        # become pre-sorted lists (the per-lane dict loop was ~40ms/batch
+        # at steady state). probscore stays device-side.
         delta_v = pb_v - pa_v
-        partial_v = (fl >> 5) & 1
-        accept_v = (fl >> 4) & 1
+        # anchor-scan lanes may only land fully-accepted junctions: their
+        # far diagonal is an 8-mer guess, so a partial (chain-base) entry
+        # would seed multi-segment chains from an outer anchor the
+        # reference would never admit (spliced_aligner.h:331-560)
+        partial_v = (((fl >> 5) & 1) > 0) & ~is_scan
+        accept_v = ((fl >> 4) & 1) > 0
         strands = np.where(jstr == 1, "+", "-")
-        for k in np.flatnonzero(partial_v):
-            k = int(k)
-            if is_scan[k]:
-                # anchor-scan lanes may only land fully-accepted
-                # junctions: their far diagonal is an 8-mer guess, so a
-                # partial (chain-base) entry would seed multi-segment
-                # chains from an outer anchor the reference would never
-                # admit (localGFMSearch results go through the same full
-                # acceptance, spliced_aligner.h:331-560)
-                continue
-            i = int(ri[k])
-            cur = partial.setdefault(i, [])
-            if len(cur) < 4:
-                cur.append(dict(
-                    score=int(jsc[k]), posA=int(pa_v[k]), posB=int(pb_v[k]),
-                    fw=bool(fa_v[k]), j=int(jj[k]), delta=int(delta_v[k]),
-                    strand=str(strands[k]), canon=int(jcan[k]),
-                    probscore=0.0))
-        for k in np.flatnonzero(accept_v):
-            k = int(k)
-            i = int(ri[k])
-            pa, pb, fa = int(pa_v[k]), int(pb_v[k]), bool(fa_v[k])
-            c = dict(score=int(jsc[k]), posA=pa, posB=pb, fw=fa,
-                     j=int(jj[k]), delta=pb - pa,
-                     strand=str(strands[k]), canon=int(jcan[k]),
-                     probscore=0.0)
-            cur = spl.setdefault(i, [])
-            if any(x["posA"] == pa and x["posB"] == pb and x["fw"] == fa
-                   for x in cur):
-                continue
-            cur.append(c)
+        sortkey = lambda c: (-c["score"], 0 if c["canon"] == 1 else 1)
+        acc = np.flatnonzero(accept_v)
+        if acc.size:
+            keys = np.stack([ri[acc], pa_v[acc], pb_v[acc],
+                             fa_v[acc].astype(np.int64)], 1)
+            _u, first = np.unique(keys, axis=0, return_index=True)
+            acc = acc[np.sort(first)]
+            rows_a = ri[acc]
+            if spl:
+                # later rounds: drop lanes already attached for their row
+                exist_rows = np.fromiter(spl.keys(), np.int64, len(spl))
+                chk = np.isin(rows_a, exist_rows)
+                if chk.any():
+                    keep = np.ones(acc.size, bool)
+                    for t in np.flatnonzero(chk):
+                        k = int(acc[t])
+                        cur = spl[int(rows_a[t])]
+                        pa, pb, fa = int(pa_v[k]), int(pb_v[k]), \
+                            bool(fa_v[k])
+                        if any(x["posA"] == pa and x["posB"] == pb
+                               and x["fw"] == fa for x in cur):
+                            keep[t] = False
+                    acc = acc[keep]
+                    rows_a = ri[acc]
+        if acc.size:
+            order = np.lexsort((np.where(jcan[acc] == 1, 0, 1),
+                                -jsc[acc], rows_a))
+            accs = acc[order]
+            rows_s = ri[accs]
+            cands = [dict(score=int(s), posA=int(a), posB=int(b),
+                          fw=bool(f), j=int(j), delta=int(d),
+                          strand=str(st), canon=int(c), probscore=0.0)
+                     for s, a, b, f, j, d, st, c in zip(
+                         jsc[accs], pa_v[accs], pb_v[accs], fa_v[accs],
+                         jj[accs], delta_v[accs], strands[accs],
+                         jcan[accs])]
+            ub, starts = np.unique(rows_s, return_index=True)
+            bounds = np.append(starts, rows_s.size)
+            for t in range(ub.size):
+                i = int(ub[t])
+                lst = cands[bounds[t]:bounds[t + 1]]
+                cur = spl.get(i)
+                if cur is None:
+                    spl[i] = lst          # pre-sorted slice
+                else:
+                    cur.extend(lst)
+                    cur.sort(key=sortkey)
             # publish confidently-discovered canonical junctions so later
             # reads (and the second pass) can use them as known sites
-            if not self.opts.no_temp_splicesite and c["canon"] == 2:
-                self.ssdb.add_novel(pa + c["j"] - 1, pb + c["j"], c["strand"])
-        for i in list(spl):
-            spl[i].sort(key=lambda c: (-c["score"],
-                                       0 if c["canon"] == 1 else 1))
+            if not self.opts.no_temp_splicesite:
+                for k in accs[jcan[accs] == 2]:
+                    k = int(k)
+                    self.ssdb.add_novel(int(pa_v[k] + jj[k] - 1),
+                                        int(pb_v[k] + jj[k]),
+                                        str(strands[k]))
+        par = np.flatnonzero(partial_v)
+        if par.size:
+            order = np.argsort(ri[par], kind="stable")
+            pars = par[order]
+            rows_ps = ri[pars]
+            ub, starts = np.unique(rows_ps, return_index=True)
+            bounds = np.append(starts, rows_ps.size)
+            for t in range(ub.size):
+                i = int(ub[t])
+                cur = partial.setdefault(i, [])
+                room = 4 - len(cur)
+                for k in pars[bounds[t]:bounds[t + 1]][:max(0, room)]:
+                    k = int(k)
+                    cur.append(dict(
+                        score=int(jsc[k]), posA=int(pa_v[k]),
+                        posB=int(pb_v[k]), fw=bool(fa_v[k]),
+                        j=int(jj[k]), delta=int(delta_v[k]),
+                        strand=str(strands[k]), canon=int(jcan[k]),
+                        probscore=0.0))
         # second pass: device-covered rows already got their chain lanes
         # from the fused dispatch (ops/splice.spliced_stage pass 2) —
         # attach those, then re-chain only rows OUTSIDE device coverage
@@ -1551,11 +1590,9 @@ class Aligner:
         ri, pa_v, pb_v, fa_v = (x[uidx] for x in (ri, pa_v, pb_v, fa_v))
         rd_h, q_h = self._host_oriented(batch, ri, fa_v)
         kl_h, kr_h = self.ssdb.lefts_rights()
-        rh = _sph.junction_score_host(
+        _rh, pack = _sph.junction_score_gate(
             self.fm.ref.joined, self.scoring, rd_h, q_h, lens[ri],
-            pa_v, pb_v, kl_h, kr_h, overlay=self.overlay)
-        pack = _sph.gate_pack_host(rh, self.scoring, lens[ri],
-                                   pa_v, pb_v, o.max_intron, o.dta)
+            pa_v, pb_v, kl_h, kr_h, self.overlay, o.max_intron, o.dta)
         jsc = pack[:, 0]
         jj = pack[:, 1]
         fl = pack[:, 2]
@@ -1923,7 +1960,7 @@ class Aligner:
         seglen = np.where(lside_L, lj, rlv - lj)
         pA2 = np.where(lside_L, lpd, lpB + lj).astype(np.int32)
         pB2 = np.where(lside_L, lpA, lpd + lj).astype(np.int32)
-        if self.sctab is None or P <= 8192:
+        if self.sctab is None or P <= 131072:
             # NumPy segment scoring against the joined text
             # (ops/splice_host): the sharded finish has no HBM-resident
             # shard arrays, and SMALL lane sets beat a mid-finish device
@@ -1944,10 +1981,10 @@ class Aligner:
             rd2h = np.where(inseg, rd2h, 4)
             q2h = np.where(inseg, q2h, 0)
             kl_h, kr_h = self.ssdb.lefts_rights()
-            rh = _sph.junction_score_host(
+            rh, _pk = _sph.junction_score_gate(
                 self.fm.ref.joined, self.scoring, rd2h, q2h, seglen,
                 pA2.astype(np.int64), pB2.astype(np.int64), kl_h, kr_h,
-                overlay=self.overlay)
+                self.overlay, o.max_intron, o.dta)
             res2 = np.stack(
                 [np.maximum(rh["score"], np.int64(-(1 << 30))), rh["j"],
                  rh["strand"], rh["canon"],

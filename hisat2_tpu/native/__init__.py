@@ -209,3 +209,30 @@ def sais_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_int64]
         lib._configured = True
     return lib
+
+
+def juncscore_lib() -> ctypes.CDLL | None:
+    lib = load("juncscore", "juncscore.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+        i64 = ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i8 = ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u8 = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f32 = ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.junc_score_batch.restype = None
+        lib.junc_score_batch.argtypes = [
+            u8, ctypes.c_int64, ctypes.c_void_p,    # joined, n, overlay?
+            i8, i8, i64,                            # rd q rdlens
+            i64, i64, ctypes.c_int64, ctypes.c_int64,  # posA posB C L
+            i64, i64, ctypes.c_int64,               # kleft kright nK
+            i64, i64,                               # mm_pens sc_pens
+            ctypes.c_int64, ctypes.c_int64,         # n_pen match_bonus
+            ctypes.c_double, ctypes.c_double,       # smin I S
+            ctypes.c_int64, ctypes.c_int32,         # max_intron dta
+            ctypes.c_int64, ctypes.c_int64,         # canon/noncanon pen
+            ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ndpointer(np.float64, flags="C_CONTIGUOUS"),  # donor/acceptor PWM
+            i64, f32, ctypes.c_int32]               # out, out_ps, nthreads
+        lib._configured = True
+    return lib

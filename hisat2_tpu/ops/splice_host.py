@@ -213,3 +213,62 @@ def gate_pack_host(r: dict, scoring, rdlens, posA, posB, max_intron,
     flags = (strand | (canon << 2) | (accept.astype(np.int64) << 4)
              | (part.astype(np.int64) << 5))
     return np.stack([score, j, flags], axis=1)
+
+
+_PWM32 = None
+
+
+def junction_score_gate(joined, scoring, rd, q, rdlens, posA, posB,
+                        kleft, kright, overlay, max_intron, dta,
+                        n_threads: int = 4):
+    """junction_score_host + gate_pack_host in one call, dispatched to
+    the native scorer (native/juncscore.cpp) when available — the RNA
+    finish scores residual/cleanup lanes on the host, and the NumPy
+    mirror's ~20 (C, L) temporaries cost ~70ms/batch at steady state.
+    Returns (rdict, pack) with the same contents as the NumPy pair."""
+    from .. import native as _native
+    global _PWM32
+    lib = _native.juncscore_lib()
+    C = int(rd.shape[0])
+    if lib is None or C == 0:
+        r = junction_score_host(joined, scoring, rd, q, rdlens,
+                                posA, posB, kleft, kright,
+                                overlay=overlay)
+        return r, gate_pack_host(r, scoring, rdlens, posA, posB,
+                                 max_intron, dta)
+    L = int(rd.shape[1])
+    if _PWM32 is None:
+        _PWM32 = (np.ascontiguousarray(_sm.DONOR_LOGODDS, np.float64),
+                  np.ascontiguousarray(_sm.ACCEPTOR_LOGODDS, np.float64))
+    dlo, alo = _PWM32
+    rd8 = np.ascontiguousarray(rd, np.int8)
+    q8 = np.ascontiguousarray(q, np.int8)
+    rl = np.ascontiguousarray(rdlens, np.int64)
+    pa = np.ascontiguousarray(posA, np.int64)
+    pb = np.ascontiguousarray(posB, np.int64)
+    kl = np.ascontiguousarray(kleft, np.int64)
+    kr = np.ascontiguousarray(kright, np.int64)
+    jt = joined if joined.dtype == np.uint8 else joined.astype(np.uint8)
+    jt = np.ascontiguousarray(jt)
+    mm = np.ascontiguousarray(scoring.mm_pens(), np.int64)
+    sc = np.ascontiguousarray(scoring.sc_pens(), np.int64)
+    out = np.empty((C, 7), np.int64)
+    out_ps = np.empty(C, np.float32)
+    if overlay is not None:
+        ovc = np.ascontiguousarray(overlay, np.uint8)
+        ovp = ovc.ctypes.data
+    else:
+        ovp = None
+    lib.junc_score_batch(
+        jt, np.int64(jt.size), ovp, rd8, q8, rl, pa, pb,
+        np.int64(C), np.int64(L), kl, kr, np.int64(kl.size),
+        mm, sc, np.int64(scoring.n_pen), np.int64(scoring.match_bonus),
+        float(scoring.score_min.I), float(scoring.score_min.S),
+        np.int64(max_intron), np.int32(1 if dta else 0),
+        np.int64(CANON_PEN), np.int64(NONCANON_PEN),
+        dlo, alo, out, out_ps, np.int32(n_threads))
+    r = dict(score=out[:, 0], j=out[:, 1], strand=out[:, 2],
+             canon=out[:, 3], probscore=out_ps, mmL=out[:, 4],
+             mmR=out[:, 5])
+    pack = np.stack([out[:, 0], out[:, 1], out[:, 6]], axis=1)
+    return r, pack

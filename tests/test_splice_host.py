@@ -96,3 +96,41 @@ def test_host_matches_device(setup):
     np.testing.assert_array_equal(
         np.maximum(pdev[:, 0], -32768),     # device pack clips to int16
         np.maximum(np.clip(phost[:, 0], -32768, 32767), -32768))
+
+
+def test_native_scorer_matches_numpy():
+    """native/juncscore.cpp vs the NumPy mirror, lane-for-lane, with and
+    without an SNV overlay and known sites."""
+    from hisat2_tpu.ops import splice_host as sph
+    from hisat2_tpu.align.scoring import DEFAULT_SCORING
+    from hisat2_tpu import native
+    if native.juncscore_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    joined = rng.integers(0, 4, 100000).astype(np.uint8)
+    C, L = 1500, 104
+    rd = rng.integers(0, 5, (C, L)).astype(np.int64)
+    q = rng.integers(10, 41, (C, L)).astype(np.int64)
+    rdlens = rng.integers(40, L + 1, C).astype(np.int64)
+    posA = rng.integers(100, 80000, C).astype(np.int64)
+    posB = posA + rng.integers(18, 60000, C)
+    kl = np.sort(rng.integers(100, 95000, 300))
+    kr = kl + rng.integers(30, 50000, 300)
+    order = np.lexsort((kr, kl))
+    kl, kr = kl[order], kr[order]
+    sc = DEFAULT_SCORING
+    for ov in (None,
+               rng.integers(0, 16, joined.size).astype(np.uint8)):
+        r_np = sph.junction_score_host(joined, sc, rd, q, rdlens,
+                                       posA, posB, kl, kr, overlay=ov)
+        p_np = sph.gate_pack_host(r_np, sc, rdlens, posA, posB,
+                                  524288, False)
+        r_nat, p_nat = sph.junction_score_gate(
+            joined, sc, rd, q, rdlens, posA, posB, kl, kr, ov,
+            524288, False)
+        for k in ("score", "j", "strand", "canon", "mmL", "mmR"):
+            assert (np.asarray(r_np[k]) == np.asarray(r_nat[k])).all(), k
+        assert np.abs(r_np["probscore"].astype(np.float64)
+                      - r_nat["probscore"].astype(np.float64)).max() < 1e-5
+        assert (p_np == p_nat).all()

@@ -865,7 +865,9 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
                 continue
             c0 = cands[0]
             if not (not aligned[i] or c0["score"] > msc0[i]
-                    or (c0["score"] == msc0[i] and c0["canon"] == 1)):
+                    or (c0["score"] == msc0[i] and c0["canon"] == 1
+                        and al.ssdb.is_baked(c0["posA"] + c0["j"] - 1,
+                                             c0["posB"] + c0["j"]))):
                 continue
             swin[i] = True
             if (len(cands) == 1 and "segs" not in c0
@@ -1160,10 +1162,13 @@ def _align_and_emit_legacy(al: Aligner, batch: ReadBatch, writer) -> dict:
         if i in spl:
             entries += [("spl", c["score"], c["posA"], c["fw"], c)
                         for c in spl[i] if c["score"] >= min_scs[i]]
-            # ties: known-site junctions beat contiguous alignments
-            entries.sort(key=lambda e: (-e[1], 0 if (e[0] == "spl"
-                                                     and e[4]["canon"] == 1)
-                                        else 1))
+            # ties: BAKED known-site junctions beat contiguous
+            # alignments (runtime novel sites don't — splice_db.is_baked)
+            entries.sort(key=lambda e: (
+                -e[1], 0 if (e[0] == "spl" and e[4]["canon"] == 1
+                             and al.ssdb.is_baked(
+                                 e[4]["posA"] + e[4]["j"] - 1,
+                                 e[4]["posB"] + e[4]["j"])) else 1))
         if al.opts.tmo:
             # --tmo: contiguous candidates can never pass _tmo_pass
             # (reference gates BEFORE report-slot allocation,
@@ -2389,9 +2394,12 @@ def _align_and_emit_pe_legacy(al: Aligner, b1: ReadBatch, b2: ReadBatch,
                     cs.append(dict(score=c["score"], pos=c["posA"],
                                    fw=c["fw"], kind="spl", c=c,
                                    extent=rdlen + c["delta"]))
-            cs.sort(key=lambda x: (-x["score"],
-                                   0 if (x["kind"] == "spl"
-                                         and x["c"]["canon"] == 1) else 1))
+            cs.sort(key=lambda x: (
+                -x["score"],
+                0 if (x["kind"] == "spl" and x["c"]["canon"] == 1
+                      and al.ssdb.is_baked(
+                          x["c"]["posA"] + x["c"]["j"] - 1,
+                          x["c"]["posB"] + x["c"]["j"])) else 1))
             return cs[:o.top_cands]
 
         def finalize(batch, i, c, rdlen):

@@ -601,7 +601,7 @@ def stage_pe_packed(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         jnp.int32(qc1),
         jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
         jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
-        jnp.int32(o.minins), jnp.int32(o.maxins),
+        jnp.int32(o.minins), jnp.int32(_maxins_eff(o, L)),
         B=B, L=L, max_seeds=o.max_seeds, n_seeds=o.n_seeds,
         locs_per_seg=o.locs_per_seg, top_cands=o.top_cands,
         min_seg_len=aligner.min_seg_len, ftab_k=aligner.fm.ftab_k,
@@ -655,6 +655,15 @@ def _gather_pe_slow(aligner, m1_dev, m2_dev, pt_dev, rows: np.ndarray):
 _stage_pe_fused = None  # lazily-jitted (many static args)
 
 
+def _maxins_eff(o, L: int) -> int:
+    """Effective fragment-length ceiling: in SPLICED mode the reference
+    skips peClassifyPair entirely and accepts properly-oriented pairs
+    whose inter-mate gap is within the max intron length
+    (hi_aligner.h:6010-6040: right.off() + maxIntronLen >= left2.off());
+    frag = gap + both extents, hence + 2L."""
+    return o.max_intron + 2 * L if o.spliced else o.maxins
+
+
 def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
                    KP: int, KF: int):
     """Host wrapper: one fused PE dispatch, numpy outputs."""
@@ -680,7 +689,8 @@ def stage_pe_fused(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
         jnp.asarray(b2.seqs), jnp.asarray(b2.quals), jnp.asarray(b2.lens),
         jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
         jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
-        jnp.int32(o.minins), jnp.int32(o.maxins),
+        jnp.int32(o.minins),
+        jnp.int32(_maxins_eff(o, int(b1.seqs.shape[1]))),
         B=B, max_seeds=o.max_seeds, n_seeds=o.n_seeds,
         locs_per_seg=o.locs_per_seg, top_cands=o.top_cands,
         min_seg_len=aligner.min_seg_len, ftab_k=aligner.fm.ftab_k,
@@ -779,11 +789,12 @@ def _concordant_grid(m1, m2, b1, b2, o, scoring):
         okdir = ~up_fw & dn_fw
     else:
         okdir = f1[:, :, None] == f2[:, None, :]
-    ok = (okdir & (frag >= o.minins) & (frag <= o.maxins)
+    mxeff = _maxins_eff(o, int(b1.seqs.shape[1]))
+    ok = (okdir & (frag >= o.minins) & (frag <= mxeff)
           & v1[:, :, None] & v2[:, None, :])
     if o.dovetail and o.fr in ("fr", "rf"):
         dd = (~up_fw & dn_fw) if o.fr == "fr" else (up_fw & ~dn_fw)
-        ok |= (dd & (frag >= o.minins) & (frag <= o.maxins)
+        ok |= (dd & (frag >= o.minins) & (frag <= mxeff)
                & v1[:, :, None] & v2[:, None, :])
     if o.no_contain or o.no_overlap:
         e1g = P1 + E1
@@ -912,10 +923,14 @@ def align_pairs(aligner: Aligner, b1: ReadBatch, b2: ReadBatch,
             if c["score"] >= min_sc:
                 cs.append(dict(score=c["score"], pos=c["posA"], fw=c["fw"],
                                kind="spl", c=c, extent=rdlen + c["delta"]))
-        # ties: known-site junctions beat contiguous placements
-        cs.sort(key=lambda x: (-x["score"],
-                               0 if (x["kind"] == "spl"
-                                     and x["c"]["canon"] == 1) else 1))
+        # ties: BAKED known-site junctions beat contiguous placements
+        # (runtime novel sites don't — splice_db.is_baked)
+        cs.sort(key=lambda x: (
+            -x["score"],
+            0 if (x["kind"] == "spl" and x["c"]["canon"] == 1
+                  and aligner.ssdb.is_baked(
+                      x["c"]["posA"] + x["c"]["j"] - 1,
+                      x["c"]["posB"] + x["c"]["j"])) else 1))
         return cs[:o.top_cands]
 
     def finalize(batch, i, c, rdlen):
@@ -986,7 +1001,10 @@ def _pair_result_one(aligner, i, b1, b2, m1, m2, grid, mate_cands,
             for x2 in c2:
                 ok, frag = _concordant(x1["fw"], x1["pos"], x1["extent"],
                                        x2["fw"], x2["pos"], x2["extent"],
-                                       o.minins, o.maxins, o.fr,
+                                       o.minins,
+                                       _maxins_eff(
+                                           o, int(b1.seqs.shape[1])),
+                                       o.fr,
                                        (o.dovetail, o.no_contain,
                                         o.no_overlap))
                 if ok:
@@ -1229,7 +1247,9 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
         ok, _frag = _concordant(
             a_anchor.fw, a_anchor.joined_pos, ac["extent"],
             a_resc.fw, a_resc.joined_pos, a_resc.ref_span,
-            aligner.opts.minins, aligner.opts.maxins, aligner.opts.fr,
+            aligner.opts.minins,
+            _maxins_eff(aligner.opts, int(ab.seqs.shape[1])),
+            aligner.opts.fr,
             (aligner.opts.dovetail, aligner.opts.no_contain,
              aligner.opts.no_overlap))
         if not ok:

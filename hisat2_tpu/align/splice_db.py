@@ -137,6 +137,16 @@ class SpliceSiteDB:
         order = np.argsort(arr[:, 1], kind="stable")
         return arr[order, 1], arr[order, 0]
 
+    def is_baked(self, left: int, right: int) -> bool:
+        """True when (left, right) is an INDEX-known site (--ss baked or
+        --known-splicesite-infile), as opposed to a runtime novel
+        publication. The transcriptome tie preference (known junction
+        beats an equal-scoring contiguous placement) applies only to
+        baked sites — the reference's recorded behavior keeps the
+        contiguous alignment when the tying site was merely discovered
+        from another read in the same run."""
+        return (left, right) in self.known
+
     def __len__(self) -> int:
         return len(self.known) + len(self.novel)
 

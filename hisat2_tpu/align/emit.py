@@ -1268,6 +1268,10 @@ def align_and_emit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch,
 
     lib = _samfmt()
     o = al.opts
+    if _pe_rna_ok(al):
+        from . import paired_rna as _prna
+        return _prna.finish_pe_rna(al, _prna.submit_pe_rna(al, b1, b2),
+                                   writer)
     if (lib is None or not o.seed_mode or o.spliced or o.tmo
             or (o.zs_tags and al.overlay is not None)
             or len(al.ssdb)):
@@ -1278,11 +1282,24 @@ def align_and_emit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch,
     return _finish_pe_pack(al, b1, b2, out, writer)
 
 
+def _pe_rna_ok(al: Aligner) -> bool:
+    """Eligibility for the vectorized spliced PE path (paired_rna):
+    spliced seed-mode with the native formatter; --tmo and Zs-tag output
+    flow through the per-pair ladder (pairs_to_sam filters)."""
+    o = al.opts
+    return (o.spliced and o.seed_mode and not o.tmo
+            and not (o.zs_tags and al.overlay is not None)
+            and _samfmt() is not None and al.sctab is not None)
+
+
 def submit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch):
     """Dispatch one PE batch (packed path when possible)."""
     from . import paired as _paired
     lib = _samfmt()
     o = al.opts
+    if _pe_rna_ok(al):
+        from . import paired_rna as _prna
+        return _prna.submit_pe_rna(al, b1, b2)
     if (lib is None or not o.seed_mode or o.spliced or o.tmo
             or (o.zs_tags and al.overlay is not None) or len(al.ssdb)):
         return ("legacy", b1, b2)
@@ -1295,6 +1312,9 @@ def submit_pe(al: Aligner, b1: ReadBatch, b2: ReadBatch):
 def finish_pe(al: Aligner, handle, writer) -> dict:
     if handle[0] == "legacy":
         return _align_and_emit_pe_legacy(al, handle[1], handle[2], writer)
+    if handle[0] == "rna":
+        from . import paired_rna as _prna
+        return _prna.finish_pe_rna(al, handle, writer)
     return _finish_pe_pack(al, handle[1], handle[2], handle[3], writer)
 
 
@@ -1305,6 +1325,11 @@ def align_and_emit_pe_stream(al: Aligner, pair_batches, writer,
     finish halves run in `workers` threads (NumPy/ctypes release the
     GIL), output replays in submit order. depth = max
     dispatched-but-unconsumed batches (device queue + worker slack)."""
+    if al.opts.spliced:
+        # splice rescue mutates the novel-junction DB: finishes run
+        # serially, one batch in flight (see align_and_emit_stream)
+        workers = 0
+        depth = min(depth, 1)
     return _stream(al, iter(pair_batches), writer, submit_pe,
                    finish_pe, on_batch, depth, workers)
 
@@ -2478,9 +2503,10 @@ def _interleave_runs(src1, src2, nrec):
 
 def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
                        c5, mid, c3, pnext, tlen, yt, score, nmm, zs, nh,
-                       mm_cols, mm_ref, mm_off):
+                       mm_cols, mm_ref, mm_off, m1=None, gapn=None, xs=None):
     """Per-read name/seq buffers hold mate1 and mate2 of each fast pair as
-    consecutive rows (read_of = 2*local_pair + mate)."""
+    consecutive rows (read_of = 2*local_pair + mate). m1/gapn/xs: spliced-
+    record columns (one intron + XS:A strand)."""
     ref = al.fm.ref
     Nf = frows.size
     lens = np.empty(2 * Nf, np.int64)
@@ -2546,9 +2572,14 @@ def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
     rn_lens = np.diff(rn_off)
 
     nrec = read_of.size
-    per_rec = (240 + name_lens[read_local] + rn_lens[rname]
+    per_rec = (280 + name_lens[read_local] + rn_lens[rname]
                + 2 * lens[read_local] + 12 * np.diff(mm_off))
     cap = int(per_rec.sum()) + 1024
+
+    z = np.zeros(nrec, np.int32)
+    m1 = z if m1 is None else np.ascontiguousarray(m1.astype(np.int32))
+    gapn = z if gapn is None else np.ascontiguousarray(gapn.astype(np.int32))
+    xs = z if xs is None else np.ascontiguousarray(xs.astype(np.int32))
 
     import ctypes
     lib = _samfmt()
@@ -2567,7 +2598,7 @@ def _format_pe_records(al, b1, b2, frows, read_of, flag, rname, pos1, mapq,
         sf, qf, sr, qr, seq_off,
         np.ascontiguousarray(mm_cols), mm_ref, mm_off,
         np.ascontiguousarray(rn_buf), rn_off,
-        out, np.int64(cap), ends)
+        out, np.int64(cap), ends, m1, gapn, xs)
     assert total >= 0, "PE SAM buffer overflow despite exact sizing"
     return out.raw[:total], ends
 

@@ -79,7 +79,8 @@ def samfmt_lib() -> ctypes.CDLL | None:
             u8, u8, u8, u8, i64,         # seq_f qual_f seq_r qual_r off
             i32, u8, i64,                # mm cols/ref/off (per record)
             u8, i64,                     # refname buf/off
-            ctypes.c_char_p, ctypes.c_int64, i64]  # out, cap, rec_ends
+            ctypes.c_char_p, ctypes.c_int64, i64,  # out, cap, rec_ends
+            i32, i32, i32]               # m1, gapN, xs (spliced records)
         lib.format_se_batch2.restype = ctypes.c_int64
         lib.format_se_batch2.argtypes = [
             ctypes.c_int32,

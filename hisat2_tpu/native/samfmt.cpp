@@ -108,6 +108,9 @@ int64_t format_se_batch(
 // Paired records: same column layout as format_se_batch2 plus mate
 // fields (RNEXT is always "=", PNEXT/TLEN given) and a YT:Z code
 // (0 UU, 1 CP, 2 DP, 3 UP). ZS slot doubles for the unpaired-mate path.
+// Spliced columns (optional, may be null): gapn[i] > 0 writes the CIGAR
+// as c5S m1M gapN (mid-m1)M c3S (one intron); xs[i] (0 none / 1 '+' /
+// 2 '-') adds the XS:A strand tag (sam.h:930-940).
 int64_t format_pe_batch(
     int32_t nrec,
     const int32_t* read_of, const int32_t* flag,
@@ -121,7 +124,8 @@ int64_t format_pe_batch(
     const uint8_t* seq_r, const uint8_t* qual_r, const int64_t* seq_off,
     const int32_t* mm_cols, const uint8_t* mm_ref, const int64_t* mm_off,
     const uint8_t* refname_buf, const int64_t* refname_off,
-    char* out, int64_t cap, int64_t* rec_ends)
+    char* out, int64_t cap, int64_t* rec_ends,
+    const int32_t* m1, const int32_t* gapn, const int32_t* xs)
 {
     static const char* yts[4] = {"UU", "CP", "DP", "UP"};
     char* p = out;
@@ -132,7 +136,7 @@ int64_t format_pe_batch(
         int32_t r = rname_idx[i];
         int rn_len = (int)(refname_off[r + 1] - refname_off[r]);
         int64_t n_mm = mm_off[i + 1] - mm_off[i];
-        int64_t worst = 230 + name_len + rn_len + 2 * (int64_t)seq_len
+        int64_t worst = 270 + name_len + rn_len + 2 * (int64_t)seq_len
                         + 12 * n_mm;
         if ((p - out) + worst > cap) return -1 - (int64_t)i;
         p = put_str(p, (const char*)(name_buf + name_off[rd]), name_len);
@@ -143,7 +147,13 @@ int64_t format_pe_batch(
         p = put_int(p, pos1[i]); *p++ = '\t';
         p = put_int(p, mapq[i]); *p++ = '\t';
         if (c5[i]) { p = put_int(p, c5[i]); *p++ = 'S'; }
-        p = put_int(p, mid[i]); *p++ = 'M';
+        if (gapn && gapn[i] > 0) {
+            p = put_int(p, m1[i]); *p++ = 'M';
+            p = put_int(p, gapn[i]); *p++ = 'N';
+            p = put_int(p, mid[i] - m1[i]); *p++ = 'M';
+        } else {
+            p = put_int(p, mid[i]); *p++ = 'M';
+        }
         if (c3[i]) { p = put_int(p, c3[i]); *p++ = 'S'; }
         p = put_str(p, "\t=\t", 3);
         p = put_int(p, pnext1[i]); *p++ = '\t';
@@ -160,14 +170,18 @@ int64_t format_pe_batch(
         p = put_str(p, "\tXO:i:0\tXG:i:0", 14);
         p = put_tag_i(p, "NM", nm[i]);
         p = put_str(p, "\tMD:Z:", 6);
-        int64_t m0 = mm_off[i], m1 = mm_off[i + 1];
+        int64_t mm0 = mm_off[i], mm1 = mm_off[i + 1];
         int32_t last = -1;
-        for (int64_t m = m0; m < m1; m++) {
+        for (int64_t m = mm0; m < mm1; m++) {
             p = put_int(p, mm_cols[m] - last - 1);
             *p++ = (char)mm_ref[m];
             last = mm_cols[m];
         }
         p = put_int(p, mid[i] - 1 - last);
+        if (xs && xs[i]) {
+            p = put_str(p, "\tXS:A:", 6);
+            *p++ = (xs[i] == 1) ? '+' : '-';
+        }
         p = put_str(p, "\tYT:Z:", 6);
         p = put_str(p, yts[yt_code[i] & 3], 2);
         p = put_tag_i(p, "NH", nh[i]);

@@ -425,6 +425,76 @@ def finish_pe_rna(al: Aligner, handle, writer) -> dict:
     spl2 = {i - B: v for i, v in spl_all.items() if i >= B}
     m1["splice"] = spl1
     m2["splice"] = spl2
+    return pair_finish_rna(al, b1, b2, bcat, m1, m2, writer)
+
+
+def rescue_pair_rna(al: Aligner, b1: ReadBatch, b2: ReadBatch, m1, m2,
+                    dev_lanes=(None, None)) -> None:
+    """Per-mate splice rescue + new-site repair rounds over pre-merged
+    grids (the sharded path's mirror of _rna_rescue_rounds: grids arrive
+    merged per mate in global coordinates, so the two mates rescue
+    separately; paired.align_pairs runs the same loop before its
+    ladder)."""
+    B = len(b1)
+    dl1, dl2 = dev_lanes
+    # version snapshot BEFORE the first rescue: sites it publishes count
+    # as new in round 1 (align_pairs's established loop)
+    prev_n, prev_v = len(al.ssdb), al.ssdb.version()
+    r1 = al._splice_rescue(b1, m1, dev_lanes=dl1, defer_resid=True)
+    r2 = al._splice_rescue(b2, m2, dev_lanes=dl2, defer_resid=True)
+    c1 = r1 if r1 is not None else np.zeros(B, bool)
+    c2 = r2 if r2 is not None else np.zeros(B, bool)
+    l1 = b1.lens.astype(np.int64)
+    l2 = b2.lens.astype(np.int64)
+    pf1 = (al.scoring.match_bonus * l1).astype(np.int64)
+    pf2 = (al.scoring.match_bonus * l2).astype(np.int64)
+    for _round in range(2):
+        nm1 = np.zeros(B, bool)
+        nm2 = np.zeros(B, bool)
+        newp = np.zeros((0, 2), np.int64)
+        if len(al.ssdb) != prev_n:
+            newp = al.ssdb.added_since(prev_v)
+            if newp.size:
+                a1 = al._spl_affected(m1, l1, newp)
+                a2 = al._spl_affected(m2, l2, newp)
+                pt1 = m1["score"][:, 0] < pf1
+                pt2 = m2["score"][:, 0] < pf2
+                nm1 = a1 & pt1 & ~c1
+                nm2 = a2 & pt2 & ~c2
+                c1 = c1 | (a1 & ~pt1)
+                c2 = c2 | (a2 & ~pt2)
+        prev_n, prev_v = len(al.ssdb), al.ssdb.version()
+        if not (c1.any() or c2.any() or nm1.any() or nm2.any()):
+            break
+        if nm1.any():
+            al._newp_rescue(b1, m1, nm1, newp)
+        if c1.any():
+            al._splice_rescue(b1, m1, rows=c1, scan_covered=dl1 is not None)
+        if nm2.any():
+            al._newp_rescue(b2, m2, nm2, newp)
+        if c2.any():
+            al._splice_rescue(b2, m2, rows=c2, scan_covered=dl2 is not None)
+        c1 = np.zeros(B, bool)
+        c2 = np.zeros(B, bool)
+
+
+def pair_finish_rna(al: Aligner, b1: ReadBatch, b2: ReadBatch,
+                    bcat: ReadBatch, m1, m2, writer) -> dict:
+    """Vectorized pairing + emission over per-mate candidate dicts (with
+    `splice` maps already attached by the rescue): shared by the
+    single-index finish above and the sharded-genome PE RNA path
+    (align/sharded.py), whose grids arrive pre-merged in global
+    coordinates."""
+    from . import emit as _emit
+    o = al.opts
+    sc = al.scoring
+    B = len(b1)
+    L = bcat.seqs.shape[1]
+    lens1 = b1.lens.astype(np.int64)
+    lens2 = b2.lens.astype(np.int64)
+    spl1 = m1.get("splice", {})
+    spl2 = m2.get("splice", {})
+    K2 = m1["score"].shape[1]
 
     min1 = np.ceil(sc.score_min.I + sc.score_min.S * lens1).astype(np.int64)
     min2 = np.ceil(sc.score_min.I + sc.score_min.S * lens2).astype(np.int64)

@@ -674,14 +674,15 @@ def _stage_align_packed(idx: dict, sctab: dict, seq_words, n_words,
         ar = jnp.arange(L, dtype=jnp.int32)[None, :]
         nNs = ((seqs >= 4)
                & (ar < lens.astype(jnp.int32)[:, None])).sum(axis=1)
-        TBs, PJs, ABs, NCs, NLs, dta_s = SPL
+        TBs, PJs, ABs, NCs, NLs, dta_s = SPL[:6]
+        tiles_s = SPL[6] if len(SPL) > 6 else 1
         (sp32, sp16, need, spl_cov, spl_nsel,
          sp32b, sp16b, spl_nsel2) = spliced_stage(
             idx, sctab, merged, st, need, nNs, B,
             spl_kss[0], spl_kss[1], spl_kss[2], spl_kss[3],
             minsc_i, minsc_s, spl_nceil[0], spl_nceil[1], spl_margin,
             spl_introns[0], spl_introns[1], TBs, PJs, ABs, NCs, NLs,
-            dta_s)
+            dta_s, tiles=tiles_s)
         bex = dict(bex, splanes32=sp32, splanes16=sp16, spl_cov=spl_cov,
                    spl_nsel=spl_nsel, splanes32b=sp32b, splanes16b=sp16b,
                    spl_nsel2=spl_nsel2)
@@ -1033,7 +1034,8 @@ class Aligner:
                 spl_introns=(jnp.int32(o.min_intron),
                              jnp.int32(o.max_intron)),
                 SPL=(TB, o.pairs_per_read, min(TB, max(128, TB // 4)), 4,
-                     2 * TB, o.dta))
+                     2 * TB, o.dta,
+                     max(1, min(8, -(-o.max_intron // 65536)))))
         fp_dev, merged_dev, extras = _stage_align_packed(
             self.idx, self.sctab,
             jnp.asarray(seq_w), jnp.asarray(n_w),
@@ -1395,7 +1397,8 @@ class Aligner:
                 jnp.float32(self.scoring.score_min.I),
                 jnp.float32(self.scoring.score_min.S),
                 jnp.int32(o.max_intron), jnp.int32(o.min_intron),
-                jnp.int32(self._spl_margin(batch)), AB, dta=o.dta)
+                jnp.int32(self._spl_margin(batch)), AB, dta=o.dta,
+                tiles=max(1, min(8, -(-o.max_intron // 65536))))
             for d in (pack1, pack2, desc2):
                 try:
                     d.copy_to_host_async()
@@ -1728,22 +1731,35 @@ class Aligner:
     def _host_oriented(self, batch: ReadBatch, rows, fw):
         """(C, L) reads + quals in alignment orientation for arbitrary
         (row, fw) lanes, on the host (NumPy) — the sharded finish path's
-        counterpart of ops/splice._gather_oriented."""
-        L = batch.seqs.shape[1]
-        seqs = batch.seqs[rows].astype(np.int64)
-        quals = np.clip(batch.quals[rows].astype(np.int64), 0, 63)
-        lens_r = batch.lens[rows].astype(np.int64)
-        ar = np.arange(L)
-        rcidx = np.clip(lens_r[:, None] - 1 - ar[None, :], 0, L - 1)
-        comp = np.array([3, 2, 1, 0, 4], np.int64)
-        rd = np.where(np.asarray(fw)[:, None], seqs,
-                      comp[np.take_along_axis(seqs, rcidx, 1)])
-        q = np.where(np.asarray(fw)[:, None], quals,
-                     np.take_along_axis(quals, rcidx, 1))
-        in_read = ar[None, :] < lens_r[:, None]
-        rd = np.where(in_read, rd, 4)
-        q = np.where(in_read, q, 0)
-        return rd, q
+        counterpart of ops/splice._gather_oriented.
+
+        Both orientations are materialized ONCE per batch (int8, ~2xB*L
+        bytes) and cached on the batch; repeated rescue rounds then cost
+        one row gather instead of rebuilding take_along_axis temporaries
+        (was ~20% of the RNA finish's rescue phase)."""
+        cache = getattr(batch, "_host_oriented_cache", None)
+        if cache is None:
+            B, L = batch.seqs.shape
+            seqs = batch.seqs.astype(np.int8)
+            quals = np.clip(batch.quals, 0, 63).astype(np.int8)
+            lens_b = batch.lens.astype(np.int64)
+            ar = np.arange(L)
+            in_read = ar[None, :] < lens_b[:, None]
+            rcidx = np.clip(lens_b[:, None] - 1 - ar[None, :], 0, L - 1)
+            comp = np.array([3, 2, 1, 0, 4], np.int8)
+            rd_all = np.empty((2 * B, L), np.int8)
+            q_all = np.zeros((2 * B, L), np.int8)
+            rd_all[:B] = np.where(in_read, seqs, 4)
+            q_all[:B] = np.where(in_read, quals, 0)
+            rd_all[B:] = np.where(
+                in_read, comp[np.take_along_axis(seqs, rcidx, 1)], 4)
+            q_all[B:] = np.where(in_read,
+                                 np.take_along_axis(quals, rcidx, 1), 0)
+            cache = batch._host_oriented_cache = (rd_all, q_all, B)
+        rd_all, q_all, B = cache
+        idx = np.asarray(rows) + np.where(np.asarray(fw), 0, B)
+        return (rd_all[idx].astype(np.int64),
+                q_all[idx].astype(np.int64))
 
     def _spl_affected(self, merged, lens, newp) -> np.ndarray:
         """(B,) bool — rows whose candidate spans contain one of the

@@ -272,6 +272,7 @@ class ShardedAligner:
                     {k: np.asarray(ex1[k]) for k in keys if k in ex1},
                     {k: np.asarray(ex2[k]) for k in keys if k in ex2}))
 
+        from . import paired_rna as _prna
         totals: dict = {}
         for bi, (b1, b2) in enumerate(pair_batches):
             m1 = self._merge_grids([per[s][bi][0] for s in range(S)])
@@ -285,10 +286,11 @@ class ShardedAligner:
                     int(sp["spl_nsel"]), int(sp["spl_ssv"]),
                     sp.get("splanes32b"), sp.get("splanes16b"),
                     int(sp.get("spl_nsel2", 0))))
-            res = _paired.align_pairs(self.host, b1, b2,
-                                      premerged=(m1, m2),
-                                      dev_lanes=tuple(dls))
-            st = _paired.pairs_to_sam(b1, b2, res, self.host, writer)
+            _prna.rescue_pair_rna(self.host, b1, b2, m1, m2,
+                                  dev_lanes=tuple(dls))
+            bcat = _prna._concat_pair(b1, b2)
+            st = _prna.pair_finish_rna(self.host, b1, b2, bcat, m1, m2,
+                                       writer)
             for k, v in st.items():
                 totals[k] = totals.get(k, 0) + v
         return totals

@@ -316,13 +316,14 @@ def junction_score_packed_rows(idx: dict, sctab: dict, seqs2, quals2,
          r["mmL"], r["mmR"]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("AB", "dta", "W", "NC"))
+@partial(jax.jit, static_argnames=("AB", "dta", "W", "NC", "tiles"))
 def rescue_fused(idx: dict, sctab: dict, seqs2, quals2, lens2,
                  rows, lfw, posA, posB,            # seeded lanes (PB,)
                  srow, sfw, spos, slive,           # scan rows (SBk,)
                  known_left, known_right, minsc_i, minsc_s,
                  max_intron, min_intron, margin, AB: int,
-                 dta: bool = False, W: int = 65536, NC: int = 4):
+                 dta: bool = False, W: int = 65536, NC: int = 4,
+                 tiles: int = 1):
     """One-dispatch splice rescue: score+gate the seeded diagonal-pair
     lanes, then run the anchor scan ONLY for scan rows whose seeded lanes
     all failed acceptance (device top-k compaction to AB rows — in steady
@@ -365,7 +366,8 @@ def rescue_fused(idx: dict, sctab: dict, seqs2, quals2, lens2,
     valid2 = jnp.concatenate([avalid, avalid])
     rd2, _q2, rl2 = _gather_oriented(seqs2, quals2, lens2, row2, fw2)
     scan = anchor_scan(idx, rd2, rl2, pos2, down2, min_intron,
-                       W=W, NC=NC)                       # (2AB, NC, 2)
+                       W=W, NC=NC, tiles=tiles,
+                       live=valid2)                      # (2AB, NC, 2)
     mate = scan[:, :, 0]
     ok = (scan[:, :, 1] > 0) & valid2[:, None]
     # lane set from scan hits: down rows -> (pos, mate), up -> (mate, pos)
@@ -482,7 +484,7 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
                   B: int, kleft, kright, krs, klr, minsc_i, minsc_s,
                   nceil_i, nceil_s, margin, min_intron, max_intron,
                   TB: int, PJ: int, AB: int, NC: int, NL: int,
-                  dta: bool):
+                  dta: bool, tiles: int = 1):
     """Splice pass-1 INSIDE the main fused dispatch (replaces the
     separate rescue round trip): trigger mirror of the host rescue mask,
     TB-row compaction, device lane enumeration (_lane_enum), junction
@@ -574,7 +576,8 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     down2 = jnp.concatenate([jnp.ones(AB, bool), jnp.zeros(AB, bool)])
     valid2 = jnp.concatenate([avalid, avalid])
     rd2, _q2, rl2 = _gather_oriented(seqs2, quals2, lens2, row2, fw2)
-    scan = anchor_scan(idx, rd2, rl2, pos2, down2, min_intron, NC=NC)
+    scan = anchor_scan(idx, rd2, rl2, pos2, down2, min_intron, NC=NC,
+                       tiles=tiles, live=valid2)
     mate = scan[:, :, 0]
     sok = (scan[:, :, 1] > 0) & valid2[:, None]
     pA2 = jnp.where(down2[:, None], pos2[:, None], mate)
@@ -765,12 +768,13 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     return sp32, sp16, need, cov, nsel, sp32b, sp16b, nsel2
 
 
-@partial(jax.jit, static_argnames=("W", "A", "NC"))
+@partial(jax.jit, static_argnames=("W", "A", "NC", "tiles"))
 def anchor_scan(idx: dict, rd, rdlens, pos, down,
-                min_intron, W: int = 65536, A: int = 8, NC: int = 4):
+                min_intron, W: int = 65536, A: int = 8, NC: int = 4,
+                tiles: int = 1, live=None):
     """Find candidate FAR-exon diagonals for a novel junction whose far
     anchor was too short to seed — the batched equivalent of the
-    reference's localGFMSearch over the neighboring ~57Kbp LocalGFM
+    reference's localGFMSearch over the neighboring LocalGFMs
     (hi_aligner.h:6751, `_minK_local = 8` at hi_aligner.h:3979-3985):
     exact-match the read's far-end A-mer anchor against the
     intron-reachable window next to a seeded exon diagonal, by
@@ -782,9 +786,13 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
     down (S,) bool — True: the seeded exon is UPSTREAM, the anchor is
     the read's LAST A bases and matches give posB-diagonal candidates;
     False: seeded exon DOWNSTREAM, anchor is the FIRST A bases, matches
-    give posA diagonals. Window width W mirrors the reference's local
-    -index reach; matches outside the seeded diagonal's reference
-    fragment are rejected.
+    give posA diagonals.
+
+    `tiles` consecutive W-char windows extend the reach to tiles*W
+    (8 x 64K covers the 500Kbp --max-intronlen default, the reference's
+    prev/nextLocalGFM hop range, hgfm.h:1724-1740); candidates merge
+    across tiles nearest-first, mirroring the reference's inside-out
+    window walk.
 
     Returns (mate_diag (S, NC) int32, valid (S, NC) bool). DOWN scans
     prefer the NEAREST (shortest-intron) matches, UP scans the nearest
@@ -808,52 +816,80 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
     acode = (jnp.clip(ach, 0, 3)
              * (4 ** ar)[None, :]).sum(axis=1).astype(jnp.uint32)
 
-    # window start (joined chars): DOWN matches live at
-    # matchpos = posB + (rl - A) with posB >= pos + min_intron;
-    # UP matches at matchpos = posA with posA >= pos - min_intron - W
-    ws_down = pos + mi + rdlens - A
-    ws_up = pos - mi - W
-    ws = jnp.where(down, ws_down, ws_up)
-    wsc = jnp.clip(ws, 0, None)
-    base = wsc >> 4                                          # first word
-    # fetch NW+1 words as 16-word rows of text_rows
     rows = idx["text_rows"]
-    r0 = jnp.clip(base >> 4, 0, rows.shape[0] - 1)
-    nrow = NW // 16 + 2
-    ridx2 = jnp.clip(r0[:, None] + jnp.arange(nrow, dtype=jnp.int32),
-                     0, rows.shape[0] - 1)
-    wmat = rows[ridx2].reshape(S, nrow * 16)                 # (S, words)
-    woff = base & 15                                         # word in row0
-    # align the word axis to the window start (log-step shift), then
-    # compute the 16-bit value at every char offset: 16 shifts per word
-    w0 = _rank._shift_words(wmat, woff, NW + 1)
-    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
-    lo = (w0[:, :NW, None] >> sh)
-    hi = jnp.where(sh == 0, jnp.uint32(0),
-                   (w0[:, 1:NW + 1, None] << (jnp.uint32(32) - sh)))
-    vals = (lo | hi) & jnp.uint32(0xFFFF)                    # (S, NW, 16)
-    hitm = vals == acode[:, None, None]
-    # char position of each hit (relative to wsc)
-    hit_any = hitm.any(axis=2)                               # (S, NW)
-    # sub-position: first matching shift in the word (nearest for DOWN);
-    # for UP prefer the last (largest matchpos)
-    first_s = jnp.argmax(hitm, axis=2).astype(jnp.int32)
-    last_s = 15 - jnp.argmax(hitm[:, :, ::-1], axis=2).astype(jnp.int32)
-    sub = jnp.where(down[:, None], first_s, last_s)
-    # word-level selection: DOWN nearest = smallest word index; UP
-    # nearest = largest
     wi = jnp.arange(NW, dtype=jnp.int32)[None, :]
-    key = jnp.where(hit_any,
-                    jnp.where(down[:, None], -wi, wi),
-                    jnp.int32(-(1 << 30)))
-    kv, kw = lax.top_k(key, NC)
+
+    def scan_tile(t):
+        """Per-tile top-NC: (key (S, NC) nearest-first, mpos (S, NC))."""
+        # window start (joined chars): DOWN matches live at
+        # matchpos = posB + (rl - A), posB >= pos + min_intron + t*W;
+        # UP matches at matchpos = posA >= pos - min_intron - (t+1)*W
+        ws_down = pos + mi + rdlens - A + t * W
+        ws_up = pos - mi - (t + 1) * W
+        ws = jnp.where(down, ws_down, ws_up)
+        wsc = jnp.clip(ws, 0, None)
+        base = wsc >> 4                                      # first word
+        r0 = jnp.clip(base >> 4, 0, rows.shape[0] - 1)
+        nrow = NW // 16 + 2
+        ridx2 = jnp.clip(r0[:, None] + jnp.arange(nrow, dtype=jnp.int32),
+                         0, rows.shape[0] - 1)
+        wmat = rows[ridx2].reshape(S, nrow * 16)             # (S, words)
+        woff = base & 15                                     # word in row0
+        # align the word axis to the window start (log-step shift), then
+        # compute the 16-bit value at every char offset: 16 shifts/word
+        w0 = _rank._shift_words(wmat, woff, NW + 1)
+        sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        lo = (w0[:, :NW, None] >> sh)
+        hi = jnp.where(sh == 0, jnp.uint32(0),
+                       (w0[:, 1:NW + 1, None] << (jnp.uint32(32) - sh)))
+        vals = (lo | hi) & jnp.uint32(0xFFFF)                # (S, NW, 16)
+        hitm = vals == acode[:, None, None]
+        hit_any = hitm.any(axis=2)                           # (S, NW)
+        # sub-position: first matching shift in the word (nearest for
+        # DOWN); for UP prefer the last (largest matchpos)
+        first_s = jnp.argmax(hitm, axis=2).astype(jnp.int32)
+        last_s = 15 - jnp.argmax(hitm[:, :, ::-1],
+                                 axis=2).astype(jnp.int32)
+        sub = jnp.where(down[:, None], first_s, last_s)
+        # nearest-first key: DOWN = smallest word of the nearest tile;
+        # UP = largest word of the nearest tile (tile 0 is nearest in
+        # both directions)
+        key = jnp.where(hit_any,
+                        jnp.where(down[:, None], -(t * NW + wi),
+                                  -(t * NW + (NW - 1 - wi))),
+                        jnp.int32(-(1 << 30)))
+        kv, kw = lax.top_k(key, NC)
+        kw = jnp.clip(kw, 0, NW - 1)
+        # positions anchor at the word boundary 16*base (the shift
+        # cascade aligns words, not chars; wsc may sit mid-word)
+        mpos_t = ((base << 4)[:, None] + 16 * kw
+                  + jnp.take_along_axis(sub, kw, 1))
+        return kv, mpos_t
+
+    kv, mpos = scan_tile(0)
+    if tiles > 1:
+        # deeper tiles (reach up to tiles*W, the 500Kbp max-intron range)
+        # run under ONE lax.cond wrapping a fori_loop (compiled once, not
+        # unrolled): in steady state every LIVE scan row resolves in tile
+        # 0 and the deep branch never executes, so the extended reach
+        # costs nothing on the hot path
+        found0 = (kv[:, 0] > -(1 << 29)) | has_n
+        if live is not None:
+            found0 = found0 | ~live
+
+        def deep(kv_mpos):
+            def body(t, carry):
+                kvc, mpc = carry
+                k_t, m_t = scan_tile(t)
+                ka = jnp.concatenate([kvc, k_t], axis=1)     # (S, 2NC)
+                ma = jnp.concatenate([mpc, m_t], axis=1)
+                kv2, ke = lax.top_k(ka, NC)
+                return kv2, jnp.take_along_axis(ma, ke, 1)
+            return lax.fori_loop(1, tiles, body, kv_mpos)
+
+        kv, mpos = lax.cond(~found0.all(), deep,
+                            lambda c: c, (kv, mpos))
     kvalid = kv > -(1 << 29)
-    kw = jnp.clip(kw, 0, NW - 1)
-    # positions anchor at the word boundary 16*base (the shift cascade
-    # aligns words, not chars; wsc may sit mid-word)
-    mpos = ((base << 4)[:, None] + 16 * jnp.take_along_axis(
-        jnp.broadcast_to(wi, hit_any.shape), kw, 1)
-        + jnp.take_along_axis(sub, kw, 1))
     # mate diagonal from match position
     mate = jnp.where(down[:, None], mpos - (rdlens - A)[:, None], mpos)
     # same-fragment + intron-range guards (the kernel re-gates; these

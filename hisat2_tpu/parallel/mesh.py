@@ -169,6 +169,91 @@ def fused_se_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
         idx_stack, sctab, seq_w, n_w, qconst, lens)
 
 
+def fused_rna_sharded(mesh: Mesh, aligner, bases, idx_stack: dict,
+                      B: int, L: int, kss):
+    """jit the fused SPLICED SE step (SE core + device splice pass-1/2,
+    pipeline._stage_align_packed with spliced=True) over the (dp, shard)
+    mesh. Junction lanes all-gather across genome shards with posA/posB
+    rebased to global coordinates, so the host splice rescue sees one
+    global lane set per read — the multi-device mirror of the
+    single-chip fused RNA dispatch (the reference's equivalent search is
+    SplicedAligner::hybridSearch_recur, spliced_aligner.h:331, with
+    cross-thread SpliceSiteDB sharing, hisat2.cpp:3285-3308).
+
+    kss: ssdb.device_arrays4() known-site tuple (replicated; shard-local
+    coordinate conversion happens inside via the shard base offset).
+    Returns fn(sctab, seq_w, n_w, qconst, lens) -> (fp_global, multi,
+    lanes32 (B, S*NL, 2) int32 [global coords], lanes16 (B is implicit;
+    (S*NL, 5) int16 lane meta with row ids in dp-local space], cov (Bl,)
+    int32, aligned_total)."""
+    from ..align.pipeline import _stage_align_packed
+
+    o = aligner.opts
+    sc = aligner.scoring
+    K2 = min(2 * o.top_cands, max(8, o.khits + 3))
+    KF = max(1, min(o.khits, 5))
+    ndp = mesh.shape["dp"]
+    Bl = B // ndp
+    TB = min(Bl, max(256, 5 * Bl // 8))
+    SPL = (TB, o.pairs_per_read, min(TB, max(128, TB // 4)), 4,
+           2 * TB, o.dta, max(1, min(8, -(-o.max_intron // 65536))))
+    # splice-trigger margin for constant-quality-40 batches (the
+    # pipeline's _spl_margin with qmin=40)
+    from ..ops.splice import MIN_ANCHOR_CANON
+    margin = MIN_ANCHOR_CANON * min(int(sc.sc_pens()[40]),
+                                    int(sc.mm_pens()[40]))
+    bases_arr = jnp.asarray(np.asarray(bases, np.int64).astype(np.int32))
+
+    def local(idx, sctab, kss_l, seq_w, n_w, qconst, lens):
+        idx = {k: v[0] for k, v in idx.items()}
+        # known sites are global-coordinate; shift into this shard's
+        # local frame (sentinel INT32_MAX rows stay past any local pos)
+        ax = jax.lax.axis_index("shard")
+        base = bases_arr[ax]
+        kss_s = tuple(jnp.where(a == np.int32(0x7FFFFFFF), a, a - base)
+                      for a in kss_l)
+        fp, merged, extras = _stage_align_packed(
+            idx, sctab, seq_w, n_w, None, qconst, lens,
+            jnp.float32(sc.score_min.I), jnp.float32(sc.score_min.S),
+            jnp.int32(min(sc.read_gap_open(), sc.ref_gap_open())),
+            Bl, L, o.max_seeds, o.n_seeds, o.locs_per_seg, o.top_cands,
+            aligner.min_seg_len, aligner.fm.ftab_k, K2, KF,
+            min(Bl, max(32, Bl // 8)), min(Bl, max(64, Bl // 8)),
+            o.dp_pad, o.no_dp, o.nofw, o.norc,
+            aligner.seeder, aligner.fb_seeder, aligner.sc_const,
+            SB=Bl, spliced=True,
+            spl_margin=jnp.int32(margin),
+            spl_kss=kss_s,
+            spl_nceil=(jnp.float32(sc.n_ceil.I), jnp.float32(sc.n_ceil.S)),
+            spl_introns=(jnp.int32(o.min_intron), jnp.int32(o.max_intron)),
+            SPL=SPL)
+        fps = jax.lax.all_gather(fp, "shard")
+        fp_g, multi = _merge_fp_device(fps, bases_arr, KF)
+        sp32 = extras["splanes32"]            # (NL, 2) posA/posB local
+        sp16 = extras["splanes16"]            # (NL, 5) row/fw/score/j/fl
+        live = (sp16[:, 4] != 0)[:, None]
+        sp32g = jnp.where(live, sp32 + base, 0)
+        l32 = jax.lax.all_gather(sp32g, "shard").reshape(-1, 2)
+        l16 = jax.lax.all_gather(sp16, "shard").reshape(-1, 5)
+        cov = jax.lax.all_gather(extras["spl_cov"], "shard")
+        # a row is device-covered only if EVERY shard covered it (bit 0
+        # set, overflow bit 1 clear on all shards)
+        cov_all = ((cov & 1).min(axis=0)
+                   | (((cov >> 1) & 1).max(axis=0) << 1))
+        aligned_total = jax.lax.psum((fp_g[:, 0] >= 1).sum(), "dp")
+        return fp_g, multi, l32, l16, cov_all, aligned_total
+
+    idx_specs = {k: P("shard") for k in idx_stack}
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(idx_specs, P(), P(), P("dp"), P("dp"), P(), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        check_vma=False)
+    jf = jax.jit(f)
+    return lambda sctab, seq_w, n_w, qconst, lens: jf(
+        idx_stack, sctab, kss, seq_w, n_w, qconst, lens)
+
+
 def _merge_pe_pack_device(packs, bases):
     """Device merge of per-shard PE packs (paired.PEPACK layout):
     packs (S, B, W) int16 -> (pack_global (B, W) int16, force_slow (B,)).

@@ -58,12 +58,29 @@ def build_seed_table(text: np.ndarray, kt: int | None = None,
 
     pos is padded with `pad` sentinel entries so device slice-gathers of up
     to `pad` slots never clamp into a neighboring bucket.
+
+    The build is a stable counting sort of kmer start positions by code:
+    the native threaded pass (native/kmersort.cpp — the P4 parallel-build
+    equivalent of the reference's blockwise_sa.h bucket workers) when
+    available and the text is N-free, else the numpy/torch path.
     """
     n = int(text.size)
     if kt is None:
         kt = pick_kt(n)
+    m = max(0, n - kt + 1)
+    if m and not (text >= 4).any():
+        from .. import native as _native
+        lib = _native.kmersort_lib()
+        if lib is not None:
+            starts = np.empty(4 ** kt + 1, np.int32)
+            pos = np.empty(m + pad, np.int32)
+            tc = text if text.dtype == np.uint8 else text.astype(np.uint8)
+            rc = lib.kmer_table(np.ascontiguousarray(tc), np.int64(n),
+                                np.int32(kt), starts, pos[:m], 0)
+            if rc == 0:
+                pos[m:] = 0
+                return starts, pos, kt
     codes = rolling_codes(text, kt)
-    m = codes.size
     counts = np.bincount(codes, minlength=4 ** kt)
     starts = np.zeros(4 ** kt + 1, np.int64)
     np.cumsum(counts, out=starts[1:])

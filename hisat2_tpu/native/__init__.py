@@ -212,6 +212,22 @@ def sais_lib() -> ctypes.CDLL | None:
     return lib
 
 
+def kmersort_lib() -> ctypes.CDLL | None:
+    lib = load("kmersort", "kmersort.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+        lib.kmer_table.restype = ctypes.c_int32
+        lib.kmer_table.argtypes = [
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int32,
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32]
+        lib._configured = True
+    return lib
+
+
 def juncscore_lib() -> ctypes.CDLL | None:
     lib = load("juncscore", "juncscore.cpp")
     if lib is not None and not getattr(lib, "_configured", False):

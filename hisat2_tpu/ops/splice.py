@@ -819,21 +819,23 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
     rows = idx["text_rows"]
     wi = jnp.arange(NW, dtype=jnp.int32)[None, :]
 
-    def scan_tile(t):
-        """Per-tile top-NC: (key (S, NC) nearest-first, mpos (S, NC))."""
+    def scan_tile(t, pos_v, down_v, rdl_v, acode_v):
+        """Per-tile top-NC over a row subset: (key (Sv, NC)
+        nearest-first, mpos (Sv, NC))."""
+        Sv = pos_v.shape[0]
         # window start (joined chars): DOWN matches live at
         # matchpos = posB + (rl - A), posB >= pos + min_intron + t*W;
         # UP matches at matchpos = posA >= pos - min_intron - (t+1)*W
-        ws_down = pos + mi + rdlens - A + t * W
-        ws_up = pos - mi - (t + 1) * W
-        ws = jnp.where(down, ws_down, ws_up)
+        ws_down = pos_v + mi + rdl_v - A + t * W
+        ws_up = pos_v - mi - (t + 1) * W
+        ws = jnp.where(down_v, ws_down, ws_up)
         wsc = jnp.clip(ws, 0, None)
         base = wsc >> 4                                      # first word
         r0 = jnp.clip(base >> 4, 0, rows.shape[0] - 1)
         nrow = NW // 16 + 2
         ridx2 = jnp.clip(r0[:, None] + jnp.arange(nrow, dtype=jnp.int32),
                          0, rows.shape[0] - 1)
-        wmat = rows[ridx2].reshape(S, nrow * 16)             # (S, words)
+        wmat = rows[ridx2].reshape(Sv, nrow * 16)            # (Sv, words)
         woff = base & 15                                     # word in row0
         # align the word axis to the window start (log-step shift), then
         # compute the 16-bit value at every char offset: 16 shifts/word
@@ -842,20 +844,20 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
         lo = (w0[:, :NW, None] >> sh)
         hi = jnp.where(sh == 0, jnp.uint32(0),
                        (w0[:, 1:NW + 1, None] << (jnp.uint32(32) - sh)))
-        vals = (lo | hi) & jnp.uint32(0xFFFF)                # (S, NW, 16)
-        hitm = vals == acode[:, None, None]
-        hit_any = hitm.any(axis=2)                           # (S, NW)
+        vals = (lo | hi) & jnp.uint32(0xFFFF)                # (Sv, NW, 16)
+        hitm = vals == acode_v[:, None, None]
+        hit_any = hitm.any(axis=2)                           # (Sv, NW)
         # sub-position: first matching shift in the word (nearest for
         # DOWN); for UP prefer the last (largest matchpos)
         first_s = jnp.argmax(hitm, axis=2).astype(jnp.int32)
         last_s = 15 - jnp.argmax(hitm[:, :, ::-1],
                                  axis=2).astype(jnp.int32)
-        sub = jnp.where(down[:, None], first_s, last_s)
+        sub = jnp.where(down_v[:, None], first_s, last_s)
         # nearest-first key: DOWN = smallest word of the nearest tile;
         # UP = largest word of the nearest tile (tile 0 is nearest in
         # both directions)
         key = jnp.where(hit_any,
-                        jnp.where(down[:, None], -(t * NW + wi),
+                        jnp.where(down_v[:, None], -(t * NW + wi),
                                   -(t * NW + (NW - 1 - wi))),
                         jnp.int32(-(1 << 30)))
         kv, kw = lax.top_k(key, NC)
@@ -866,29 +868,44 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
                   + jnp.take_along_axis(sub, kw, 1))
         return kv, mpos_t
 
-    kv, mpos = scan_tile(0)
+    kv, mpos = scan_tile(0, pos, down, rdlens, acode)
     if tiles > 1:
-        # deeper tiles (reach up to tiles*W, the 500Kbp max-intron range)
-        # run under ONE lax.cond wrapping a fori_loop (compiled once, not
-        # unrolled): in steady state every LIVE scan row resolves in tile
-        # 0 and the deep branch never executes, so the extended reach
-        # costs nothing on the hot path
-        found0 = (kv[:, 0] > -(1 << 29)) | has_n
+        # deeper tiles (reach up to tiles*W, the 500Kbp max-intron
+        # range): rows tile 0 did not resolve COMPACT to S/4 slots and
+        # re-scan under a lax.cond + fori_loop — compiled once, skipped
+        # at runtime when every live row resolved near, and bounded to
+        # ~1/4 of the tile-0 work per deep tile otherwise (same
+        # bounded-sensitivity contract as the AB scan bucket itself)
+        unres = (kv[:, 0] <= -(1 << 29)) & ~has_n
         if live is not None:
-            found0 = found0 | ~live
+            unres = unres & live
+        SD = max(64, S // 4)
+        nvd, dsel = lax.top_k(unres.astype(jnp.int32), min(SD, S))
+        dsel = jnp.clip(dsel, 0, S - 1)
+        dpad = nvd == 0
 
         def deep(kv_mpos):
+            kvc, mpc = kv_mpos
+            pos_d = pos[dsel]
+            down_d = down[dsel]
+            rdl_d = rdlens[dsel]
+            acode_d = acode[dsel]
+
             def body(t, carry):
-                kvc, mpc = carry
-                k_t, m_t = scan_tile(t)
-                ka = jnp.concatenate([kvc, k_t], axis=1)     # (S, 2NC)
-                ma = jnp.concatenate([mpc, m_t], axis=1)
+                kvd, mpd = carry
+                k_t, m_t = scan_tile(t, pos_d, down_d, rdl_d, acode_d)
+                ka = jnp.concatenate([kvd, k_t], axis=1)     # (SD, 2NC)
+                ma = jnp.concatenate([mpd, m_t], axis=1)
                 kv2, ke = lax.top_k(ka, NC)
                 return kv2, jnp.take_along_axis(ma, ke, 1)
-            return lax.fori_loop(1, tiles, body, kv_mpos)
 
-        kv, mpos = lax.cond(~found0.all(), deep,
-                            lambda c: c, (kv, mpos))
+            kvd, mpd = lax.fori_loop(1, tiles, body,
+                                     (kvc[dsel], mpc[dsel]))
+            kvd = jnp.where(dpad[:, None], kvc[dsel], kvd)
+            mpd = jnp.where(dpad[:, None], mpc[dsel], mpd)
+            return kvc.at[dsel].set(kvd), mpc.at[dsel].set(mpd)
+
+        kv, mpos = lax.cond(unres.any(), deep, lambda c: c, (kv, mpos))
     kvalid = kv > -(1 << 29)
     # mate diagonal from match position
     mate = jnp.where(down[:, None], mpos - (rdlens - A)[:, None], mpos)

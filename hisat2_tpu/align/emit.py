@@ -880,7 +880,7 @@ def _finish_fastpack(al: Aligner, batch: ReadBatch, fp_dev, merged_dev,
         if force_slow is not None:
             fast &= ~force_slow
         vec_done = np.zeros(B, bool)
-        if al.overlay is None and svec.any():
+        if svec.any():
             vr = np.flatnonzero(svec)
             c0s = [vf[int(i)] for i in vr]
             vA = np.asarray([c["posA"] for c in c0s], np.int64)

@@ -551,12 +551,6 @@ def pair_finish_rna(al: Aligner, b1: ReadBatch, b2: ReadBatch,
     g1sel = a1["gapped"][rows, t1sel]
     g2sel = a2["gapped"][rows, t2sel]
     fastpe &= ~(in_rep & (g1sel | g2sel)).any(axis=1)
-    if al.overlay is not None:
-        # graph mode: spliced finalization must honor SNP-free mismatches
-        # (_finalize_spliced does; _spliced_fin_rows doesn't) — spliced
-        # winners drop to the ladder
-        K2a = K2
-        fastpe &= ~(in_rep & ((t1sel >= K2a) | (t2sel >= K2a))).any(axis=1)
 
     stats = _paired.new_pair_stats()
     mqc = _emit._MapqCache(sc)

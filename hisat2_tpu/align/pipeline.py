@@ -2235,7 +2235,16 @@ class Aligner:
 
         isn = ((rd >= 4) | (win >= 4)) & in_read
         mm = (rd != win) & ~isn & in_read
-        s = np.where(mm, -self.scoring.mm_pens()[q], 0)
+        if self.overlay is not None:
+            # graph mode: known ALT alleles are penalty-free (and do not
+            # count toward NM/XM) but still show in MD, mirroring
+            # _finalize_spliced / _ungapped_arrays
+            ov = np.where(inb, self.overlay[np.clip(posx, 0,
+                                                    joined.size - 1)], 0)
+            mm_sc = mm & ~((ov == rd + 1) | (ov == 15))
+        else:
+            mm_sc = mm
+        s = np.where(mm_sc, -self.scoring.mm_pens()[q], 0)
         s = np.where(isn, -self.scoring.n_pen, s)
         scp = np.where(in_read, self.scoring.sc_pens()[q], 0)
         A = np.zeros((N, L + 1), np.int64)
@@ -2259,7 +2268,7 @@ class Aligner:
         e = np.where(degen, rdlens, e)
         c3 = rdlens - e
         aligned_mask = (ar[None, :] >= c5[:, None]) & (ar[None, :] < e[:, None])
-        nm = ((mm | isn) & aligned_mask).sum(axis=1).astype(np.int32)
+        nm = ((mm_sc | isn) & aligned_mask).sum(axis=1).astype(np.int32)
 
         # fragment containment of the full spliced span
         delta = posB - posA

@@ -112,9 +112,12 @@ class SpliceSiteDB:
         import jax.numpy as jnp
         arr = self._sorted_pairs()
         n = arr.shape[0]
-        cap = 1024
+        # cap grows 4x from a 4096 floor: every cap change recompiles the
+        # fused dispatch (~1-2 min over the tunnel), and transcriptome-
+        # scale runs cross several pow2 boundaries in their first batches
+        cap = 4096
         while cap < n:
-            cap *= 2
+            cap *= 4
         big = np.int32(0x7FFFFFFF)
         pads = np.full((4, cap), big, np.int32)
         pads[0, :n] = arr[:, 0]

@@ -82,9 +82,12 @@ def main(argv=None) -> int:
         fm = build_fm_index(ref, ftab_k=args.ftabchars,
                             offrate=args.offrate)
     if args.ss:
-        fm.known_ss = _load_ss(args.ss, ref)
+        fm.known_ss, fm.excluded_ss = _load_ss(args.ss, ref,
+                                               with_excluded=True)
         if not args.quiet:
-            print(f"  {fm.known_ss.shape[0]} splice sites baked into index",
+            print(f"  {fm.known_ss.shape[0]} splice sites baked into index"
+                  + (f" ({fm.excluded_ss.shape[0]} excluded for "
+                     "repetitive flanks)" if fm.excluded_ss.size else ""),
                   file=sys.stderr)
     if args.exon:
         fm.known_exons = _load_exons(args.exon, ref)
@@ -129,8 +132,15 @@ def _strand_code(s: str) -> int:
     return 1 if s == "+" else (-1 if s == "-" else 0)
 
 
-def _load_ss(path, ref):
-    """Map a .ss file to joined coordinates -> (K, 3) int64 array."""
+def _load_ss(path, ref, with_excluded: bool = False):
+    """Map a .ss file to joined coordinates -> (K, 3) int64 array.
+
+    with_excluded: also apply the reference's repetitive-flank exclusion
+    (gfm.h:1736-1751: sites whose 16bp+16bp flanking context appears at
+    more than one site are excluded from the index's search tables —
+    they would explode the local-search combinatorics — but are still
+    recorded for `hisat2-inspect --ss-all`); returns (included,
+    excluded)."""
     import numpy as np
     from ..io.annotations import read_splice_sites
     name_to_tidx, to_joined = _joined_mapper(ref)
@@ -144,8 +154,31 @@ def _load_ss(path, ref):
         if jl is None or jr is None:
             continue
         rows.append((jl, jr, _strand_code(s.strand)))
-    return (np.asarray(rows, np.int64).reshape(-1, 3) if rows
-            else np.zeros((0, 3), np.int64))
+    arr = (np.asarray(rows, np.int64).reshape(-1, 3) if rows
+           else np.zeros((0, 3), np.int64))
+    if not with_excluded:
+        return arr
+    if arr.shape[0] == 0:
+        return arr, arr
+    # 32bp flank context key: 16 bases ending at the last exonic base +
+    # 16 bases from the first exonic base (the reference extracts
+    # [left-16, left) and [right+1, right+17) around the INTRON bounds)
+    j = ref.joined
+    n = j.size
+    ok = (arr[:, 0] >= 15) & (arr[:, 1] + 16 <= n)
+    off = np.arange(16)
+    ctx = np.zeros((arr.shape[0], 32), np.uint8)
+    a0 = np.clip(arr[:, 0] - 15, 0, n - 1)
+    a1 = np.clip(arr[:, 1], 0, n - 16)
+    ctx[:, :16] = j[np.clip(a0[:, None] + off[None, :], 0, n - 1)]
+    ctx[:, 16:] = j[np.clip(a1[:, None] + off[None, :], 0, n - 1)]
+    key = np.zeros(arr.shape[0], np.uint64)
+    for c in range(32):
+        key = (key << np.uint64(2)) | ctx[:, c].astype(np.uint64)
+    _uniq, inv, cnt = np.unique(key, return_inverse=True,
+                                return_counts=True)
+    dup = (cnt[inv] > 1) & ok
+    return arr[~dup], arr[dup]
 
 
 def _load_exons(path, ref):

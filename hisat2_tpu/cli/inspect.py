@@ -62,14 +62,24 @@ def main(argv=None) -> int:
         return 0
     if args.ss or args.ss_all or args.exon:
         rows = getattr(fm, "known_exons" if args.exon else "known_ss", None)
-        if rows is not None:
-            for jl, jr, strand in rows:
-                ll = ref.joined_to_text(int(jl))
-                rr = ref.joined_to_text(int(jr))
-                if ll is None or rr is None:
-                    continue
-                sc = "+" if strand > 0 else ("-" if strand < 0 else ".")
-                w(f"{ref.names[ll[0]]}\t{ll[1]}\t{rr[1]}\t{sc}\n")
+        if rows is None:
+            rows = __import__("numpy").zeros((0, 3), "int64")
+        if args.ss_all:
+            # --ss-all additionally prints sites the build EXCLUDED for
+            # repetitive flanks (hisat2_inspect.cpp:473
+            # splicesite_all_only; gfm.h ss_seq duplicate check)
+            exc = getattr(fm, "excluded_ss", None)
+            if exc is not None and getattr(exc, "size", 0):
+                import numpy as _np
+                rows = _np.concatenate([rows, exc])
+                rows = rows[_np.lexsort((rows[:, 1], rows[:, 0]))]
+        for jl, jr, strand in rows:
+            ll = ref.joined_to_text(int(jl))
+            rr = ref.joined_to_text(int(jr))
+            if ll is None or rr is None:
+                continue
+            sc = "+" if strand > 0 else ("-" if strand < 0 else ".")
+            w(f"{ref.names[ll[0]]}\t{ll[1]}\t{rr[1]}\t{sc}\n")
         return 0
 
     # reconstruct per-chromosome sequence: N everywhere, fragments filled in

@@ -57,6 +57,9 @@ class FMIndex:
     # reference stores these as SPLICESITE/EXON ALTs in .7.ht2)
     known_ss: np.ndarray = None   # (K, 3) int64 [left, right, strand(+1/-1/0)]
     known_exons: np.ndarray = None  # (K, 3) int64 [left, right, strand]
+    # sites excluded at build for repetitive 16bp flanks (gfm.h:1736-1751
+    # ss_seq duplicate check; printed only by hisat2-inspect --ss-all)
+    excluded_ss: np.ndarray = None  # (K, 3) int64
     # sampled-SA mode (--offrate k, reference _offs/offRate semantics,
     # MANUAL.markdown:2008-2019): rows whose SA value % 2^k == 0 are
     # marked; lookups walk LF to a marked row. offrate 0 = full SA.
@@ -190,6 +193,8 @@ class FMIndex:
                       else np.zeros((0, 3), np.int64)),
             known_exons=(self.known_exons if self.known_exons is not None
                          else np.zeros((0, 3), np.int64)),
+            excluded_ss=(self.excluded_ss if self.excluded_ss is not None
+                         else np.zeros((0, 3), np.int64)),
             samp_bits=(self.samp_bits if self.samp_bits is not None
                        else np.zeros(0, np.uint32)),
             samp_rank=(self.samp_rank if self.samp_rank is not None
@@ -235,6 +240,9 @@ class FMIndex:
                        known_ss=z["known_ss"] if "known_ss" in z else None,
                        known_exons=(z["known_exons"]
                                     if "known_exons" in z else None),
+                       excluded_ss=(z["excluded_ss"]
+                                    if "excluded_ss" in z
+                                    and z["excluded_ss"].size else None),
                        offrate=meta.get("offrate", 0),
                        samp_bits=z["samp_bits"] if "samp_bits" in z else None,
                        samp_rank=z["samp_rank"] if "samp_rank" in z else None,

@@ -115,6 +115,8 @@ class GraphFMIndex(FMIndex):
             snp_ins=np.asarray([alphabet.decode(x) for x in s.ins_seqs]),
             known_ss=(self.known_ss if self.known_ss is not None
                       else np.zeros((0, 3), np.int64)),
+            excluded_ss=(self.excluded_ss if self.excluded_ss is not None
+                         else np.zeros((0, 3), np.int64)),
             st_starts=(self.st_starts if self.st_starts is not None
                        else np.zeros(0, np.int32)),
             st_pos=(self.st_pos if self.st_pos is not None
@@ -150,6 +152,8 @@ class GraphFMIndex(FMIndex):
             patch_vpos=z["patch_vpos"], patch_shift=z["patch_shift"],
             patch_len=z["patch_len"], snv_overlay=z["snv_overlay"],
             known_ss=z["known_ss"] if "known_ss" in z else None,
+            excluded_ss=(z["excluded_ss"] if "excluded_ss" in z
+                         and z["excluded_ss"].size else None),
             st_k=meta.get("st_k", 0),
             st_starts=(z["st_starts"] if "st_starts" in z
                        and z["st_starts"].size else None),

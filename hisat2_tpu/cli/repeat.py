@@ -18,6 +18,11 @@ def main(argv=None) -> int:
     ap.add_argument("--repeat-length", type=int, default=100)
     ap.add_argument("--repeat-count", type=int, default=5)
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--save-sa", default=None, metavar="FILE",
+                    help="persist the suffix array after construction "
+                         "(reference hisat2-repeat --save-sa)")
+    ap.add_argument("--load-sa", default=None, metavar="FILE",
+                    help="reuse a previously saved suffix array")
     ap.add_argument("--no-index", action="store_true",
                     help="skip building the repeat FM index")
     ap.add_argument("--quiet", action="store_true")
@@ -30,8 +35,25 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     ref = load_reference(args.reference.split(","))
+    sa = None
+    if args.load_sa:
+        import numpy as np
+        sa = np.load(args.load_sa)["sa"]
+        if not args.quiet:
+            print(f"  loaded suffix array from {args.load_sa}",
+                  file=sys.stderr)
+    elif args.save_sa:
+        import numpy as np
+        from ..index.suffix_array import build_suffix_array
+        text = ref.joined if args.forward_only else np.concatenate(
+            [ref.joined, alphabet.revcomp(ref.joined)])
+        sa = build_suffix_array(text)
+        np.savez(args.save_sa, sa=sa)
+        if not args.quiet:
+            print(f"  suffix array saved to {args.save_sa}",
+                  file=sys.stderr)
     db = build_repeats(ref, args.repeat_length, args.repeat_count,
-                       forward_only=args.forward_only)
+                       forward_only=args.forward_only, sa=sa)
     db.save(args.base)
     if not args.quiet:
         print(f"  {len(db.repeats)} repeats "

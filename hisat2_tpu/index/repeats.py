@@ -30,8 +30,24 @@ from .suffix_array import build_suffix_array
 
 
 def lcp_array(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0]=0."""
-    n = text.size
+    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0]=0.
+
+    Native (native/sais.cpp kasai_lcp_i64) when available — the Python
+    loop capped repeat discovery at test scale (the reference's
+    equivalent walk is C++, repeat_builder.cpp RB_SubSA)."""
+    from .. import native as _native
+    n = int(text.size)
+    lib = _native.sais_lib()
+    if lib is not None and n and sa.size == n + 1:
+        # sa covers text + sentinel (build_suffix_array contract): run
+        # standard Kasai over text + a unique 0xFF sentinel char
+        t2 = np.empty(n + 1, np.uint8)
+        t2[:n] = text.astype(np.uint8)
+        t2[n] = 0xFF
+        sa64 = np.ascontiguousarray(sa, np.int64)
+        lcp = np.zeros(n + 1, np.int64)
+        lib.kasai_lcp_i64(t2, sa64, lcp, np.int64(n + 1))
+        return lcp
     sa = np.asarray(sa)
     rank = np.empty(sa.size, np.int64)
     rank[sa] = np.arange(sa.size)
@@ -207,12 +223,70 @@ def classify_repetitive(seqs: np.ndarray, lens: np.ndarray,
     return hit
 
 
+SEED_MM = 5            # per-copy mismatch budget per extension side
+EXT_MAX = 400          # max consensus extension per side (SeedExt reach)
+
+
+def _consensus_extend(text, starts, rlen, repeat_count,
+                      seed_mm=SEED_MM, ext_max=EXT_MAX):
+    """SNP-aware consensus extension of an exact repeat core (the
+    reference's SeedExt, repeat_builder.cpp:3947/repeat_builder.h:208):
+    extend the group left/right column-by-column, each column's
+    consensus = majority base over the still-live copies; a copy dies
+    after `seed_mm` disagreements on that side; a side stops when live
+    copies drop below repeat_count or `ext_max` is reached.
+
+    Returns (extL, extR, consensus_seq, live_mask): copies that survived
+    either side with their full extent."""
+    n = text.size
+    s = np.asarray(starts, np.int64)
+    K = s.size
+    cons_r, cons_l = [], []
+    for sign in (1, -1):
+        mm = np.zeros(K, np.int64)
+        alive = np.ones(K, bool)
+        cons = []
+        for d in range(ext_max):
+            col = s + rlen + d if sign == 1 else s - 1 - d
+            inb = (col >= 0) & (col < n) & alive
+            if inb.sum() < repeat_count:
+                break
+            bases = text[np.clip(col, 0, n - 1)]
+            cnt = np.bincount(bases[inb], minlength=4)[:4]
+            maj = int(cnt.argmax())
+            # a real repeat column is near-unanimous modulo SNP'd copies;
+            # random flanks (~max 40% agreement over 4 symbols) stop the
+            # extension immediately
+            if cnt[maj] < max(repeat_count, (3 * int(inb.sum())) // 4 + 1):
+                break
+            mm += inb & (bases != maj)
+            alive &= inb & (mm <= seed_mm)
+            if alive.sum() < repeat_count:
+                break
+            cons.append(maj)
+        if sign == 1:
+            cons_r = cons
+        else:
+            cons_l = cons
+    extL, extR = len(cons_l), len(cons_r)
+    seq = np.concatenate([
+        np.asarray(cons_l[::-1], np.uint8),
+        text[int(s[0]):int(s[0]) + rlen].astype(np.uint8),
+        np.asarray(cons_r, np.uint8)])
+    return extL, extR, seq
+
+
 def build_repeats(ref: JoinedReference, repeat_length: int = 100,
                   repeat_count: int = 5, max_repeats: int = 100000,
-                  forward_only: bool = False) -> RepeatDB:
+                  forward_only: bool = False, sa: np.ndarray | None = None,
+                  consensus: bool = True) -> RepeatDB:
     """Find repeats of length >= repeat_length occurring >= repeat_count
     times (both strands unless forward_only, mirroring hisat2-repeat's
-    default two-strand construction)."""
+    default two-strand construction), then extend each exact core into a
+    mismatch-tolerant consensus (SeedExt role).
+
+    sa: optional precomputed suffix array over the (fw [+ rc]) text
+    (hisat2-repeat --load-sa equivalent; cli/repeat.py persists it)."""
     fw_text = ref.joined
     if forward_only:
         text = fw_text
@@ -221,48 +295,61 @@ def build_repeats(ref: JoinedReference, repeat_length: int = 100,
         rc = alphabet.revcomp(ref.joined)
         text = np.concatenate([fw_text, rc])
         n_fw = fw_text.size
-    sa = build_suffix_array(text)
-    lcp = lcp_array(text.astype(np.int64), sa)
+    if sa is None:
+        sa = build_suffix_array(text)
+    lcp = lcp_array(text, sa)
 
     db = RepeatDB(ref=ref)
     m = sa.size
-    i = 1
     rid = 0
     # shifted sub-repeats of an already-emitted repeat are redundant (the
     # reference merges them during seed extension / consensus building);
     # dedup by marking the text covered by accepted occurrences
     covered = np.zeros(text.size + 1, bool)
-    while i < m and rid < max_repeats:
-        if lcp[i] < repeat_length:
-            i += 1
-            continue
-        # run of suffixes sharing >= repeat_length prefix
-        j = i
-        minlcp = lcp[i]
-        while j < m and lcp[j] >= repeat_length:
-            minlcp = min(minlcp, lcp[j])
-            j += 1
+    # vectorized run walk: maximal runs of lcp >= repeat_length
+    ge = lcp >= repeat_length
+    ge[0] = False
+    d = np.diff(ge.astype(np.int8))
+    run_s = np.flatnonzero(d == 1) + 1            # first r with ge
+    run_e = np.flatnonzero(d == -1) + 1           # one past last
+    if ge.size and ge[-1]:
+        run_e = np.append(run_e, m)
+    for t in range(run_s.size):
+        if rid >= max_repeats:
+            break
+        i, j = int(run_s[t]), int(run_e[t])
         group = sa[i - 1:j]
-        if group.size >= repeat_count:
-            rlen = int(minlcp)
-            starts = [int(g) for g in group if int(g) + rlen <= text.size]
-            fresh = sum(int((~covered[g:g + rlen]).sum()) for g in starts)
-            if fresh >= (len(starts) * rlen) // 2:
-                positions = []
-                for g in starts:
-                    covered[g:g + rlen] = True
-                    if g < n_fw:
-                        positions.append((g, True))
-                        if not forward_only:   # mark the rc twin too
-                            covered[2 * n_fw - (g + rlen):2 * n_fw - g] = True
-                    else:
-                        fwpos = 2 * n_fw - (g + rlen)
-                        positions.append((fwpos, False))
-                        covered[max(0, fwpos):fwpos + rlen] = True
-                if len(positions) >= repeat_count:
-                    seq = text[starts[0]: starts[0] + rlen]
-                    db.repeats.append(
-                        Repeat(f"rpt_{rid}", seq.copy(), positions))
-                    rid += 1
-        i = j + 1
+        if group.size < repeat_count:
+            continue
+        rlen = int(lcp[i:j].min())
+        starts = group[group + rlen <= text.size].astype(np.int64)
+        if starts.size < repeat_count:
+            continue
+        # skip groups mostly covered by an earlier repeat
+        fresh = sum(int((~covered[g:g + rlen]).sum()) for g in starts)
+        if fresh < (starts.size * rlen) // 2:
+            continue
+        extL = extR = 0
+        seq = text[int(starts[0]):int(starts[0]) + rlen]
+        if consensus:
+            extL, extR, seq = _consensus_extend(
+                text, starts, rlen, repeat_count)
+        tot = rlen + extL + extR
+        positions = []
+        for g in starts:
+            g0 = max(0, int(g) - extL)
+            covered[g0:g0 + tot] = True
+            if g < n_fw:
+                positions.append((g0, True))
+                if not forward_only:   # mark the rc twin too
+                    covered[2 * n_fw - (g0 + tot):2 * n_fw - g0] = True
+            else:
+                fwpos = 2 * n_fw - (g0 + tot)
+                positions.append((max(0, fwpos), False))
+                covered[max(0, fwpos):fwpos + tot] = True
+        if len(positions) >= repeat_count:
+            db.repeats.append(
+                Repeat(f"rpt_{rid}", np.asarray(seq, np.uint8).copy(),
+                       positions))
+            rid += 1
     return db

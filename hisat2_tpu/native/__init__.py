@@ -208,6 +208,12 @@ def sais_lib() -> ctypes.CDLL | None:
             ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64, ctypes.c_int64]
+        lib.kasai_lcp_i64.restype = None
+        lib.kasai_lcp_i64.argtypes = [
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
         lib._configured = True
     return lib
 

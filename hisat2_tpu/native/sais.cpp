@@ -166,4 +166,28 @@ void sais_u8_i64(const uint8_t* T, int64_t* SA, int64_t n, int64_t K) {
     s.run();
 }
 
+// Kasai LCP over a plain (sentinel-free) text + suffix array: lcp[r] =
+// LCP(suffix SA[r-1], suffix SA[r]), lcp[0] = 0. The repeat builder's
+// run walk consumes this (reference repeat_builder.cpp RB_SubSA
+// grouping); the Python Kasai loop was the hisat2-repeat-scale blocker.
+void kasai_lcp_i64(const uint8_t* T, const int64_t* SA, int64_t* lcp,
+                   int64_t n) {
+    std::vector<int64_t> rank((size_t)n);
+    for (int64_t r = 0; r < n; r++) rank[(size_t)SA[r]] = r;
+    int64_t h = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rank[(size_t)i];
+        if (r > 0) {
+            int64_t j = SA[r - 1];
+            int64_t m = (n - i < n - j) ? n - i : n - j;
+            while (h < m && T[i + h] == T[j + h]) h++;
+            lcp[r] = h;
+            if (h) h--;
+        } else {
+            lcp[0] = 0;
+            h = 0;
+        }
+    }
+}
+
 }  // extern "C"

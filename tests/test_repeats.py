@@ -135,3 +135,53 @@ def test_kmer_classifier(rep_setup):
     # every repeat read classified; unique reads not
     assert (got[want]).all(), "repeat reads missed by classifier"
     assert not got[~want].any(), "unique reads misclassified"
+
+
+def test_consensus_snp_copies():
+    """SNP'd copies assemble into ONE consensus repeat covering every
+    copy (reference SeedExt, repeat_builder.cpp:3947): an exact 100bp
+    core extends over per-copy mismatches into the full 300bp unit."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=40000).astype(np.uint8)
+    unit = rng.integers(0, 4, size=300).astype(np.uint8)
+    spots = list(range(2000, 2000 + 8 * 2000, 2000))
+    for i, p in enumerate(spots):
+        cp = unit.copy()
+        # one SNP per copy OUTSIDE the shared exact core [100, 200)
+        mpos = 20 + 25 * i if i < 4 else 210 + 20 * (i - 4)
+        cp[mpos] = (cp[mpos] + 1) % 4
+        codes[p:p + 300] = cp
+    ref = reference_from_seqs({"chrC": alphabet.decode(codes)})
+    db = build_repeats(ref, repeat_length=100, repeat_count=5)
+    big = max(db.repeats, key=lambda r: len(r.seq))
+    assert len(big.seq) >= 280, len(big.seq)    # consensus spans the unit
+    assert len(big.positions) >= 8
+    # consensus equals the original unit over the aligned span
+    starts = sorted(j for j, fw in big.positions if fw)
+    off = starts[0] - spots[0]
+    want = codes[starts[0]:starts[0] + len(big.seq)]
+    mism = int((big.seq != want).sum())
+    assert mism <= 2, mism                      # per-copy SNPs vote out
+
+
+def test_save_load_sa(tmp_path):
+    """--save-sa / --load-sa round-trip (reference bit_packed_array
+    role): a reloaded SA reproduces the identical repeat database."""
+    from hisat2_tpu.cli.repeat import main as repeat_main
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=30000).astype(np.uint8)
+    unit = rng.integers(0, 4, size=200).astype(np.uint8)
+    for p in range(1000, 1000 + 6 * 3000, 3000):
+        codes[p:p + 200] = unit
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as fh:
+        fh.write(">c\n" + alphabet.decode(codes) + "\n")
+    sa_file = str(tmp_path / "sa.npz")
+    assert repeat_main([str(fa), str(tmp_path / "a"), "--no-index",
+                        "--quiet", "--save-sa", sa_file]) == 0
+    assert repeat_main([str(fa), str(tmp_path / "b"), "--no-index",
+                        "--quiet", "--load-sa", sa_file]) == 0
+    assert (tmp_path / "a.rep.fa").read_text() \
+        == (tmp_path / "b.rep.fa").read_text()
+    assert (tmp_path / "a.rep.info").read_text() \
+        == (tmp_path / "b.rep.info").read_text()

@@ -81,6 +81,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--no-head", action="store_true")
     ap.add_argument("--reorder", action="store_true")
     ap.add_argument("--phred64", action="store_true")
+    ap.add_argument("--solexa-quals", action="store_true",
+                    help="qualities are Solexa scale (char - 64), "
+                         "converted to phred (reference --solexa-quals)")
+    ap.add_argument("--int-quals", action="store_true",
+                    help="qualities are space-separated integers "
+                         "(reference --int-quals)")
     ap.add_argument("--ignore-quals", action="store_true")
     ap.add_argument("-5", "--trim5", type=int, default=0,
                     help="trim <int> bases from 5' end")
@@ -182,6 +188,12 @@ def main(argv=None) -> int:
     from ..io import sam as samio
     from ..io.reads import read_reads, read_tab6, batch_iter, batchify
 
+    # quality scale (pat.h:96 PatternParams): one decode mode for all
+    # readers
+    qscale = ("int" if args.int_quals else
+              "solexa" if args.solexa_quals else
+              "phred64" if args.phred64 else "phred33")
+    args.phred64 = qscale if qscale != "phred33" else False
     t0 = time.time()
     import os as _os0
     idx_pref = args.index

@@ -299,13 +299,26 @@ def build_repeats(ref: JoinedReference, repeat_length: int = 100,
         sa = build_suffix_array(text)
     lcp = lcp_array(text, sa)
 
+    from bisect import bisect_right, insort
+
     db = RepeatDB(ref=ref)
     m = sa.size
     rid = 0
     # shifted sub-repeats of an already-emitted repeat are redundant (the
     # reference merges them during seed extension / consensus building);
-    # dedup by marking the text covered by accepted occurrences
+    # dedup by marking the text covered by accepted occurrences. cov_rid
+    # remembers WHICH repeat covered a start so later shifted groups can
+    # donate their still-uncovered copies to it (allele-coordinate
+    # adoption, reference RB_AlleleCoord role, repeat_builder.h:435).
     covered = np.zeros(text.size + 1, bool)
+    cov_rid = np.full(text.size + 1, -1, np.int32)
+    tstarts: list[list[int]] = []     # per-rid sorted text-space starts
+    tot_of: list[int] = []
+
+    def mark(p0, tot, r):
+        covered[p0:p0 + tot] = True
+        cov_rid[p0:p0 + tot] = r
+
     # vectorized run walk: maximal runs of lcp >= repeat_length
     ge = lcp >= repeat_length
     ge[0] = False
@@ -325,9 +338,42 @@ def build_repeats(ref: JoinedReference, repeat_length: int = 100,
         starts = group[group + rlen <= text.size].astype(np.int64)
         if starts.size < repeat_count:
             continue
-        # skip groups mostly covered by an earlier repeat
+        # groups mostly covered by an earlier repeat: don't re-emit a
+        # shifted duplicate — but DO adopt their uncovered copies into
+        # the dominant covering repeat (the shared exact window fixes
+        # the consensus offset via any covered member)
         fresh = sum(int((~covered[g:g + rlen]).sum()) for g in starts)
         if fresh < (starts.size * rlen) // 2:
+            rids = cov_rid[starts]
+            have = rids >= 0
+            if not have.any():
+                continue
+            vals, cnts = np.unique(rids[have], return_counts=True)
+            r_star = int(vals[cnts.argmax()])
+            tot = tot_of[r_star]
+            ts = tstarts[r_star]
+            # consensus offset from any covered member of this group
+            gc = int(starts[have][rids[have] == r_star][0])
+            k = bisect_right(ts, gc) - 1
+            if k < 0 or gc >= ts[k] + tot:
+                continue
+            shift = gc - ts[k]
+            rep = db.repeats[r_star]
+            for g in starts[~have]:
+                p0 = int(g) - shift
+                if (p0 < 0 or p0 + tot > text.size
+                        or (p0 < n_fw) != (g < n_fw) or covered[p0]):
+                    continue
+                mark(p0, tot, r_star)
+                insort(ts, p0)
+                if p0 < n_fw:
+                    rep.positions.append((p0, True))
+                    if not forward_only:
+                        mark(max(0, 2 * n_fw - (p0 + tot)), tot, r_star)
+                else:
+                    fwpos = max(0, 2 * n_fw - (p0 + tot))
+                    rep.positions.append((fwpos, False))
+                    mark(fwpos, tot, r_star)
             continue
         extL = extR = 0
         seq = text[int(starts[0]):int(starts[0]) + rlen]
@@ -336,20 +382,23 @@ def build_repeats(ref: JoinedReference, repeat_length: int = 100,
                 text, starts, rlen, repeat_count)
         tot = rlen + extL + extR
         positions = []
+        ts = []
         for g in starts:
             g0 = max(0, int(g) - extL)
-            covered[g0:g0 + tot] = True
+            mark(g0, tot, rid)
+            ts.append(g0)
             if g < n_fw:
                 positions.append((g0, True))
                 if not forward_only:   # mark the rc twin too
-                    covered[2 * n_fw - (g0 + tot):2 * n_fw - g0] = True
+                    mark(max(0, 2 * n_fw - (g0 + tot)), tot, rid)
             else:
-                fwpos = 2 * n_fw - (g0 + tot)
-                positions.append((max(0, fwpos), False))
-                covered[max(0, fwpos):fwpos + tot] = True
-        if len(positions) >= repeat_count:
-            db.repeats.append(
-                Repeat(f"rpt_{rid}", np.asarray(seq, np.uint8).copy(),
-                       positions))
-            rid += 1
+                fwpos = max(0, 2 * n_fw - (g0 + tot))
+                positions.append((fwpos, False))
+                mark(fwpos, tot, rid)
+        db.repeats.append(
+            Repeat(f"rpt_{rid}", np.asarray(seq, np.uint8).copy(),
+                   positions))
+        tstarts.append(sorted(ts))
+        tot_of.append(tot)
+        rid += 1
     return db

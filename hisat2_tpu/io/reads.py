@@ -56,13 +56,30 @@ def _open_text(path: str | os.PathLike) -> io.TextIOBase:
     return open(path, "rt")
 
 
-def _parse_qual(qstr: str, phred64: bool = False) -> np.ndarray:
-    off = 64 if phred64 else 33
+# Solexa (pre-1.3 Illumina) quality -> phred (reference
+# gen_solqual_lookup.pl / solexa_to_phred): p = 10*log10(1 + 10^(s/10))
+_SOLEXA_TO_PHRED = np.asarray(
+    [int(round(10 * np.log10(1 + 10 ** (s / 10.0))))
+     for s in range(-10, 63)], np.int32)
+
+
+def _parse_qual(qstr: str, qscale=False) -> np.ndarray:
+    """Decode a quality string under `qscale`: False/"phred33" (default),
+    True/"phred64", "solexa" (char-64 Solexa scale, converted to phred),
+    or "int" (space-separated integers, reference --int-quals)."""
+    if qscale == "int":
+        q = np.asarray([int(x) for x in qstr.split()], np.int32)
+        return np.clip(q, 0, 62)
+    if qscale == "solexa":
+        raw = np.frombuffer(qstr.encode("ascii"),
+                            dtype=np.uint8).astype(np.int32) - 64
+        return np.clip(_SOLEXA_TO_PHRED[np.clip(raw, -10, 62) + 10], 0, 62)
+    off = 64 if (qscale is True or qscale == "phred64") else 33
     q = np.frombuffer(qstr.encode("ascii"), dtype=np.uint8).astype(np.int32) - off
     return np.clip(q, 0, 62)
 
 
-def read_fastq(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[Read]:
+def read_fastq(path, phred64=False, start_rdid: int = 0) -> Iterator[Read]:
     with _open_text(path) as fh:
         rdid = start_rdid
         while True:
@@ -98,7 +115,7 @@ def read_fasta(path, start_rdid: int = 0) -> Iterator[Read]:
             yield Read(name, alphabet.encode("".join(chunks)), None, rdid)
 
 
-def read_tab6(path, phred64: bool = False, start_rdid: int = 0) -> Iterator[tuple[Read, Read]]:
+def read_tab6(path, phred64=False, start_rdid: int = 0) -> Iterator[tuple[Read, Read]]:
     """tab6: name1 seq1 qual1 name2 seq2 qual2 per line; tab5 omits name2
     (both mates share name1) — reference --12 accepts both."""
     with _open_text(path) as fh:
@@ -134,7 +151,7 @@ def reads_from_cmdline(seqs: str, start_rdid: int = 0) -> Iterator[Read]:
             yield Read(str(rdid), alphabet.encode(s), None, rdid)
 
 
-def read_qseq(path, phred64: bool = True, start_rdid: int = 0
+def read_qseq(path, phred64=True, start_rdid: int = 0
               ) -> Iterator[Read]:
     """Illumina QSEQ format (--qseq): tab-separated, seq in col 9, quals in
     col 10 (phred64), '.' means N (reference read_qseq.cpp)."""
@@ -154,7 +171,7 @@ def read_qseq(path, phred64: bool = True, start_rdid: int = 0
             rdid += 1
 
 
-def read_reads(path, fmt: str | None = None, phred64: bool = False,
+def read_reads(path, fmt: str | None = None, phred64=False,
                start_rdid: int = 0) -> Iterator[Read]:
     """Auto-dispatch on extension unless fmt given ('fastq'|'fasta')."""
     if fmt is None:

@@ -130,6 +130,19 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--sensitive", action="store_true")
     ap.add_argument("--very-sensitive", action="store_true")
+    ap.add_argument("-N", type=int, default=None, metavar="MM",
+                    help="seed mismatches (policy SEED=, presets.cpp)")
+    ap.add_argument("-L", type=int, default=None, metavar="LEN",
+                    help="seed length (policy SEEDLEN=)")
+    ap.add_argument("-i", default=None, metavar="F,C,M",
+                    help="seed interval function (policy IVAL=)")
+    ap.add_argument("-D", type=int, default=None, metavar="N",
+                    help="DP extension budget (policy DPS=)")
+    ap.add_argument("-R", type=int, default=None, metavar="N",
+                    help="re-seeding rounds (policy ROUNDS=)")
+    ap.add_argument("--policy", default=None, metavar="STR",
+                    help="raw semicolon policy string "
+                         "(SEED=..;DPS=..;IVAL=.., presets.cpp:30-88)")
     ap.add_argument("--batch-size", type=int, default=2048,
                     help="reads per device batch")
     ap.add_argument("-p", "--threads", type=int, default=1,
@@ -302,6 +315,30 @@ def main(argv=None) -> int:
     elif args.very_sensitive:
         opts.max_seeds, opts.locs_per_seg, opts.top_cands = 24, 16, 24
         opts.verify_cands = 24
+    # two-pass policy parse (reference hisat2.cpp:1800): presets first,
+    # then explicit seed-policy flags append and override
+    polstr = ""
+    from ..align.policy import apply_policy, PRESETS
+    if args.very_sensitive:
+        polstr = PRESETS["very-sensitive"]
+    elif args.sensitive:
+        polstr = PRESETS["sensitive"]
+    elif args.fast:
+        polstr = PRESETS["fast"]
+    if args.N is not None:
+        polstr += f";SEED={args.N}"
+    if args.L is not None:
+        polstr += f";SEEDLEN={args.L}"
+    if args.i is not None:
+        polstr += f";IVAL={args.i}"
+    if args.D is not None:
+        polstr += f";DPS={args.D}"
+    if args.R is not None:
+        polstr += f";ROUNDS={args.R}"
+    if args.policy:
+        polstr += ";" + args.policy
+    if polstr.strip(";"):
+        sc = apply_policy(polstr, opts, sc)
     if sharded is not None:
         from ..align.sharded import ShardedAligner
         if (args.tab6 or args.un or args.al

@@ -196,3 +196,32 @@ def test_tmo_cli_pe(workdir):
     recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
     assert len(recs) == 60
     assert all(int(f[1]) & 4 for f in recs)
+
+
+def test_policy_string():
+    """Policy-string parser (presets.cpp:30-88 + SeedAlignmentPolicy):
+    presets and -N/-L/-i/-D/-R components map onto opts/scoring."""
+    from hisat2_tpu.align.policy import apply_policy, PRESETS
+    from hisat2_tpu.align.pipeline import AlignerOpts
+    from hisat2_tpu.align.scoring import DEFAULT_SCORING
+
+    o = AlignerOpts()
+    sc = apply_policy(PRESETS["very-sensitive"], o, DEFAULT_SCORING)
+    assert o.verify_cands == 20          # DPS=20
+    assert o.max_seeds == 24             # ROUNDS=3
+    assert o.n_seeds > AlignerOpts().n_seeds   # IVAL=S,1,0.50 densifies
+
+    o2 = AlignerOpts()
+    sc2 = apply_policy("MA=2;MMP=C3;RDG=4,2;RFG=6,3;MIN=L,0,-0.3;"
+                       "NCEIL=C,5;NP=C2", o2, DEFAULT_SCORING)
+    assert sc2.match_bonus == 2
+    assert sc2.mm_pen_max == sc2.mm_pen_min == 3
+    assert (sc2.read_gap_const, sc2.read_gap_linear) == (4, 2)
+    assert (sc2.ref_gap_const, sc2.ref_gap_linear) == (6, 3)
+    assert sc2.score_min.S == -0.3
+    assert sc2.n_ceil.type == "C" and sc2.n_ceil.I == 5
+    assert sc2.n_pen == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        apply_policy("BOGUS=1", AlignerOpts(), DEFAULT_SCORING)

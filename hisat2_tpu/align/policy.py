@@ -105,12 +105,17 @@ def apply_policy(polstr: str, opts, scoring, rdlen: int = 100):
                 scoring, ref_gap_const=int(float(args[0])),
                 ref_gap_linear=(int(float(args[1])) if len(args) > 1
                                 else scoring.ref_gap_linear))
-        elif key == "MIN":
-            scoring = replace(scoring, score_min=SimpleFunc(
-                args[0], float(args[1]), float(args[2])))
-        elif key == "NCEIL":
-            scoring = replace(scoring, n_ceil=SimpleFunc(
-                args[0], float(args[1]), float(args[2])))
+        elif key in ("MIN", "NCEIL"):
+            # F,c,m / C,c / c,m (linear) — parseString's accepted forms
+            if args[0][:1].isalpha():
+                f = SimpleFunc(args[0].upper(),
+                               float(args[1]) if len(args) > 1 else 0.0,
+                               float(args[2]) if len(args) > 2 else 0.0)
+            else:
+                f = SimpleFunc("L", float(args[0]),
+                               float(args[1]) if len(args) > 1 else 0.0)
+            scoring = replace(scoring, **(
+                {"score_min": f} if key == "MIN" else {"n_ceil": f}))
         else:
             raise ValueError(f"unknown policy component {key!r}")
 

@@ -1016,8 +1016,11 @@ class Aligner:
         B = len(batch)
         L = batch.seqs.shape[1]
         self.metrics.reads += B
+        self.metrics.bases += int(batch.lens.sum())
         self.metrics.batches += 1
         self.metrics.seeds += 2 * B * o.n_seeds
+        self.metrics.table_probes += 2 * B * o.n_seeds
+        self.metrics.candidates += 2 * B * o.verify_cands
         seq_w, n_w, quals, qconst, lens = batch.packed()
         K2 = min(2 * o.top_cands, max(8, o.khits + 3))
         spl_kw = {}
@@ -1420,6 +1423,8 @@ class Aligner:
         is_scan = np.zeros(P, bool)
         is_scan[d_ri.size + P1:] = True
         self.metrics.splice_lanes += P
+        self.metrics.splice_sites_known = len(self.ssdb.known)
+        self.metrics.splice_sites_novel = len(self.ssdb.novel)
         jsc = res[:, 0].astype(np.int64)
         jj = res[:, 1].astype(np.int64)
         fl = res[:, 2].astype(np.int64)
@@ -1956,6 +1961,7 @@ class Aligner:
                 ncnt[ln[0]] = ncnt.get(ln[0], 0) + 1
         lanes2 = capped2
         P = len(lanes2)
+        self.metrics.splice_second_lanes += P
         # fixed size classes (one-time executable load per shape)
         bucket = 1024
         while bucket < P:

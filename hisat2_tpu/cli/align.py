@@ -462,6 +462,11 @@ def main(argv=None) -> int:
                 write_unal_al(batch, results)
                 nreads += len(batch)
                 if msink:
+                    al.metrics.pairs = totals.get("pairs", 0)
+                    al.metrics.conc_uniq = totals.get("conc_uniq", 0)
+                    al.metrics.conc_multi = totals.get("conc_multi", 0)
+                    al.metrics.disc = totals.get("disc", 0)
+                    al.metrics.mixed_al = totals.get("mixed_al", 0)
                     al.metrics.aligned = (totals.get("uniq", 0)
                                           + totals.get("multi", 0))
                     al.metrics.unaligned = totals.get("unal", 0)
@@ -478,6 +483,11 @@ def main(argv=None) -> int:
                 nreads += len(batch)
                 nb += 1
                 if msink:
+                    al.metrics.pairs = totals.get("pairs", 0)
+                    al.metrics.conc_uniq = totals.get("conc_uniq", 0)
+                    al.metrics.conc_multi = totals.get("conc_multi", 0)
+                    al.metrics.disc = totals.get("disc", 0)
+                    al.metrics.mixed_al = totals.get("mixed_al", 0)
                     al.metrics.aligned = (totals.get("uniq", 0)
                                           + totals.get("multi", 0))
                     al.metrics.unaligned = totals.get("unal", 0)

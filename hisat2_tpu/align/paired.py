@@ -1109,7 +1109,10 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
     rd = np.full((bucket, L), 4, np.int64)
     q = np.full((bucket, L), 40, np.int64)
     rls = np.zeros(bucket, np.int32)
-    wstarts = np.zeros(bucket, np.int32)
+    # int64: sharded/host-mode rescue works in GLOBAL joined coordinates
+    # (>2^31 past ~2.1Gbp); the device branches below recast to int32
+    # (shard-local windows are always int32-safe)
+    wstarts = np.zeros(bucket, np.int64)
     from ..utils import alphabet
     for k, (i, anchored, ac, wstart, mate_fw, rdlen) in enumerate(lanes_p):
         tb = b2 if anchored == 1 else b1
@@ -1146,7 +1149,8 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
         scores = np.full(P, 1 << 30, np.int64)
     elif (getattr(aligner, "sc_const", None) is not None
             and jax.default_backend() == "tpu"):
-        win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
+        win = _rank_text_window(aligner.idx,
+                                jnp.asarray(wstarts, jnp.int32), W)
         # Pallas DP (ops/dp_pallas.py): the XLA scan path costs ~100x
         # the row work in loop overhead at these shapes
         from ..ops.dp_pallas import dp_score_pallas
@@ -1164,7 +1168,8 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
             match_bonus=mb, n_pen=npen, rd_open=ro, rd_ext=re,
             rf_open=fo, rf_ext=fe))[:P]
     else:
-        win = _rank_text_window(aligner.idx, jnp.asarray(wstarts), W)
+        win = _rank_text_window(aligner.idx,
+                                jnp.asarray(wstarts, jnp.int32), W)
         scores = np.asarray(_sw.dp_score_batch(
             aligner.sctab, jnp.asarray(rd), jnp.asarray(q),
             jnp.asarray(rls), win))[:P]

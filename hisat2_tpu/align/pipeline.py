@@ -1931,52 +1931,78 @@ class Aligner:
             cands.sort(key=lambda x: -x["score"])
             for c in cands[:2]:
                 bases.setdefault(i, []).append(c)
-        for i, cs in bases.items():
-            rl = int(lens[i])
-            diags = set()
-            for t in range(sc.shape[1]):
-                if sc[i, t] > NEG_INF // 2:
-                    diags.add((int(pos[i, t]), bool(fw[i, t])))
-            for c in cs:
-                for pd, fd in diags:
-                    if fd != c["fw"]:
-                        continue
-                    dL = c["posA"] - pd
-                    dR = pd - c["posB"]
-                    if o.min_intron <= dL <= o.max_intron and c["j"] >= 2:
-                        lanes2.append((i, c, "L", pd))
-                    elif (o.min_intron <= dR <= o.max_intron
-                          and c["j"] <= rl - 2):
-                        lanes2.append((i, c, "R", pd))
-        if not lanes2:
+        if not bases:
             return
+        # vectorized lane enumeration (was a per-row Python walk over the
+        # K2 grid — ~10% of the RNA finish at steady state): one
+        # (n_base, K2) broadcast finds every same-orientation residual
+        # diagonal within intron range of every base candidate
+        blist = [(i, c) for i, cs in bases.items() for c in cs]
+        bi = np.asarray([i for i, _ in blist], np.int64)
+        bpa = np.asarray([c["posA"] for _, c in blist], np.int64)
+        bpb = np.asarray([c["posB"] for _, c in blist], np.int64)
+        bj = np.asarray([c["j"] for _, c in blist], np.int64)
+        bfw = np.asarray([c["fw"] for _, c in blist], bool)
+        bstr = np.asarray([c["strand"] for _, c in blist])
+        bcn = np.asarray([c["canon"] for _, c in blist], np.int64)
+        bsc0 = np.asarray([c["score"] for _, c in blist], np.int64)
+        scb = sc[bi]
+        posb = pos[bi].astype(np.int64)
+        fwb = fw[bi]
+        K2g = scb.shape[1]
+        live = scb > NEG_INF // 2
+        dupm = np.zeros_like(live)
+        for t in range(1, K2g):
+            dupm[:, t] = ((posb[:, :t] == posb[:, t:t + 1])
+                          & (fwb[:, :t] == fwb[:, t:t + 1])).any(axis=1)
+        okb = live & ~dupm & (fwb == bfw[:, None])
+        dLv = bpa[:, None] - posb
+        dRv = posb - bpb[:, None]
+        rlb = lens[bi]
+        okL2 = (okb & (dLv >= o.min_intron) & (dLv <= o.max_intron)
+                & (bj >= 2)[:, None])
+        okR2 = (okb & ~okL2 & (dRv >= o.min_intron) & (dRv <= o.max_intron)
+                & (bj <= rlb - 2)[:, None])
+        lb, lt = np.nonzero(okL2 | okR2)
+        if lb.size == 0:
+            return
+        l_idx = lb                                 # base-candidate index
+        l_sideL = okL2[lb, lt]
+        l_pd = posb[lb, lt]
         # cap per READ (a global cap would starve multi-intron reads in
         # large batches — r2 bug, capped whole 16K batches at 32 lanes)
         cap2 = 4 * o.pairs_per_read
-        ncnt: dict[int, int] = {}
-        capped2 = []
-        for ln in lanes2:
-            if ncnt.get(ln[0], 0) < cap2:
-                capped2.append(ln)
-                ncnt[ln[0]] = ncnt.get(ln[0], 0) + 1
-        lanes2 = capped2
-        P = len(lanes2)
+        li_l = bi[l_idx]
+        perm = np.argsort(li_l, kind="stable")
+        sorted_li = li_l[perm]
+        grp = np.concatenate([[0], np.flatnonzero(np.diff(sorted_li)) + 1])
+        sizes = np.diff(np.append(grp, li_l.size))
+        rank_sorted = np.arange(li_l.size) - np.repeat(grp, sizes)
+        rank = np.empty(li_l.size, np.int64)
+        rank[perm] = rank_sorted
+        keep = rank < cap2
+        l_idx, l_sideL, l_pd = l_idx[keep], l_sideL[keep], l_pd[keep]
+        P = int(l_idx.size)
         self.metrics.splice_second_lanes += P
         # fixed size classes (one-time executable load per shape)
         bucket = 1024
         while bucket < P:
             bucket *= 8
-        lanes_p = lanes2 + [lanes2[0]] * (bucket - P)
+        pad_i = np.zeros(bucket - P, l_idx.dtype)
+        l_idx_p = np.concatenate([l_idx, pad_i + l_idx[0]])
+        l_sideL_p = np.concatenate([l_sideL, np.zeros(bucket - P, bool)
+                                    | l_sideL[0]])
+        l_pd_p = np.concatenate([l_pd, pad_i + l_pd[0]])
         # residual-segment lane reads are gathered + shifted ON DEVICE
         # (ops/splice.junction_score_packed_rows); the host only ships
         # small per-lane scalars
-        li = np.asarray([l[0] for l in lanes_p], np.int64)
-        lfw = np.asarray([l[1]["fw"] for l in lanes_p], bool)
-        lj = np.asarray([l[1]["j"] for l in lanes_p], np.int64)
-        lside_L = np.asarray([l[2] == "L" for l in lanes_p], bool)
-        lpd = np.asarray([l[3] for l in lanes_p], np.int64)
-        lpA = np.asarray([l[1]["posA"] for l in lanes_p], np.int64)
-        lpB = np.asarray([l[1]["posB"] for l in lanes_p], np.int64)
+        li = bi[l_idx_p]
+        lfw = bfw[l_idx_p]
+        lj = bj[l_idx_p]
+        lside_L = l_sideL_p
+        lpd = l_pd_p
+        lpA = bpa[l_idx_p]
+        lpB = bpb[l_idx_p]
         rlv = lens[li]
         start = np.where(lside_L, 0, lj)
         seglen = np.where(lside_L, lj, rlv - lj)
@@ -2036,8 +2062,9 @@ class Aligner:
         lpAP = lpA[:P]
         lpBP = lpB[:P]
         rlP = lens[liP]
-        lstr = np.asarray([l[1]["strand"] for l in lanes2])
-        lsc0 = np.asarray([l[1]["score"] for l in lanes2], np.int64)
+        lidxP = l_idx_p[:P]
+        lstr = bstr[lidxP]
+        lsc0 = bsc0[lidxP]
         str2 = np.where(st2 == 1, "+", "-")
         okv = (st2 != 0) & (sc2 > NEG_INF // 2) & (str2 == lstr)
         gj_v = ljP + j2
@@ -2064,20 +2091,17 @@ class Aligner:
             p2v = np.where(lLP, lpBP, lpdP)[surv]
             b1 = np.where(lLP[surv], j2[surv], ljP[surv])
             b2 = np.where(lLP[surv], ljP[surv], gj_v[surv])
-            cA = np.where(lLP[surv], cn2[surv],
-                          np.asarray([lanes2[int(k)][1]["canon"]
-                                      for k in surv]))
-            cB = np.where(lLP[surv],
-                          np.asarray([lanes2[int(k)][1]["canon"]
-                                      for k in surv]), cn2[surv])
+            cA = np.where(lLP[surv], cn2[surv], bcn[lidxP[surv]])
+            cB = np.where(lLP[surv], bcn[lidxP[surv]], cn2[surv])
             score2_v[surv] = self._score_segs_rows(
                 batch, liP[surv], p0, p1, p2v, b1, b2,
-                np.asarray([lanes2[int(k)][1]["fw"] for k in surv], bool),
-                cA, cB, rlP[surv])
+                bfw[lidxP[surv]], cA, cB, rlP[surv])
         elif surv.size:
             for k in surv:
                 k = int(k)
-                i, c, side, pd = lanes2[k]
+                i, c = blist[int(lidxP[k])]
+                side = "L" if lLP[k] else "R"
+                pd = int(lpdP[k])
                 segs_t = ([(pd, 0), (c["posA"], int(j2[k])),
                            (c["posB"], c["j"])] if side == "L"
                           else [(c["posA"], 0), (c["posB"], c["j"]),
@@ -2092,7 +2116,9 @@ class Aligner:
         okv &= (score2_v >= min_sc_v2) & (score2_v > lsc0)
         for k in np.flatnonzero(okv):
             k = int(k)
-            i, c, side, pd = lanes2[k]
+            i, c = blist[int(lidxP[k])]
+            side = "L" if lLP[k] else "R"
+            pd = int(lpdP[k])
             jj2 = int(j2[k])
             rl = int(lens[i])
             if side == "L":

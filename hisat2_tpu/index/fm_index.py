@@ -73,6 +73,10 @@ class FMIndex:
     st_starts: np.ndarray = None   # (4^st_k + 1,) int32
     st_pos: np.ndarray = None      # (n_kmers + pad,) int32
     st_k: int = 0
+    # stride-sampled table (Gbp memory diet): only kmer starts at
+    # positions %% st_stride == 0 are stored; seed offsets jitter by
+    # residue so every diagonal stays reachable (ops/search.table_seed)
+    st_stride: int = 1
 
     @property
     def m(self) -> int:
@@ -121,7 +125,12 @@ class FMIndex:
             sp_rows.reshape(-1)[:sp.size] = sp
             extra.update(st_starts=jnp.asarray(self.st_starts),
                          st_pos_rows=jnp.asarray(sp_rows),
-                         st_k=int(self.st_k))
+                         st_k=int(self.st_k),
+                         # stride marker: the VALUE rides the (static)
+                         # shape so jitted consumers see it without a
+                         # plumbed static arg
+                         st_stride_m=jnp.zeros(max(1, self.st_stride),
+                                               jnp.int8))
             if self.st_starts.size <= (1 << 24) + 1:
                 # (4^kt, 2) [start, end] pairs: bucket bounds in ONE row
                 # gather instead of two element gathers (the two ranked
@@ -208,7 +217,8 @@ class FMIndex:
         )
         meta = dict(version=FORMAT_VERSION, n=self.n, zoff=self.zoff,
                     ftab_k=self.ftab_k, names=self.ref.names,
-                    offrate=self.offrate, st_k=self.st_k)
+                    offrate=self.offrate, st_k=self.st_k,
+                    st_stride=self.st_stride)
         with open(prefix + ".meta.json", "w") as fh:
             json.dump(meta, fh)
 
@@ -248,6 +258,7 @@ class FMIndex:
                        samp_rank=z["samp_rank"] if "samp_rank" in z else None,
                        samp_vals=z["samp_vals"] if "samp_vals" in z else None,
                        st_k=meta.get("st_k", 0),
+                       st_stride=meta.get("st_stride", 1),
                        st_starts=(z["st_starts"] if "st_starts" in z
                                   and z["st_starts"].size else None),
                        st_pos=(z["st_pos"] if "st_pos" in z

@@ -296,7 +296,8 @@ def build_graph_index(ref: JoinedReference, snps: SNPDB, ftab_k: int = 10,
 def build_graph_table_index(ref: JoinedReference, snps: SNPDB,
                             haplotypes: list[list[int]] | None = None,
                             kt: int | None = None,
-                            flank: int = DEFAULT_FLANK) -> GraphFMIndex:
+                            flank: int = DEFAULT_FLANK,
+                            table_stride: int = 1) -> GraphFMIndex:
     """Seed-table-only graph index (the Gbp-shard builder): augmented
     text + patches + SNV overlay WITHOUT the FM components — the fused
     table-seeded pipeline never touches BWT/SA, and skipping the suffix
@@ -325,6 +326,8 @@ def build_graph_table_index(ref: JoinedReference, snps: SNPDB,
         snv_overlay=overlay)
     if kt is None:
         kt = pick_kt(int(aug.size))
-    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(aug, kt=kt)
+    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(
+        aug, kt=kt, stride=table_stride)
+    fm.st_stride = table_stride
     fm.table_only = True
     return fm

@@ -53,11 +53,17 @@ def rolling_codes(text: np.ndarray, kt: int) -> np.ndarray:
 
 
 def build_seed_table(text: np.ndarray, kt: int | None = None,
-                     pad: int = 64) -> tuple[np.ndarray, np.ndarray, int]:
-    """Returns (starts int32 (4^kt + 1,), pos int32 (m + pad,), kt).
+                     pad: int = 64, stride: int = 1
+                     ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Returns (starts int32 (4^kt + 1,), pos int32 (m_kept + pad,), kt).
 
     pos is padded with `pad` sentinel entries so device slice-gathers of up
     to `pad` slots never clamp into a neighboring bucket.
+
+    stride > 1 keeps only kmer starts at positions % stride == 0 (the
+    Gbp memory diet: stride 2 halves device st_pos residency; the seed
+    offsets jitter by residue so every diagonal stays reachable,
+    ops/search.table_seed). The offrate-sampling role of gfm.h _offs.
 
     The build is a stable counting sort of kmer start positions by code:
     the native threaded pass (native/kmersort.cpp — the P4 parallel-build
@@ -68,26 +74,36 @@ def build_seed_table(text: np.ndarray, kt: int | None = None,
     if kt is None:
         kt = pick_kt(n)
     m = max(0, n - kt + 1)
+    mk = (m + stride - 1) // stride if stride > 1 else m
     if m and not (text >= 4).any():
         from .. import native as _native
         lib = _native.kmersort_lib()
         if lib is not None:
             starts = np.empty(4 ** kt + 1, np.int32)
-            pos = np.empty(m + pad, np.int32)
+            pos = np.empty(mk + pad, np.int32)
             tc = text if text.dtype == np.uint8 else text.astype(np.uint8)
             rc = lib.kmer_table(np.ascontiguousarray(tc), np.int64(n),
-                                np.int32(kt), starts, pos[:m], 0)
+                                np.int32(kt), starts, pos[:mk], 0,
+                                np.int32(stride))
             if rc == 0:
-                pos[m:] = 0
+                pos[mk:] = 0
                 return starts, pos, kt
     codes = rolling_codes(text, kt)
-    counts = np.bincount(codes, minlength=4 ** kt)
+    if stride > 1:
+        keep = np.arange(codes.size) % stride == 0
+        codes_k = codes[keep]
+        kept_pos = np.flatnonzero(keep)
+    else:
+        codes_k = codes
+        kept_pos = None
+    counts = np.bincount(codes_k, minlength=4 ** kt)
     starts = np.zeros(4 ** kt + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    order = _stable_sort_indices(codes)
-    pos = np.empty(m + pad, np.int32)
-    pos[:m] = order.astype(np.int32)
-    pos[m:] = 0
+    order = _stable_sort_indices(codes_k)
+    pos = np.empty(mk + pad, np.int32)
+    pos[:codes_k.size] = (order if kept_pos is None
+                          else kept_pos[order]).astype(np.int32)
+    pos[codes_k.size:] = 0
     return starts.astype(np.int32), pos, kt
 
 

@@ -104,8 +104,8 @@ class ShardedIndex:
                                          if "known_exons" in z else None))
 
 
-def build_table_index(ref: JoinedReference, kt: int | None = None
-                      ) -> FMIndex:
+def build_table_index(ref: JoinedReference, kt: int | None = None,
+                      table_stride: int = 1) -> FMIndex:
     """Seed-table-only index: the direct-address kmer table + packed text
     + fragment tables, WITHOUT the FM components (BWT/SA/ftab). The fused
     table-seeded pipeline never touches the FM arrays, and skipping the
@@ -129,7 +129,9 @@ def build_table_index(ref: JoinedReference, kt: int | None = None
         sa=np.zeros(1, np.int32),
         ftab=np.zeros((4, 2), np.int32),
     )
-    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(text, kt=kt)
+    fm.st_starts, fm.st_pos, fm.st_k = build_seed_table(
+        text, kt=kt, stride=table_stride)
+    fm.st_stride = table_stride
     fm.table_only = True
     return fm
 
@@ -141,7 +143,8 @@ MAX_SHARD_BASES = (1 << 31) - (1 << 28)
 
 def build_sharded(ref: JoinedReference, max_bases: int = MAX_SHARD_BASES,
                   table_only: bool = True, kt: int | None = None,
-                  snps=None, haplotypes=None) -> ShardedIndex:
+                  snps=None, haplotypes=None,
+                  table_stride: int = 1) -> ShardedIndex:
     """Split at sequence boundaries into shards of <= max_bases joined
     length; each shard indexes its own joined text but carries GLOBAL
     sequence ids/names in its fragment tables, so alignments come out in
@@ -179,9 +182,9 @@ def build_sharded(ref: JoinedReference, max_bases: int = MAX_SHARD_BASES,
             from .graph_index import build_graph_table_index
             lsnps, lhaps = _slice_snps(snps, haplotypes, base, jend)
             fm = build_graph_table_index(sub, lsnps, haplotypes=lhaps,
-                                         kt=kt)
+                                         kt=kt, table_stride=table_stride)
         elif table_only:
-            fm = build_table_index(sub, kt=kt)
+            fm = build_table_index(sub, kt=kt, table_stride=table_stride)
         else:
             fm = build_fm_index(sub)
         shards.append(fm)

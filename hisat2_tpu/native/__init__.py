@@ -229,7 +229,7 @@ def kmersort_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_int32,
             ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32]
+            ctypes.c_int32, ctypes.c_int32]
         lib._configured = True
     return lib
 

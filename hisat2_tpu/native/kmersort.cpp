@@ -22,11 +22,15 @@
 extern "C" {
 
 // text: n base codes 0..3 (joined references exclude ambiguous runs).
-// starts: (4^kt + 1) int32 out; pos: (n - kt + 1) int32 out.
+// starts: (4^kt + 1) int32 out; pos: (m_kept) int32 out where only
+// kmer starts with i %% stride == 0 are kept (stride-sampled tables for
+// Gbp shards — the offrate role of gfm.h _offs; stride 1 = full).
 // Returns 0 on success, -1 on bad input (kt out of range / n too big).
 int32_t kmer_table(const uint8_t* text, int64_t n, int32_t kt,
-                   int32_t* starts, int32_t* pos, int32_t nthreads)
+                   int32_t* starts, int32_t* pos, int32_t nthreads,
+                   int32_t stride)
 {
+    if (stride < 1) stride = 1;
     if (kt < 1 || kt > 15 || n >= (int64_t)INT32_MAX) return -1;
     const int64_t m = n - kt + 1;
     const int64_t nb = (int64_t)1 << (2 * kt);
@@ -59,7 +63,7 @@ int32_t kmer_table(const uint8_t* text, int64_t n, int32_t kt,
                 code = (code << 2) | (text[j] & 3);
             for (int64_t i = lo; i < hi; i++) {
                 code = ((code << 2) | (text[i + kt - 1] & 3)) & mask;
-                h[code]++;
+                if (i % stride == 0) h[code]++;
             }
         });
     }
@@ -90,7 +94,7 @@ int32_t kmer_table(const uint8_t* text, int64_t n, int32_t kt,
                 code = (code << 2) | (text[j] & 3);
             for (int64_t i = lo; i < hi; i++) {
                 code = ((code << 2) | (text[i + kt - 1] & 3)) & mask;
-                pos[off[code]++] = (int32_t)i;
+                if (i % stride == 0) pos[off[code]++] = (int32_t)i;
             }
         });
     }

@@ -188,12 +188,21 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     codes = codes + nn.astype(jnp.int32) * NB
     nbuckets0 = idx["st_starts"].shape[0] - 1
     pair_mode = idx["st_pos_rows"].size / max(nbuckets0, 1) > 3.0
-    span = jnp.maximum(lens - (2 * kt if pair_mode else kt), 0)
+    # stride-sampled table (fm_index.st_stride; the value rides the
+    # marker array's STATIC shape): only positions % St == 0 are stored,
+    # so seed offsets jitter over the residues — a read on diagonal d
+    # finds seed o iff (d + o) % St == 0, and covering all residues
+    # keeps every diagonal reachable with ~n_seeds/St effective seeds
+    St = idx["st_stride_m"].shape[0] if "st_stride_m" in idx else 1
+    kt2 = kt if St == 1 else -(-kt // St) * St   # 2nd kmer offset, % St == 0
+    span = jnp.maximum(lens - (kt + kt2 if pair_mode else kt), 0)
     s_ix = jnp.arange(n_seeds, dtype=jnp.int32)
     if stride > 0:
         offs = jnp.minimum(s_ix[None, :] * stride, span[:, None])
     else:
         offs = (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1)
+    if St > 1:
+        offs = jnp.minimum(offs + (s_ix % St)[None, :], span[:, None])
     csel = jnp.take_along_axis(codes, offs, 1)              # (R, S)
     n_sel = csel >= NB
     code_sel = csel & (NB - 1)
@@ -213,11 +222,11 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     # 2kt-bp effective seed with the same two-gather-round structure
     if pair_mode:
         SLOT = min(48, idx["st_pos_rows"].shape[1] * 2 - 31)
-        usable = (lens >= 2 * kt)[:, None] & ~n_sel
-        csel2 = jnp.take_along_axis(codes, jnp.minimum(offs + kt, L - 1), 1)
+        usable = (lens >= kt + kt2)[:, None] & ~n_sel
+        csel2 = jnp.take_along_axis(codes, jnp.minimum(offs + kt2, L - 1), 1)
         n2 = csel2 >= NB
         code2 = csel2 & (NB - 1)
-        usable &= ~n2 & (offs + 2 * kt <= lens[:, None])
+        usable &= ~n2 & (offs + kt + kt2 <= lens[:, None])
         if "st_pairs" in idx:
             t01 = idx["st_pairs"][code2]
             t0, t1 = t01[..., 0], t01[..., 1]
@@ -226,7 +235,7 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
             t1 = idx["st_starts"][code2 + 1]
         cntB = t1 - t0
         A = gather_slices(idx["st_pos_rows"], s0, SLOT)      # (R, S, SLOT)
-        Bp = gather_slices(idx["st_pos_rows"], t0, SLOT) - kt
+        Bp = gather_slices(idx["st_pos_rows"], t0, SLOT) - kt2
         ia = jnp.arange(SLOT, dtype=jnp.int32)
         va = ia[None, None, :] < cnt[..., None]
         vb = ia[None, None, :] < cntB[..., None]

@@ -131,3 +131,39 @@ def test_locate_and_walk_left(small_index):
                        dtype=np.int32)[:32]
     walked = np.asarray(loc.lf_walk_left(idx, jnp.asarray(rows0), k))
     np.testing.assert_array_equal(fm.sa[walked], fm.sa[rows0] - k)
+
+
+def test_stride_sampled_table_sensitivity():
+    """Stride-sampled seed tables (Gbp memory diet, fm_index.st_stride):
+    exact reads still align at full rate — seed-offset residue jitter
+    keeps every diagonal reachable (ops/search.table_seed)."""
+    import numpy as np
+    from hisat2_tpu.io.reference import reference_from_seqs
+    from hisat2_tpu.index.sharded import build_table_index
+    from hisat2_tpu.align.pipeline import Aligner
+    from hisat2_tpu.io.reads import Read, batchify
+    from hisat2_tpu.utils import alphabet
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 4, 300000).astype(np.uint8)
+    ref = reference_from_seqs({"cS": alphabet.decode(g)})
+    reads = []
+    for i in range(128):
+        st = int(rng.integers(0, g.size - 100))
+        s = g[st:st + 100].copy()
+        if i % 3 == 0:
+            mm = rng.random(100) < 0.01
+            s[mm] = (s[mm] + 1) % 4
+        if i % 2:
+            s = alphabet.revcomp(s)
+        reads.append(Read(f"s{i}_{st}", s, np.full(100, 40, np.int8), i))
+    b = batchify(reads, pad_to=104)
+    for stride in (2, 4):
+        fm = build_table_index(ref, table_stride=stride)
+        assert fm.st_stride == stride
+        al = Aligner(fm)
+        res = al.align_batch(b)
+        ok = sum(1 for i, r in enumerate(res)
+                 if r.aligned and r.alns[0].toff
+                 == int(reads[i].name.split("_")[1]))
+        assert ok >= 126, (stride, ok)

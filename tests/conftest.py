@@ -7,6 +7,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent compile cache under pytest: CPU compiles are fast, and
+# the cache's zstd writer has segfaulted under heavy co-located memory
+# pressure (observed twice while Gbp-scale runs shared the host)
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
 
 # jax may already be imported (site customization registers a TPU plugin and
 # pins JAX_PLATFORMS before conftest runs), so env vars alone are too late:

@@ -341,12 +341,11 @@ def main(argv=None) -> int:
         sc = apply_policy(polstr, opts, sc)
     if sharded is not None:
         from ..align.sharded import ShardedAligner
-        if (args.tab6 or args.un or args.al
-                or args.repeat or args.un_conc or args.al_conc
-                or args.tmo):
+        if args.repeat or args.un_conc or args.al_conc or args.tmo:
             print("hisat2-tpu: sharded indexes currently support -U / "
-                  "-1 -2 input (spliced or not); no --un/--al/--repeat/"
-                  "--tmo outputs yet", file=sys.stderr)
+                  "-1 -2 / --12 input (spliced or not) with --un/--al; "
+                  "no --un-conc/--al-conc/--repeat/--tmo outputs yet",
+                  file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)
         al = sal.host
@@ -442,16 +441,47 @@ def main(argv=None) -> int:
                           args.trim3, args.ignore_quals, args.qc_filter)
         if sal is not None:
             # sharded genome: shards stream through HBM per batch GROUP
-            # (bounded read buffering), global-coordinate merge + emit
+            # (bounded read buffering), global-coordinate merge + emit.
+            # --un/--al capture primary records off the emitted text in
+            # read order (each read contributes exactly one primary).
             group: list = []
+
+            def _emit_group(group):
+                if un_fh is None and al_fh is None:
+                    merge(sal.align_and_emit(group, writer))
+                    return
+                from ..align.emit import _TextShim
+                shim = _TextShim()
+                merge(sal.align_and_emit(group, shim))
+                text = shim.out.getvalue()
+                writer.out.write(text)
+                flags = [int(ln.split("\t", 2)[1])
+                         for ln in text.splitlines()
+                         if ln and not ln.startswith("@")]
+                prim = [f for f in flags if not f & 256]
+                k = 0
+                from ..utils import alphabet as _alpha
+                for b in group:
+                    for i in range(len(b)):
+                        aligned = k < len(prim) and not (prim[k] & 4)
+                        k += 1
+                        fh = al_fh if aligned else un_fh
+                        if fh is None:
+                            continue
+                        ln2 = int(b.lens[i])
+                        sq = _alpha.decode(b.seqs[i, :ln2])
+                        q = (b.quals[i, :ln2].astype("uint8")
+                             + 33).tobytes().decode()
+                        fh.write(f"@{b.names[i]}\n{sq}\n+\n{q}\n")
+
             for batch in batch_iter(stream, args.batch_size):
                 group.append(batch)
                 if len(group) >= 32:
-                    merge(sal.align_and_emit(group, writer))
+                    _emit_group(group)
                     nreads += sum(len(b) for b in group)
                     group = []
             if group:
-                merge(sal.align_and_emit(group, writer))
+                _emit_group(group)
                 nreads += sum(len(b) for b in group)
         elif args.un or args.al or rep_aligner is not None:
             for batch in batch_iter(stream, args.batch_size):

@@ -525,7 +525,14 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     slow = need_base | emit_trig | ~aligned
     allowed = slow & ~filt
     trig = allowed & ((best < perfect) | kspan)
-    tv, trows = lax.top_k(trig.astype(jnp.int32), TB)
+    # TB compaction ranks triggered rows by their best contiguous score:
+    # junction reads sit a few penalties under perfect while hopeless
+    # rows (e.g. reads whose true locus is in ANOTHER genome shard) sit
+    # far below — under multi-shard trigger pressure the overflow falls
+    # on the hopeless tail instead of arbitrary row order (Gbp 2-shard
+    # runs overflowed ~25% of junction rows by row order)
+    tkey = jnp.where(trig, best.astype(jnp.int64) - NEG, jnp.int64(0))
+    tv, trows = lax.top_k(tkey, TB)
     trows = jnp.clip(trows, 0, B - 1)
     tvalid = tv > 0
     mrows = merged[trows]
@@ -761,8 +768,8 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     # the host legacy path. Scan-pool overflow past AB is dropped like
     # the legacy path's own AB compaction drops it (rescue_fused top_k)
     # — the scan is a bounded-sensitivity heuristic on both paths.
-    trank = jnp.cumsum(trig.astype(jnp.int32)) - 1
-    uncov = (trig & (trank >= TB)) | lane_lost | lane_lost2
+    in_tb = jnp.zeros((B,), bool).at[trows].max(tvalid)
+    uncov = (trig & ~in_tb) | lane_lost | lane_lost2
     nsel = sel_mask.sum().astype(jnp.int32)
     cov = (trig.astype(jnp.int8) | (uncov.astype(jnp.int8) << 1))
     return sp32, sp16, need, cov, nsel, sp32b, sp16b, nsel2

@@ -531,7 +531,7 @@ def spliced_stage(idx: dict, sctab: dict, merged, st, need_base, nNs,
     # far below — under multi-shard trigger pressure the overflow falls
     # on the hopeless tail instead of arbitrary row order (Gbp 2-shard
     # runs overflowed ~25% of junction rows by row order)
-    tkey = jnp.where(trig, best.astype(jnp.int64) - NEG, jnp.int64(0))
+    tkey = jnp.where(trig, best - jnp.int32(NEG), jnp.int32(0))
     tv, trows = lax.top_k(tkey, TB)
     trows = jnp.clip(trows, 0, B - 1)
     tvalid = tv > 0

@@ -1144,9 +1144,15 @@ def _rescue_mates(aligner, b1, b2, results, rescue, finalize,
         scores = ce[:, 2]
         ub, ut0, ui1, ui2 = ce[:, 3], ce[:, 4], ce[:, 5], ce[:, 6]
     elif host_mode:
-        # finalization-only aligner (sharded/mesh merge): no device
-        # index, so the traceback itself decides pass/fail per lane
-        scores = np.full(P, 1 << 30, np.int64)
+        # finalization-only aligner (sharded/mesh merge): score every
+        # lane with the NumPy DP mirror so only genuinely passing lanes
+        # reach the per-lane traceback (junk windows from mixed pairs
+        # cost seconds per batch when every lane traced)
+        from ..ops.splice_host import dp_score_host
+        winm = np.stack([aligner.fm.ref.get_stretch(int(l[3]), W)
+                         for l in lanes])
+        scores = dp_score_host(sc, rd[:P], q[:P], rls[:P].astype(np.int64),
+                               winm.astype(np.int64))
     elif (getattr(aligner, "sc_const", None) is not None
             and jax.default_backend() == "tpu"):
         win = _rank_text_window(aligner.idx,

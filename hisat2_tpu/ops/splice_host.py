@@ -272,3 +272,57 @@ def junction_score_gate(joined, scoring, rd, q, rdlens, posA, posB,
              mmR=out[:, 5])
     pack = np.stack([out[:, 0], out[:, 1], out[:, 6]], axis=1)
     return r, pack
+
+
+def dp_score_host(scoring, rd, q, rdlens, win):
+    """NumPy mirror of ops/sw.dp_score_batch (affine-gap score with
+    clip-penalty soft clips): the sharded/host-mode mate rescue gates
+    its per-lane tracebacks on this score instead of tracing every lane
+    (512-lane batches of junk windows cost seconds per batch at Gbp).
+
+    rd (C, L) codes 0..4, q (C, L), rdlens (C,), win (C, W) codes 0..4.
+    Returns (C,) int64 scores."""
+    import numpy as np
+    C, L = rd.shape
+    W = win.shape[1]
+    NEGv = -(1 << 28)
+    rd = rd.astype(np.int64)
+    qc = np.clip(q.astype(np.int64), 0, 63)
+    mm_pens = scoring.mm_pens()
+    sc_pens = scoring.sc_pens()
+    ro, re = scoring.read_gap_open(), scoring.read_gap_extend()
+    fo, fe = scoring.ref_gap_open(), scoring.ref_gap_extend()
+    mb, npen = scoring.match_bonus, scoring.n_pen
+    in_read = np.arange(L)[None, :] < rdlens[:, None]
+    scp = np.where(in_read, sc_pens[qc], 0)
+    scp_cum = np.cumsum(scp, axis=1)
+    scp_tot = scp_cum[:, -1]
+    jcols = np.arange(W + 1, dtype=np.int64)
+    H = np.zeros((C, W + 1), np.int64)
+    F = np.full((C, W + 1), NEGv, np.int64)
+    best = -scp_tot.copy()
+    winN = win >= 4
+    for i in range(L):
+        act = in_read[:, i]
+        if not act.any():
+            break
+        rc = rd[:, i][:, None]
+        isn = (rc >= 4) | winN
+        mm = (win != rc) & ~isn
+        sub = np.where(mm, -mm_pens[qc[:, i]][:, None], mb)
+        sub = np.where(isn, -npen, sub)
+        diag = H[:, :-1] + sub
+        Fn_tail = np.maximum(H[:, 1:] - fo, F[:, 1:] - fe)
+        col0 = np.full((C, 1), -(fo + i * fe), np.int64)
+        G = np.concatenate([col0, np.maximum(diag, Fn_tail)], axis=1)
+        M = np.maximum.accumulate(G + re * jcols[None, :], axis=1)
+        E_tail = M[:, :-1] - ro - re * (jcols[1:][None, :] - 1)
+        Hn = np.concatenate([col0, np.maximum(G[:, 1:], E_tail)], axis=1)
+        Hn = np.maximum(Hn, -scp_cum[:, i][:, None])
+        Fn = np.concatenate([col0, Fn_tail], axis=1)
+        H = np.where(act[:, None], Hn, H)
+        F = np.where(act[:, None], Fn, F)
+        tail = scp_tot - scp_cum[:, i]
+        best = np.where(act, np.maximum(best, Hn.max(axis=1) - tail),
+                        best)
+    return np.maximum(best, H.max(axis=1))

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import bench as _bench
+
 EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
 REF_BUILD_DIR = "/tmp/hisat2_ref_build"
 
@@ -68,6 +70,7 @@ def score_sam(path_or_text, truth, pe=False):
 
 
 def main():
+    _bench._enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default=EXAMPLE_FA)
     ap.add_argument("--reads", type=int, default=32000)

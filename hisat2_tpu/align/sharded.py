@@ -102,27 +102,57 @@ class ShardedAligner:
                         sh.snps.ins_seqs[si]
         self._active: Aligner | None = None
         self._active_i = -1
+        # resident-shard cache: a shard's arrays upload ONCE and stay in
+        # HBM while the estimated total fits the budget — re-uploading
+        # 4-5GB per shard switch over the tunnel cost ~150s per pass at
+        # Gbp scale (the round-5 flagship's entire throughput gap).
+        # HISAT2_TPU_HBM_GB overrides (v5e default leaves ~4GB headroom
+        # for dispatch temporaries + executables).
+        import os as _os
+        self._resident: dict[int, Aligner] = {}
+        self._hbm_budget = int(float(
+            _os.environ.get("HISAT2_TPU_HBM_GB", "12")) * (1 << 30))
+
+    def _shard_dev_bytes(self, i: int) -> int:
+        """Estimated HBM residency of shard i's index arrays."""
+        fm = self.sh.shards[i]
+        tot = int(fm.text_packed.nbytes)
+        if fm.st_pos is not None:
+            tot += int(fm.st_pos.nbytes)
+        if fm.st_starts is not None:
+            tot += 3 * int(fm.st_starts.nbytes)   # starts + st_pairs
+        if getattr(fm, "snv_overlay", None) is not None:
+            tot += int(fm.n) // 2                 # 4-bit packed overlay
+        return tot + (64 << 20)
 
     def _activate(self, i: int) -> Aligner:
-        """Bring shard i's arrays into HBM (dropping the previous shard)."""
-        if self._active_i == i:
+        """Bring shard i's arrays into HBM, keeping previously activated
+        shards resident while the budget allows (evict oldest first)."""
+        if i in self._resident:
+            self._active = self._resident[i]
+            self._active_i = i
             return self._active
-        if self._active is not None:
-            # drop cached device arrays so HBM frees before the next upload
-            self._active.idx = None
-            self.sh.shards[self._active_i].__dict__.pop("device", None)
-            self._active = None
+        need = self._shard_dev_bytes(i)
+        used = sum(self._shard_dev_bytes(j) for j in self._resident)
+        while self._resident and used + need > self._hbm_budget:
+            j, al_old = next(iter(self._resident.items()))
+            del self._resident[j]
+            al_old.idx = None
+            self.sh.shards[j].__dict__.pop("device", None)
+            used -= self._shard_dev_bytes(j)
             import gc
             gc.collect()
-        self._active = Aligner(self.sh.shards[i], self.scoring, self.opts)
+        al = Aligner(self.sh.shards[i], self.scoring, self.opts)
         if self.opts.spliced:
             # fused splice stage sees the GLOBAL site DB through a
             # shard-local coordinate view
-            self._active.ssdb = _ShardSSView(
+            al.ssdb = _ShardSSView(
                 self.host.ssdb, self.sh.bases[i],
                 int(self.sh.shards[i].n))
+        self._resident[i] = al
+        self._active = al
         self._active_i = i
-        return self._active
+        return al
 
     def align_and_emit(self, batches: list[ReadBatch], writer) -> dict:
         """Two-pass (pass per shard) SE alignment + SAM emission for a

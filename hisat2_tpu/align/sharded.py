@@ -111,7 +111,7 @@ class ShardedAligner:
         import os as _os
         self._resident: dict[int, Aligner] = {}
         self._hbm_budget = int(float(
-            _os.environ.get("HISAT2_TPU_HBM_GB", "12")) * (1 << 30))
+            _os.environ.get("HISAT2_TPU_HBM_GB", "8")) * (1 << 30))
 
     def _shard_dev_bytes(self, i: int) -> int:
         """Estimated HBM residency of shard i's index arrays."""

@@ -877,42 +877,29 @@ def anchor_scan(idx: dict, rd, rdlens, pos, down,
 
     kv, mpos = scan_tile(0, pos, down, rdlens, acode)
     if tiles > 1:
-        # deeper tiles (reach up to tiles*W, the 500Kbp max-intron
-        # range): rows tile 0 did not resolve COMPACT to S/4 slots and
-        # re-scan under a lax.cond + fori_loop — compiled once, skipped
-        # at runtime when every live row resolved near, and bounded to
-        # ~1/4 of the tile-0 work per deep tile otherwise (same
-        # bounded-sensitivity contract as the AB scan bucket itself)
-        unres = (kv[:, 0] <= -(1 << 29)) & ~has_n
+        # deeper tiles (reach up to tiles*W, the 500Kbp max-intron range)
+        # run under ONE lax.cond wrapping a fori_loop (compiled once, not
+        # unrolled): in steady state every LIVE scan row resolves in tile
+        # 0 and the deep branch never executes, so the extended reach
+        # costs nothing on the hot path. (A compacted-subset variant
+        # measured no faster on chip and its scatter-in-cond program
+        # segfaulted the XLA CPU compiler in long test sessions.)
+        found0 = (kv[:, 0] > -(1 << 29)) | has_n
         if live is not None:
-            unres = unres & live
-        SD = max(64, S // 4)
-        nvd, dsel = lax.top_k(unres.astype(jnp.int32), min(SD, S))
-        dsel = jnp.clip(dsel, 0, S - 1)
-        dpad = nvd == 0
+            found0 = found0 | ~live
 
         def deep(kv_mpos):
-            kvc, mpc = kv_mpos
-            pos_d = pos[dsel]
-            down_d = down[dsel]
-            rdl_d = rdlens[dsel]
-            acode_d = acode[dsel]
-
             def body(t, carry):
-                kvd, mpd = carry
-                k_t, m_t = scan_tile(t, pos_d, down_d, rdl_d, acode_d)
-                ka = jnp.concatenate([kvd, k_t], axis=1)     # (SD, 2NC)
-                ma = jnp.concatenate([mpd, m_t], axis=1)
+                kvc, mpc = carry
+                k_t, m_t = scan_tile(t, pos, down, rdlens, acode)
+                ka = jnp.concatenate([kvc, k_t], axis=1)     # (S, 2NC)
+                ma = jnp.concatenate([mpc, m_t], axis=1)
                 kv2, ke = lax.top_k(ka, NC)
                 return kv2, jnp.take_along_axis(ma, ke, 1)
+            return lax.fori_loop(1, tiles, body, kv_mpos)
 
-            kvd, mpd = lax.fori_loop(1, tiles, body,
-                                     (kvc[dsel], mpc[dsel]))
-            kvd = jnp.where(dpad[:, None], kvc[dsel], kvd)
-            mpd = jnp.where(dpad[:, None], mpc[dsel], mpd)
-            return kvc.at[dsel].set(kvd), mpc.at[dsel].set(mpd)
-
-        kv, mpos = lax.cond(unres.any(), deep, lambda c: c, (kv, mpos))
+        kv, mpos = lax.cond(~found0.all(), deep,
+                            lambda c: c, (kv, mpos))
     kvalid = kv > -(1 << 29)
     # mate diagonal from match position
     mate = jnp.where(down[:, None], mpos - (rdlens - A)[:, None], mpos)

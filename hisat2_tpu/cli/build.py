@@ -34,9 +34,9 @@ def main(argv=None) -> int:
                          "references over 2^31-2^28 joined bases)")
     ap.add_argument("--table-stride", type=int, default=0,
                     help="seed-table position sampling stride (0 = auto: "
-                         "2 for shards over 1 Gbp, halving device "
-                         "residency; 1 = full table). The offrate role "
-                         "of gfm.h _offs for the table-seeded path")
+                         "3 for shards over 1 Gbp, so several shards "
+                         "stay HBM-resident; 1 = full table). The "
+                         "offrate role of gfm.h _offs")
     ap.add_argument("--shard-bases", type=int, default=None,
                     help="max joined bases per shard (implies --sharded; "
                          "default 2^31-2^28)")
@@ -64,7 +64,7 @@ def main(argv=None) -> int:
         # compile for all shards (reference large-index .ht2l role)
         from ..index.sharded import build_sharded
         stride = args.table_stride or (
-            2 if min(ref.n, args.shard_bases or MAX_SHARD_BASES)
+            3 if min(ref.n, args.shard_bases or MAX_SHARD_BASES)
             > 1_000_000_000 else 1)
         sh = build_sharded(ref, max_bases=args.shard_bases or
                            MAX_SHARD_BASES, snps=snps, haplotypes=haps,

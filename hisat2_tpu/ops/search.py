@@ -202,7 +202,13 @@ def table_lookup(idx: dict, seqs: jax.Array, lens: jax.Array,
     else:
         offs = (s_ix[None, :] * span[:, None]) // max(n_seeds - 1, 1)
     if St > 1:
-        offs = jnp.minimum(offs + (s_ix % St)[None, :], span[:, None])
+        # force o_k ≡ k (mod St): ANY St consecutive seeds then cover
+        # every residue, so even a short exon touched by only the first
+        # few seeds keeps all its diagonals reachable (plain +k%St keeps
+        # the base offsets' own residues, which can alias for the first
+        # seeds of a read and lose short-near-exon junction diagonals)
+        offs = jnp.minimum(offs + (s_ix[None, :] - offs) % St,
+                           span[:, None])
     csel = jnp.take_along_axis(codes, offs, 1)              # (R, S)
     n_sel = csel >= NB
     code_sel = csel & (NB - 1)

@@ -128,7 +128,7 @@ def main():
 
     t0 = time.time()
     log("building sharded GRAPH index (SNVs baked)")
-    sh = build_sharded(ref, snps=snps, table_stride=4)
+    sh = build_sharded(ref, snps=snps, table_stride=3)
     # bake HALF the genes' splice sites (--ss): known vs novel split
     ss_rows = []
     for g in genes[::2]:

@@ -158,7 +158,7 @@ def test_stride_sampled_table_sensitivity():
             s = alphabet.revcomp(s)
         reads.append(Read(f"s{i}_{st}", s, np.full(100, 40, np.int8), i))
     b = batchify(reads, pad_to=104)
-    for stride in (2, 4):
+    for stride in (2, 3, 4):
         fm = build_table_index(ref, table_stride=stride)
         assert fm.st_stride == stride
         al = Aligner(fm)

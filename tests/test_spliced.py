@@ -4,6 +4,16 @@ known splice sites, XS:A strand, novel-site sharing across batches."""
 import numpy as np
 import pytest
 
+# XLA:CPU has segfaulted compiling this module's heavy spliced programs
+# late in long pytest sessions (dozens of executables already loaded);
+# dropping earlier compiled executables before these tests avoids it.
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_cache():
+    import jax
+    jax.clear_caches()
+    yield
+
+
 from hisat2_tpu.align.pipeline import Aligner, AlignerOpts
 from hisat2_tpu.index.fm_index import build_fm_index
 from hisat2_tpu.io.reads import Read, batchify

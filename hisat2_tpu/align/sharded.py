@@ -120,7 +120,9 @@ class ShardedAligner:
         if fm.st_pos is not None:
             tot += int(fm.st_pos.nbytes)
         if fm.st_starts is not None:
-            tot += 3 * int(fm.st_starts.nbytes)   # starts + st_pairs
+            tot += int(fm.st_starts.nbytes)
+            if fm.st_starts.size <= (1 << 24) + 1:
+                tot += 2 * int(fm.st_starts.nbytes)   # st_pairs rows
         if getattr(fm, "snv_overlay", None) is not None:
             tot += int(fm.n) // 2                 # 4-bit packed overlay
         return tot + (64 << 20)

@@ -73,7 +73,7 @@ def main():
     _bench._enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default=EXAMPLE_FA)
-    ap.add_argument("--reads", type=int, default=32000)
+    ap.add_argument("--reads", type=int, default=32768)
     ap.add_argument("--out", default="EVAL_r02.json")
     args = ap.parse_args()
 
@@ -93,6 +93,10 @@ def main():
         subprocess.run([buildbin, args.reference, refidx], check=True,
                        capture_output=True, timeout=1200)
 
+    # round reads to whole batches: a ragged tail batch has its own
+    # compile shapes and would put a fresh tunnel compile inside the
+    # timed region (~60s — the round-5 EVAL numbers were 400x off)
+    args.reads -= args.reads % 16384
     ref = load_reference(args.reference)
     cache = "/tmp/hisat2_tpu_bench_idx"
     fm = None

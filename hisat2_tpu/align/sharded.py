@@ -200,10 +200,35 @@ class ShardedAligner:
             slow_pack = (self._merge_splice_lanes(
                 [per_shard_ex[s][bi] for s in range(S)], ssv0)
                 if spliced else None)
-            st = _emit._finish_fastpack(self.host, b, fp, None, writer,
-                                        force_slow=force_slow,
-                                        merged_full=merged,
-                                        slow_pack=slow_pack)
+            if self.opts.tmo:
+                # --tmo re-derives best/secbest from the surviving
+                # (known-junction-spliced) candidates, so it flows
+                # through the exact ReadResult path (results_to_sam
+                # applies tmo_filter_result per read)
+                from .pipeline import results_to_sam
+                if spliced:
+                    dl = None
+                    if slow_pack is not None:
+                        dl = (slow_pack["splanes32"],
+                              slow_pack["splanes16"],
+                              slow_pack["spl_cov"],
+                              int(slow_pack["spl_nsel"]),
+                              int(slow_pack["spl_ssv"]),
+                              slow_pack.get("splanes32b"),
+                              slow_pack.get("splanes16b"),
+                              int(slow_pack.get("spl_nsel2", 0)))
+                    n0 = len(self.host.ssdb)
+                    self.host._splice_rescue(b, merged, dev_lanes=dl)
+                    if len(self.host.ssdb) != n0:
+                        self.host._splice_rescue(b, merged)
+                res = self.host._finalize_results(b, merged)
+                st = results_to_sam(b, res, self.host, writer)
+            else:
+                st = _emit._finish_fastpack(self.host, b, fp, None,
+                                            writer,
+                                            force_slow=force_slow,
+                                            merged_full=merged,
+                                            slow_pack=slow_pack)
             for k, v in st.items():
                 totals[k] = totals.get(k, 0) + v
         return totals
@@ -318,11 +343,19 @@ class ShardedAligner:
                     int(sp["spl_nsel"]), int(sp["spl_ssv"]),
                     sp.get("splanes32b"), sp.get("splanes16b"),
                     int(sp.get("spl_nsel2", 0))))
-            _prna.rescue_pair_rna(self.host, b1, b2, m1, m2,
-                                  dev_lanes=tuple(dls))
-            bcat = _prna._concat_pair(b1, b2)
-            st = _prna.pair_finish_rna(self.host, b1, b2, bcat, m1, m2,
-                                       writer)
+            if self.opts.tmo:
+                # --tmo: the pair ladder + pairs_to_sam apply
+                # _tmo_filter_pair (alt-pair fallback, mixed demotion)
+                res = _paired.align_pairs(self.host, b1, b2,
+                                          premerged=(m1, m2),
+                                          dev_lanes=tuple(dls))
+                st = _paired.pairs_to_sam(b1, b2, res, self.host, writer)
+            else:
+                _prna.rescue_pair_rna(self.host, b1, b2, m1, m2,
+                                      dev_lanes=tuple(dls))
+                bcat = _prna._concat_pair(b1, b2)
+                st = _prna.pair_finish_rna(self.host, b1, b2, bcat, m1,
+                                           m2, writer)
             for k, v in st.items():
                 totals[k] = totals.get(k, 0) + v
         return totals

@@ -341,10 +341,11 @@ def main(argv=None) -> int:
         sc = apply_policy(polstr, opts, sc)
     if sharded is not None:
         from ..align.sharded import ShardedAligner
-        if args.repeat or args.un_conc or args.al_conc or args.tmo:
+        if (args.repeat or args.un_conc or args.al_conc
+                or (args.tmo and args.no_spliced_alignment)):
             print("hisat2-tpu: sharded indexes currently support -U / "
-                  "-1 -2 / --12 input (spliced or not) with --un/--al; "
-                  "no --un-conc/--al-conc/--repeat/--tmo outputs yet",
+                  "-1 -2 / --12 input (spliced or not) with --un/--al/"
+                  "--tmo; no --un-conc/--al-conc/--repeat outputs yet",
                   file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)

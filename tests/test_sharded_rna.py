@@ -235,3 +235,69 @@ def test_sharded_rna_pe(setup):
         if any("N" in r[3] for r in recs):
             njunc += 1
     assert njunc >= 30
+
+
+def test_sharded_tmo_matches_single(setup):
+    """--tmo over a sharded index: identical output to the single-index
+    ladder under the same known-site table (transcriptome-only pairs,
+    _tmo_filter_pair semantics)."""
+    gs, introns, ref, fm, sh = setup
+    rng = np.random.default_rng(19)
+    L = 100
+    r1s, r2s = [], []
+    for i in range(24):
+        cb, start, ilen = introns[i % len(introns)]
+        g = gs[cb]
+        j = int(rng.integers(15, L - 15))
+        a = start - j
+        m1 = np.concatenate([g[a:start],
+                             g[start + ilen:start + ilen + (L - j)]])
+        m2start = start + ilen + 150
+        m2 = alphabet.revcomp(g[m2start:m2start + L])
+        r1s.append(Read(f"t{i}", m1.copy(), np.full(L, 40, np.int8), i))
+        r2s.append(Read(f"t{i}", m2.copy(), np.full(L, 40, np.int8), i))
+    # exonic-only pairs: --tmo must drop them entirely
+    for i in range(24, 32):
+        cb = i % 2
+        p0 = int(rng.integers(0, 40000))
+        r1s.append(Read(f"t{i}", gs[cb][p0:p0 + L].copy(),
+                        np.full(L, 40, np.int8), i))
+        r2s.append(Read(f"t{i}",
+                        alphabet.revcomp(gs[cb][p0 + 250:p0 + 250 + L]),
+                        np.full(L, 40, np.int8), i))
+    b1 = batchify(r1s, pad_to=104)
+    b2 = batchify(r2s, pad_to=104)
+    sites = [(cb * 50000 + start - 1, cb * 50000 + start + ilen)
+             for cb, start, ilen in introns]
+
+    def run(sharded: bool):
+        opts = AlignerOpts(spliced=True, tmo=True,
+                           no_temp_splicesite=True)
+        buf = io.StringIO()
+        w = samio.SamWriter(buf, ref.names, [int(x) for x in ref.tlens],
+                            no_head=True)
+        if sharded:
+            sal = ShardedAligner(sh, opts=opts)
+            for jl, jr in sites:
+                sal.host.ssdb.add_known(jl, jr, "+")
+            sal.align_and_emit_pe([(b1, b2)], w)
+        else:
+            al = Aligner(fm, opts=opts)
+            for jl, jr in sites:
+                al.ssdb.add_known(jl, jr, "+")
+            from hisat2_tpu.align import paired as _paired
+            res = _paired.align_pairs(al, b1, b2)
+            _paired.pairs_to_sam(b1, b2, res, al, w)
+        return buf.getvalue()
+
+    single = run(False)
+    sharded = run(True)
+    assert sharded == single
+    # --tmo keeps only known-junction-spliced mate-1 records; exonic
+    # pairs come out unaligned
+    for ln in single.splitlines():
+        f = ln.split("\t")
+        if int(f[1]) & 4:
+            continue
+        if int(f[1]) & 64:
+            assert "N" in f[5], ln

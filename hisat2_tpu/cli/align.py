@@ -341,11 +341,10 @@ def main(argv=None) -> int:
         sc = apply_policy(polstr, opts, sc)
     if sharded is not None:
         from ..align.sharded import ShardedAligner
-        if (args.repeat or args.un_conc or args.al_conc
-                or (args.tmo and args.no_spliced_alignment)):
+        if args.repeat or (args.tmo and args.no_spliced_alignment):
             print("hisat2-tpu: sharded indexes currently support -U / "
                   "-1 -2 / --12 input (spliced or not) with --un/--al/"
-                  "--tmo; no --un-conc/--al-conc/--repeat outputs yet",
+                  "--un-conc/--al-conc/--tmo; no --repeat output yet",
                   file=sys.stderr)
             return 2
         sal = ShardedAligner(sharded, sc, opts)
@@ -544,14 +543,44 @@ def main(argv=None) -> int:
 
             def _flush_pair_group():
                 nonlocal nreads, group
-                if group:
-                    try:
+                if not group:
+                    return
+                try:
+                    if args.un_conc or args.al_conc:
+                        # classify pairs off the emitted YT:Z codes
+                        # (primary mate-1 record per pair, pair order)
+                        from ..align.emit import _TextShim
+                        shim = _TextShim()
+                        merge(sal.align_and_emit_pe(group, shim))
+                        text = shim.out.getvalue()
+                        writer.out.write(text)
+                        kinds = []
+                        for ln in text.splitlines():
+                            f = ln.split("\t")
+                            flag = int(f[1])
+                            if flag & 256 or not (flag & 64 or flag & 4):
+                                continue
+                            if flag & 128 and not (flag & 64):
+                                continue
+                            kinds.append("concordant" if "YT:Z:CP" in ln
+                                         else "other")
+                        k = 0
+                        from types import SimpleNamespace
+                        for gb1, gb2 in group:
+                            n = len(gb1)
+                            prs = [SimpleNamespace(
+                                kind=kinds[k + i]
+                                if k + i < len(kinds) else "other")
+                                for i in range(n)]
+                            k += n
+                            _write_conc(args, gb1, gb2, prs)
+                    else:
                         merge(sal.align_and_emit_pe(group, writer))
-                    except ValueError as e:
-                        print(f"hisat2-tpu: {e}", file=sys.stderr)
-                        raise SystemExit(2)
-                    nreads += sum(2 * len(x[0]) for x in group)
-                    group = []
+                except ValueError as e:
+                    print(f"hisat2-tpu: {e}", file=sys.stderr)
+                    raise SystemExit(2)
+                nreads += sum(2 * len(x[0]) for x in group)
+                group = []
 
             for a, b in pairs:
                 a.rdid = b.rdid = rdid
